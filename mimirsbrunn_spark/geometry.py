@@ -1,0 +1,191 @@
+"""Pure-numpy geometry kernel (shapely is unavailable in this image).
+
+Implements exactly what the engine needs, vectorized over Arrow batches:
+
+- point-in-(multi)polygon via even-odd ray casting — the refine step of
+  the filter-refine spatial join (role of ``boundary.contains(point)``,
+  ``/root/reference/src/admin_geofinder.rs:101-104``);
+- bounding box / centroid (``admin_geofinder.rs:133-143``,
+  ``/root/reference/src/osm_reader/osm_utils.rs:57-67``);
+- WKB encode/decode for MultiPolygon (the ``boundary_wkb`` column
+  format, FIXTURES.md §2);
+- haversine distance (``/root/reference/libs/mimir/src/adapters/
+  primary/bragi/handlers.rs:113-130`` distance annotation).
+
+Geometry model: a polygon is ``[exterior_ring, hole_ring, ...]``; each
+ring is an (N, 2) float64 array of (lon, lat), not necessarily closed
+(closure is implicit). A multipolygon is a list of polygons.
+
+Containment convention: even-odd rule with half-open edges; points
+exactly on an edge may fall either side (the reference's geo crate
+likewise treats boundaries as exclusive for ``Contains``). All test
+vectors use strictly interior/exterior probes, as the reference's own
+octagon tests do (``admin_geofinder.rs:311-530``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+EARTH_RADIUS_M = 6371000.0
+
+Ring = np.ndarray  # (N, 2) lon/lat
+Polygon = list  # [Ring, ...] first = exterior
+MultiPolygon = list  # [Polygon, ...]
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon (vectorized: many points × one multipolygon)
+# ---------------------------------------------------------------------------
+
+
+def points_in_ring(lon: np.ndarray, lat: np.ndarray, ring: Ring) -> np.ndarray:
+    """Even-odd ray cast: bool mask of points inside the ring."""
+    x = np.asarray(lon, dtype=np.float64)[:, None]
+    y = np.asarray(lat, dtype=np.float64)[:, None]
+    rx = ring[:, 0]
+    ry = ring[:, 1]
+    rx2 = np.roll(rx, -1)
+    ry2 = np.roll(ry, -1)
+    # edge straddles the horizontal line through y
+    straddle = (ry <= y) != (ry2 <= y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = rx + (y - ry) * (rx2 - rx) / (ry2 - ry)
+    crossings = straddle & (x < xint)
+    return (crossings.sum(axis=1) % 2).astype(bool)
+
+
+def points_in_polygon(lon: np.ndarray, lat: np.ndarray, polygon: Polygon) -> np.ndarray:
+    inside = points_in_ring(lon, lat, polygon[0])
+    for hole in polygon[1:]:
+        inside &= ~points_in_ring(lon, lat, hole)
+    return inside
+
+
+def points_in_multipolygon(lon: np.ndarray, lat: np.ndarray, mp: MultiPolygon) -> np.ndarray:
+    out = np.zeros(len(np.asarray(lon)), dtype=bool)
+    for poly in mp:
+        out |= points_in_polygon(lon, lat, poly)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# bbox / centroid
+# ---------------------------------------------------------------------------
+
+
+def mp_bbox(mp: MultiPolygon) -> tuple[float, float, float, float]:
+    ext = np.vstack([poly[0] for poly in mp])
+    return (
+        float(ext[:, 0].min()),
+        float(ext[:, 1].min()),
+        float(ext[:, 0].max()),
+        float(ext[:, 1].max()),
+    )
+
+
+def mp_centroid(mp: MultiPolygon) -> tuple[float, float]:
+    """Area-weighted centroid over exterior rings minus holes (shoelace)."""
+    a_total = 0.0
+    cx_total = 0.0
+    cy_total = 0.0
+    for poly in mp:
+        for idx, ring in enumerate(poly):
+            x = ring[:, 0]
+            y = ring[:, 1]
+            x2 = np.roll(x, -1)
+            y2 = np.roll(y, -1)
+            cross = x * y2 - x2 * y
+            a = cross.sum() / 2.0
+            if a == 0.0:
+                continue
+            cx = ((x + x2) * cross).sum() / (6.0 * a)
+            cy = ((y + y2) * cross).sum() / (6.0 * a)
+            sign = 1.0 if idx == 0 else -1.0
+            a_abs = abs(a) * sign
+            a_total += a_abs
+            cx_total += cx * a_abs
+            cy_total += cy * a_abs
+    if a_total == 0.0:
+        ext = np.vstack([poly[0] for poly in mp])
+        return float(ext[:, 0].mean()), float(ext[:, 1].mean())
+    return cx_total / a_total, cy_total / a_total
+
+
+# ---------------------------------------------------------------------------
+# WKB (MultiPolygon, little-endian — OGC standard encoding)
+# ---------------------------------------------------------------------------
+
+_WKB_POLYGON = 3
+_WKB_MULTIPOLYGON = 6
+
+
+def mp_to_wkb(mp: MultiPolygon) -> bytes:
+    parts = [struct.pack("<BII", 1, _WKB_MULTIPOLYGON, len(mp))]
+    for poly in mp:
+        parts.append(struct.pack("<BII", 1, _WKB_POLYGON, len(poly)))
+        for ring in poly:
+            ring = np.asarray(ring, dtype=np.float64)
+            if not np.array_equal(ring[0], ring[-1]):
+                ring = np.vstack([ring, ring[:1]])  # WKB rings are closed
+            parts.append(struct.pack("<I", len(ring)))
+            parts.append(ring.astype("<f8").tobytes())
+    return b"".join(parts)
+
+
+def wkb_to_mp(buf: bytes) -> MultiPolygon:
+    order, gtype, n_poly = struct.unpack_from("<BII", buf, 0)
+    if order != 1 or gtype != _WKB_MULTIPOLYGON:
+        raise ValueError(f"expected LE multipolygon WKB, got order={order} type={gtype}")
+    off = 9
+    mp = []
+    for _ in range(n_poly):
+        p_order, p_type, n_rings = struct.unpack_from("<BII", buf, off)
+        if p_order != 1 or p_type != _WKB_POLYGON:
+            raise ValueError("malformed polygon record in WKB")
+        off += 9
+        poly = []
+        for _ in range(n_rings):
+            (n_pts,) = struct.unpack_from("<I", buf, off)
+            off += 4
+            ring = np.frombuffer(buf, dtype="<f8", count=n_pts * 2, offset=off).reshape(
+                n_pts, 2
+            )
+            off += n_pts * 16
+            poly.append(np.ascontiguousarray(ring[:-1]))  # drop closing point
+        mp.append(poly)
+    return mp
+
+
+# ---------------------------------------------------------------------------
+# Distances
+# ---------------------------------------------------------------------------
+
+
+def haversine_np(
+    lon1: np.ndarray, lat1: np.ndarray, lon2: np.ndarray, lat2: np.ndarray
+) -> np.ndarray:
+    """Great-circle distance in meters (vectorized)."""
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(a, dtype=np.float64)) for a in (lon1, lat1, lon2, lat2))
+    dlon = lon2 - lon1
+    dlat = lat2 - lat1
+    h = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+
+
+HAVERSINE_SQL_TEMPLATE = (
+    "(2.0 * {R} * asin(sqrt("
+    "pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+    "cos(radians({lat1})) * cos(radians({lat2})) * "
+    "pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)"
+    ")))"
+)
+
+
+def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """Identical formula as an ANSI-SQL snippet (Spark SQL == DuckDB SQL)."""
+    return HAVERSINE_SQL_TEMPLATE.format(
+        R=EARTH_RADIUS_M, lon1=lon1, lat1=lat1, lon2=lon2, lat2=lat2
+    )

@@ -1,0 +1,276 @@
+"""Tile encoders: hierarchical grid cells (H3-role) + S2 cell ids.
+
+The reference relies on Elasticsearch's internal geo indexing (geohash /
+BKD) for its spatial pre-filter; our engine makes the tiling explicit so
+that point-in-polygon becomes a *cell-id equi-join* Catalyst can plan
+(broadcast or shuffled), mirroring the bbox filter-refine pattern of
+``/root/reference/src/admin_geofinder.rs:48-70`` (envelope pre-filter)
++ ``:101-104`` (exact refine).
+
+Two encoders:
+
+1. **Grid cells** (``h3_7`` .. ``h3_12`` columns). The ``h3`` wheel is not
+   available in this environment, so per SURVEY.md §7(3) we use a
+   documented deterministic fallback: an equal-angle lon/lat quadtree grid
+   whose resolutions are sized to match H3 res 7-12 cell diameters
+   (res r → 2^(r+6) columns; res 7 ≈ 4.9 km, res 12 ≈ 153 m at the
+   equator). Properties preserved from real H3: 64-bit cell ids, strict
+   hierarchy (parent = bit shift), k-ring neighborhoods (``grid_disk``)
+   with antimeridian wrap, and uniform-area-ish behavior good enough for
+   join pruning. The encoding is pure integer/IEEE-double arithmetic and
+   therefore *expressible identically in Spark SQL (JVM, codegen) and
+   DuckDB SQL* — which is what lets the driver's oracle verify tile
+   assignment bit-for-bit, and keeps the hot path out of Python entirely.
+
+2. **S2 cells** (``s2_cell`` column): a faithful reimplementation of the
+   public S2 cell-id scheme (cube face → quadratic ST → Hilbert curve,
+   per the published s2geometry algorithm) vectorized in numpy, exposed
+   as a pandas UDF. Stored as signed int64 (the usual bit-cast of the
+   uint64 id).
+
+Cell id layout for grid cells (bigint, always positive):
+    id = res * 2^58 + i * 2^29 + j
+where i = floor((lon+180)/360 * 2^(res+6)) clamped to [0, 2^(res+6)-1],
+      j = floor((lat+90)/180 * 2^(res+6)) clamped likewise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+GRID_RES_MIN, GRID_RES_MAX = 0, 15
+_RES_SHIFT = 2**58
+_I_SHIFT = 2**29
+
+
+def _grid_n(res: int) -> int:
+    """Cells per axis exponent: res r → 2^(r+6) columns/rows."""
+    return res + 6
+
+
+# ---------------------------------------------------------------------------
+# Grid cells — numpy (oracle / pandas path)
+# ---------------------------------------------------------------------------
+
+
+def grid_cell_np(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """Vectorized lon/lat → grid cell id (int64)."""
+    n = _grid_n(res)
+    size = np.int64(1) << n
+    i = np.floor((np.asarray(lon, dtype=np.float64) + 180.0) / 360.0 * float(size)).astype(np.int64)
+    j = np.floor((np.asarray(lat, dtype=np.float64) + 90.0) / 180.0 * float(size)).astype(np.int64)
+    i = np.clip(i, 0, size - 1)
+    j = np.clip(j, 0, size - 1)
+    return np.int64(res) * _RES_SHIFT + i * _I_SHIFT + j
+
+
+def grid_cell(lon: float, lat: float, res: int) -> int:
+    return int(grid_cell_np(np.array([lon]), np.array([lat]), res)[0])
+
+
+def grid_decompose(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """cell id → (res, i, j)."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell // _RES_SHIFT
+    rem = cell - res * _RES_SHIFT
+    i = rem // _I_SHIFT
+    j = rem - i * _I_SHIFT
+    return res, i, j
+
+
+def grid_parent_np(cell: np.ndarray, parent_res: int) -> np.ndarray:
+    res, i, j = grid_decompose(cell)
+    shift = res - parent_res
+    if np.any(shift < 0):
+        raise ValueError("parent_res must be <= cell res")
+    return np.int64(parent_res) * _RES_SHIFT + (i >> shift) * _I_SHIFT + (j >> shift)
+
+
+def grid_disk(cell: int, k: int) -> list[int]:
+    """All cells within Chebyshev distance k (the H3 ``grid_disk`` role).
+
+    Longitude wraps at the antimeridian; latitude rows are clamped
+    (pole-adjacent disks are truncated, not wrapped). Deterministic order.
+    """
+    res, i, j = grid_decompose(np.array([cell]))
+    res, i, j = int(res[0]), int(i[0]), int(j[0])
+    size = 1 << _grid_n(res)
+    out = []
+    for dj in range(-k, k + 1):
+        jj = j + dj
+        if jj < 0 or jj >= size:
+            continue
+        for di in range(-k, k + 1):
+            ii = (i + di) % size
+            out.append(res * _RES_SHIFT + ii * _I_SHIFT + jj)
+    return sorted(set(out))
+
+
+def grid_cells_for_radius(lon: float, lat: float, radius_m: float, res: int) -> list[int]:
+    """Disk of cells covering a metric radius around a point (kNN pruning,
+    role of ``geo_distance`` filter in
+    ``/root/reference/libs/mimir/src/adapters/primary/common/dsl.rs:391-423``)."""
+    n = _grid_n(res)
+    cell_h_m = 180.0 / (1 << n) * 111_320.0  # meridional cell height
+    coslat = max(np.cos(np.radians(lat)), 1e-9)
+    cell_w_m = 360.0 / (1 << n) * 111_320.0 * coslat
+    k = int(max(np.ceil(radius_m / cell_h_m), np.ceil(radius_m / cell_w_m)))
+    return grid_disk(grid_cell(lon, lat, res), k)
+
+
+# ---------------------------------------------------------------------------
+# Grid cells — Spark Column expression (JVM-side, codegen; the hot path)
+# ---------------------------------------------------------------------------
+
+
+def grid_cell_col(lon: Column | str, lat: Column | str, res: int) -> Column:
+    """Spark Column computing the same grid cell id, fully JVM-side."""
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    size = 1 << _grid_n(res)
+    i = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(size)))
+    j = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(size)))
+    i = F.least(F.greatest(i, F.lit(0)), F.lit(size - 1))
+    j = F.least(F.greatest(j, F.lit(0)), F.lit(size - 1))
+    return (F.lit(res).cast("long") * F.lit(_RES_SHIFT) + i * F.lit(_I_SHIFT) + j).alias(
+        f"h3_{res}"
+    )
+
+
+def grid_cell_sql(lon_expr: str, lat_expr: str, res: int) -> str:
+    """The identical encoding as an ANSI-SQL snippet (for the DuckDB oracle)."""
+    size = 1 << _grid_n(res)
+    i = f"least(greatest(cast(floor(({lon_expr} + 180.0) / 360.0 * {float(size)}) as bigint), 0), {size - 1})"
+    j = f"least(greatest(cast(floor(({lat_expr} + 90.0) / 180.0 * {float(size)}) as bigint), 0), {size - 1})"
+    return f"(cast({res} as bigint) * {_RES_SHIFT} + {i} * {_I_SHIFT} + {j})"
+
+
+def with_grid_cells(df, lon: str, lat: str, res_list=(7, 8, 9, 10, 11, 12)):
+    """Attach h3_{r} columns for each resolution (single projection)."""
+    return df.select("*", *[grid_cell_col(lon, lat, r) for r in res_list])
+
+
+# ---------------------------------------------------------------------------
+# S2 cell ids — public algorithm, vectorized numpy
+# ---------------------------------------------------------------------------
+
+_LOOKUP_BITS = 4
+_SWAP_MASK = 1
+_INVERT_MASK = 2
+_POS_TO_IJ = np.array(
+    [[0, 1, 3, 2], [0, 2, 3, 1], [3, 2, 0, 1], [3, 1, 0, 2]], dtype=np.uint64
+)
+_POS_TO_ORIENTATION = np.array(
+    [_SWAP_MASK, 0, 0, _INVERT_MASK | _SWAP_MASK], dtype=np.uint64
+)
+
+_lookup_pos = np.zeros(1 << (2 * _LOOKUP_BITS + 2), dtype=np.uint64)
+_lookup_ij = np.zeros(1 << (2 * _LOOKUP_BITS + 2), dtype=np.uint64)
+
+
+def _init_lookup(level: int, i: int, j: int, orig_orientation: int, pos: int, orientation: int):
+    if level == _LOOKUP_BITS:
+        ij = (i << _LOOKUP_BITS) + j
+        _lookup_pos[(ij << 2) + orig_orientation] = (pos << 2) + orientation
+        _lookup_ij[(pos << 2) + orig_orientation] = (ij << 2) + orientation
+        return
+    level += 1
+    i <<= 1
+    j <<= 1
+    pos <<= 2
+    r = _POS_TO_IJ[orientation]
+    for index in range(4):
+        _init_lookup(
+            level,
+            i + (int(r[index]) >> 1),
+            j + (int(r[index]) & 1),
+            orig_orientation,
+            pos + index,
+            orientation ^ int(_POS_TO_ORIENTATION[index]),
+        )
+
+
+for _orient in range(4):
+    _init_lookup(0, 0, 0, _orient, 0, _orient)
+
+_S2_MAX_LEVEL = 30
+_S2_POS_BITS = 2 * _S2_MAX_LEVEL + 1
+
+
+def _xyz_to_face_uv(x: np.ndarray, y: np.ndarray, z: np.ndarray):
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
+    comp = np.choose(face, [x, y, z])
+    face = np.where(comp < 0, face + 3, face)
+    u = np.empty_like(x)
+    v = np.empty_like(x)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        uv_by_face = [
+            (y / x, z / x),      # face 0 (+x)
+            (-x / y, z / y),     # face 1 (+y)
+            (-x / z, -y / z),    # face 2 (+z)
+            (z / x, y / x),      # face 3 (-x)
+            (z / y, -x / y),     # face 4 (-y)
+            (-y / z, -x / z),    # face 5 (-z)
+        ]
+        for f, (ue, ve) in enumerate(uv_by_face):
+            m = face == f
+            if np.any(m):
+                u[m] = ue[m]
+                v[m] = ve[m]
+    return face.astype(np.uint64), u, v
+
+
+def _st_to_ij(s: np.ndarray) -> np.ndarray:
+    ij = np.floor(s * float(1 << _S2_MAX_LEVEL)).astype(np.int64)
+    return np.clip(ij, 0, (1 << _S2_MAX_LEVEL) - 1).astype(np.uint64)
+
+
+def _uv_to_st(u: np.ndarray) -> np.ndarray:
+    # S2's quadratic projection (area-uniformizing), public formula.
+    with np.errstate(invalid="ignore"):
+        return np.where(
+            u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u)
+        )
+
+
+def s2_cell_np(lon: np.ndarray, lat: np.ndarray, level: int = 16) -> np.ndarray:
+    """Vectorized lon/lat → S2 cell id at ``level``, bit-cast to int64."""
+    lon_r = np.radians(np.asarray(lon, dtype=np.float64))
+    lat_r = np.radians(np.asarray(lat, dtype=np.float64))
+    coslat = np.cos(lat_r)
+    x = coslat * np.cos(lon_r)
+    y = coslat * np.sin(lon_r)
+    z = np.sin(lat_r)
+    face, u, v = _xyz_to_face_uv(x, y, z)
+    i = _st_to_ij(_uv_to_st(u))
+    j = _st_to_ij(_uv_to_st(v))
+
+    n = face << np.uint64(_S2_POS_BITS - 1)
+    bits = face & np.uint64(_SWAP_MASK)
+    mask = np.uint64((1 << _LOOKUP_BITS) - 1)
+    for k in range(7, -1, -1):
+        shift = np.uint64(k * _LOOKUP_BITS)
+        bits += ((i >> shift) & mask) << np.uint64(_LOOKUP_BITS + 2)
+        bits += ((j >> shift) & mask) << np.uint64(2)
+        bits = _lookup_pos[bits]
+        n |= (bits >> np.uint64(2)) << np.uint64(k * 2 * _LOOKUP_BITS)
+        bits &= np.uint64(_SWAP_MASK | _INVERT_MASK)
+    cell = n * np.uint64(2) + np.uint64(1)  # leaf id
+    if level < _S2_MAX_LEVEL:
+        lsb = np.uint64(1) << np.uint64(2 * (_S2_MAX_LEVEL - level))
+        cell = (cell & (~(lsb - np.uint64(1)))) | lsb
+    return cell.view(np.int64)
+
+
+def s2_cell_pandas_udf(level: int = 16):
+    """pandas UDF factory: (lon, lat) → s2 cell id column."""
+
+    @F.pandas_udf("long")
+    def _s2(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(s2_cell_np(lon.to_numpy(), lat.to_numpy(), level))
+
+    return _s2
