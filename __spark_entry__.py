@@ -1,38 +1,64 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (derived point cloud →
+tile encoding → broadcast PIP admin attachment → per-city/cell rollup)
+on sf0.001. ``queries()``/``oracle_sql()`` expose every implemented
+operator with its DuckDB oracle (see mimirsbrunn_spark/gate.py for the
+cross-engine determinism rules).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def _prep(spark: SparkSession) -> None:
+    from mimirsbrunn_spark.session import ship_package
+
+    ship_package(spark)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial-join + tile-assignment rollup on sf0.001."""
+    from pyspark.sql import functions as F
+
+    from mimirsbrunn_spark.gate import points_from_orders, rect_admins_df
+    from mimirsbrunn_spark.operators.pip import attach_admins
+    from mimirsbrunn_spark.tiles import grid_cell_col
+
+    _prep(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    pts = points_from_orders(spark, sf_dir).select(
+        "point_id", "lon", "lat", grid_cell_col("lon", "lat", 7)
+    )
+    attached = attach_admins(pts, rect_admins_df(spark), strategy="broadcast")
+    return (
+        attached.select("point_id", "h3_7", F.element_at("admin_ids", 1).alias("city_id"))
+        .groupBy("city_id", "h3_7")
+        .agg(F.count("*").alias("n_points"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from mimirsbrunn_spark.gate import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prep(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, (fn, _) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mimirsbrunn_spark.gate import QUERIES
+
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,99 @@
+"""Reverse geocoding as cell-ring-pruned kNN.
+
+Re-expresses the reference's ``/reverse`` query — an Elasticsearch
+``geo_distance`` filter (default radius 1000 m) sorted by arc distance
+ascending with ``size=k`` (/root/reference/libs/mimir/src/adapters/
+primary/common/dsl.rs:391-423, handlers.rs:344-384, api.rs:15-24) — as a
+pure-Catalyst plan:
+
+1. each query point explodes into the grid-cell disk covering its radius
+   (the BKD-tree pre-filter role);
+2. equi-join against targets keyed by the same-resolution cell —
+   broadcastable when the query side is small (the common reverse-geocode
+   shape: few queries × huge indexed point set), else a shuffled hash
+   join co-partitioned on cell;
+3. exact haversine refine + radius filter (JVM math, codegen);
+4. top-k per query via row_number over (rounded distance, target id) —
+   rounding pins cross-engine float determinism, the id breaks ties.
+
+No Python UDF anywhere on this path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..geometry import EARTH_RADIUS_M
+from ..tiles import grid_cell_col, grid_cells_for_radius
+
+
+def haversine_col(lon1, lat1, lon2, lat2):
+    """Haversine meters as a Column expression (same formula as
+    geometry.haversine_sql, so oracles can reproduce it exactly)."""
+    lon1, lat1, lon2, lat2 = (F.col(c) if isinstance(c, str) else c for c in (lon1, lat1, lon2, lat2))
+    h = (
+        F.pow(F.sin(F.radians(lat2 - lat1) / 2), 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.pow(F.sin(F.radians(lon2 - lon1) / 2), 2)
+    )
+    return 2.0 * EARTH_RADIUS_M * F.asin(F.sqrt(h))
+
+
+def reverse_geocode(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 1,
+    radius_m: float = 1000.0,
+    res: int = 7,
+    query_id: str = "query_id",
+    target_id: str = "target_id",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """(query_id, lon, lat) × (target_id, lon, lat) → top-k neighbors.
+
+    Returns (query_id, target_id, distance_m, rank), rank 1..k, only
+    targets within radius_m (reference default 1000 m,
+    config/query/default.toml:65-66; k default 1, api.rs:15).
+
+    ``res`` must be coarse enough that one disk stays small; the helper
+    grid_cells_for_radius sizes the disk from the query latitude.
+    """
+    disk_udf = F.udf(
+        lambda lon, lat: grid_cells_for_radius(lon, lat, radius_m, res), "array<long>"
+    )
+    # The disk is tiny per query (a python list); the per-row udf runs on
+    # the small query side only — the huge target side stays pure JVM.
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col("lon").alias("__qlon"),
+        F.col("lat").alias("__qlat"),
+        F.explode(disk_udf("lon", "lat")).alias("__cell"),
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    t = targets.select(
+        F.col(target_id).alias("__tid"),
+        F.col("lon").alias("__tlon"),
+        F.col("lat").alias("__tlat"),
+        grid_cell_col("lon", "lat", res).alias("__cell"),
+    )
+    dist = haversine_col("__qlon", "__qlat", "__tlon", "__tlat")
+    pairs = (
+        t.join(q, "__cell")
+        .withColumn("distance_m", dist)
+        .filter(F.col("distance_m") <= radius_m)
+        # a target can land in several disk cells of the same query only
+        # if disks overlap after explode — they can't (distinct cells per
+        # query), so no dedup needed.
+    )
+    w = Window.partitionBy("__qid").orderBy(F.round("distance_m", 3).asc(), F.col("__tid").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__tid").alias(target_id),
+            F.round("distance_m", 3).alias("distance_m"),
+            "rank",
+        )
+    )

@@ -1,0 +1,106 @@
+"""Local replica of the driver's correctness gate: run every
+__spark_entry__.queries() entry on Spark and its oracle_sql() on DuckDB
+at sf0.01, compare row count, column set, and exact values (column-name
+sorted, row sorted — the driver's order-insensitive hash)."""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(SF_DIR) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    if a.shape != b.shape:
+        return False
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        for x, y in zip(av, bv):
+            if isinstance(x, float) or isinstance(y, float):
+                fx, fy = float(x), float(y)
+                if math.isnan(fx) and math.isnan(fy):
+                    continue
+                if fx != fy:
+                    return False
+            elif x != y:
+                return False
+    return True
+
+
+@pytest.fixture(scope="module")
+def gate():
+    import __spark_entry__ as entry_mod
+
+    return entry_mod
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return _duck()
+
+
+def _names():
+    import __spark_entry__ as entry_mod
+
+    return sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", _names())
+def test_oracle_match(name, gate, duck, spark):
+    q = gate.queries()[name]
+    sdf = q(spark, SF_DIR).toPandas()
+    ddf = duck.execute(gate.oracle_sql()[name]).df()
+    assert set(sdf.columns) == set(ddf.columns), (
+        f"{name}: column mismatch {sorted(sdf.columns)} vs {sorted(ddf.columns)}"
+    )
+    assert len(sdf) == len(ddf), f"{name}: row count {len(sdf)} vs {len(ddf)}"
+    a, b = _canon(sdf), _canon(ddf)
+    if not _values_equal(a, b):
+        diff_mask = ~(a == b).all(axis=1)
+        raise AssertionError(
+            f"{name}: value mismatch; first diffs:\n"
+            f"spark:\n{a[diff_mask].head(5)}\nduck:\n{b[diff_mask].head(5)}"
+        )
+
+
+def test_entry_smoke(gate, spark):
+    df = gate.entry(spark)
+    rows = df.count()
+    assert rows > 0
+    assert df.schema is not None
+
+
+def test_rows_only_queries_run(gate, spark):
+    import __spark_entry__ as entry_mod
+
+    all_q = entry_mod.queries()
+    oracled = set(entry_mod.oracle_sql())
+    for name in set(all_q) - oracled:
+        n = all_q[name](spark, SF_DIR).count()
+        assert n >= 0
