@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     attached = attach_admins(pts, rect_admins_df(spark), strategy="broadcast")
     return (
-        attached.select("point_id", "h3_7", F.element_at("admin_ids", 1).alias("city_id"))
+        attached.select("point_id", "h3_7", F.try_element_at("admin_ids", F.lit(1)).alias("city_id"))
         .groupBy("city_id", "h3_7")
         .agg(F.count("*").alias("n_points"))
     )

@@ -1,0 +1,169 @@
+"""Per-round benchmark: spatial-join + tile-assignment throughput.
+
+Headline metric (BASELINE.json): docs/sec through the full pipeline —
+interleaved docs → geo-span extraction → H3 res-7..12 tile encoding →
+broadcast PIP admin attachment → rollup. Reference single-node baseline:
+≈20-25k docs/s (BANO IDF ingest incl. ES bulk, BASELINE.md).
+
+Runs on local[$SPARK_GRAFT_CPUS] (default 32) over a deterministic
+synthetic interleaved corpus sized from the sf of $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1), cached under .bench_cache/. Prints ONE
+JSON line: {"metric", "value" (total wall sec), "unit": "sec",
+"queries": {...per-stage sec...}, "sf", plus docs_per_sec context}.
+
+Scaling-efficiency evidence (N vs 4N cores) lives in bench_scaling.py →
+BENCH/BASELINE.md, not here (this script must stay single-session).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+
+def ensure_corpus(spark, sf: float, cache_root: Path) -> tuple[str, str, int]:
+    """Deterministic interleaved corpus + octagon admins, cached parquet.
+
+    The corpus itself is generated *distributed* (gen_docs_spark, pure JVM
+    expressions) — the same way a 10^12-doc bench corpus would be
+    synthesized on a real cluster."""
+    from mimirsbrunn_spark import schemas
+    from mimirsbrunn_spark.datagen import gen_admins, gen_docs_spark
+
+    n_docs = max(int(1_500_000 * sf), 2000)
+    out = cache_root / f"sf{sf}"
+    docs_path, admins_path = out / "docs.parquet", out / "admins.parquet"
+    marker = out / "_DONE"
+    if not marker.exists():
+        out.mkdir(parents=True, exist_ok=True)
+        admins = gen_admins()
+        sdf_a = spark.createDataFrame(
+            [tuple(r) for r in admins.itertuples(index=False, name=None)], schema=schemas.ADMINS
+        )
+        sdf_a.coalesce(1).write.mode("overwrite").parquet(str(admins_path))
+        n_files = max(8, min(64, n_docs // 40_000))
+        gen_docs_spark(spark, n_docs, admins=admins).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(str(docs_path))
+        marker.touch()
+    return str(docs_path), str(admins_path), n_docs
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from pyspark.sql import functions as F
+
+    from mimirsbrunn_spark.gate import (
+        points_from_nation,
+        points_from_orders,
+        rect_admins_df,
+    )
+    from mimirsbrunn_spark.operators.knn import reverse_geocode
+    from mimirsbrunn_spark.operators.pip import attach_admins
+    from mimirsbrunn_spark.operators.spans import extract_geo_points
+    from mimirsbrunn_spark.session import get_spark
+    from mimirsbrunn_spark.tiles import with_grid_cells
+
+    spark = get_spark(app_name="mimirsbrunn_bench", cpus=cpus, shuffle_partitions=cpus)
+    docs_path, admins_path, n_docs = ensure_corpus(spark, sf, REPO / ".bench_cache")
+
+    docs = spark.read.parquet(docs_path)
+    admins = spark.read.parquet(admins_path)
+    docs.count()  # warm file listing / JVM
+
+    # Spawn + warm all Python workers (numpy/pandas import, py-files unzip)
+    # so per-query numbers reflect steady-state throughput, not interpreter
+    # startup — the regime that matters at cluster scale.
+    def _warm(it):
+        import numpy  # noqa: F401
+
+        yield from it
+
+    spark.range(cpus * 2).repartition(cpus * 2).mapInPandas(_warm, "id long").count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn, runs: int = 2):
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    # q1 — flagship: extract → tiles(7..12) → broadcast PIP → rollup.
+    # Columns are projected down to what the join needs *before* the UDF
+    # boundary (Catalyst cannot prune through mapInPandas).
+    def q1():
+        pts = with_grid_cells(extract_geo_points(docs), "lon", "lat")
+        att = attach_admins(pts.select("h3_7", "lon", "lat"), admins, strategy="broadcast")
+        return (
+            att.select("h3_7", F.try_element_at("admin_ids", F.lit(1)).alias("admin_id"))
+            .groupBy("admin_id")
+            .agg(F.count("*").alias("n"), F.countDistinct("h3_7").alias("n_cells"))
+            .count()
+        )
+
+    timed("q1_pipeline_full", q1)
+
+    # q2 — extraction + tile encoding only (JVM path ceiling)
+    timed(
+        "q2_extract_tiles",
+        lambda: with_grid_cells(extract_geo_points(docs), "lon", "lat")
+        .agg(F.sum(F.col("h3_12") % 1000000007), F.max("h3_7")).collect(),
+    )
+
+    # q3 — PIP against the gate rectangle hierarchy on derived points
+    def q3():
+        pts = points_from_orders(spark, sf_dir)
+        att = attach_admins(pts, rect_admins_df(spark), strategy="broadcast")
+        return att.select(F.explode("admin_ids")).count()
+
+    timed("q3_pip_rect", q3)
+
+    # q4 — reverse geocode kNN
+    def q4():
+        targets = points_from_orders(spark, sf_dir).withColumnRenamed("point_id", "target_id")
+        return reverse_geocode(
+            points_from_nation(spark, sf_dir), targets,
+            k=3, radius_m=2_000_000.0, res=0,
+        ).count()
+
+    timed("q4_reverse_knn", q4)
+
+    # q5 — exact dedup over the driver documents table
+    def q5():
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return d.groupBy(F.sha2("text", 256)).count().count()
+
+    timed("q5_dedup_exact", q5)
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs / timings["q1_pipeline_full"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "spatial-join+tile-assignment suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "docs_per_sec_q1": docs_per_sec,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -292,6 +292,92 @@ def gen_stops(n: int, seed: int = DEFAULT_SEED, admins: pd.DataFrame | None = No
     return pd.DataFrame(rows)
 
 
+def gen_docs_spark(spark, n_docs: int, admins: pd.DataFrame | None = None, seed: int = DEFAULT_SEED):
+    """Distributed interleaved-corpus generator (pure JVM expressions) —
+    how you'd synthesize a 10^12-doc bench corpus on a real cluster.
+
+    Deterministic given (n_docs, seed): all randomness derives from
+    xxhash64 of (doc_id, span index, salt). Span mix ≈ 45% text /
+    40% geo / 15% media; geo points are 60% Zipf-clustered around city
+    centroids (hot cells) + 40% uniform, mirroring gen_docs."""
+    from pyspark.sql import functions as F
+
+    if admins is None:
+        admins = gen_admins()
+    cities = admins[admins.zone_type == "city"].reset_index(drop=True)
+    centroids = [(i, float(c["lon"]), float(c["lat"])) for i, c in enumerate(cities.coord)]
+    cities_df = F.broadcast(
+        spark.createDataFrame(centroids, "city_idx int, clon double, clat double")
+    )
+    n_cities = len(centroids)
+
+    def h(i, salt):
+        # uniform double in [0,1) from a 64-bit hash — deterministic
+        return (
+            F.pmod(F.xxhash64(F.col("id"), i if isinstance(i, int) else i, F.lit(salt)), F.lit(1 << 30))
+            / float(1 << 30)
+        )
+
+    base = spark.range(n_docs).withColumn("n_spans", (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(8)) + 1))
+    span = (
+        base.select("id", F.explode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("o"))
+        .withColumn("r", h(F.col("o"), seed + 1))
+        .withColumn("rc", h(F.col("o"), seed + 2))
+        .withColumn(
+            "city_idx",
+            F.floor(F.pow(h(F.col("o"), seed + 3), 3.0) * n_cities).cast("int"),
+        )
+        .join(cities_df, "city_idx")
+        .withColumn("ulon", h(F.col("o"), seed + 4) * 360.0 - 180.0)
+        .withColumn("ulat", h(F.col("o"), seed + 5) * 180.0 - 90.0)
+        .withColumn("glon", F.col("clon") + (h(F.col("o"), seed + 6) - 0.5))
+        .withColumn("glat", F.col("clat") + (h(F.col("o"), seed + 7) - 0.5))
+        .withColumn("lon", F.when(F.col("rc") < 0.6, F.col("glon")).otherwise(F.col("ulon")))
+        .withColumn("lat", F.when(F.col("rc") < 0.6, F.col("glat")).otherwise(F.col("ulat")))
+        .withColumn(
+            "span",
+            F.when(
+                F.col("r") < 0.45,
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.concat(F.lit("txt "), F.conv(F.abs(F.xxhash64("id", "o")).cast("string"), 10, 16)).alias("text"),
+                    F.lit("").alias("media_ref"),
+                    F.col("o").cast("int").alias("offset"),
+                ),
+            )
+            .when(
+                F.col("r") < 0.85,
+                F.struct(
+                    F.lit("geo").alias("kind"),
+                    F.format_string(
+                        "%.6f;%.6f",
+                        F.greatest(F.least(F.col("lon"), F.lit(179.999)), F.lit(-179.999)),
+                        F.greatest(F.least(F.col("lat"), F.lit(89.999)), F.lit(-89.999)),
+                    ).alias("text"),
+                    F.lit("").alias("media_ref"),
+                    F.col("o").cast("int").alias("offset"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.lit("media").alias("kind"),
+                    F.lit("").alias("text"),
+                    F.concat(F.lit("media:"), F.conv(F.abs(F.xxhash64("id", "o", F.lit(9))).cast("string"), 10, 16)).alias("media_ref"),
+                    F.col("o").cast("int").alias("offset"),
+                )
+            ),
+        )
+    )
+    return (
+        span.groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct(F.col("o"), F.col("span")))).alias("ordered"))
+        .select(
+            F.format_string("doc:%012d", F.col("id")).alias("doc_id"),
+            F.transform("ordered", lambda s: s["span"]).alias("spans"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # writer
 # ---------------------------------------------------------------------------

@@ -462,3 +462,7 @@ QUERIES = {
     "embed_cosine_topk": (q_embed_cosine_topk, EMBED_COSINE_SQL),
     "s2_tiles": (q_s2_tiles, None),  # rows-only: Hilbert not SQL-expressible
 }
+
+from .gate_dedup import DEDUP_QUERIES  # noqa: E402
+
+QUERIES.update(DEDUP_QUERIES)

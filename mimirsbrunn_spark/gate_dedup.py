@@ -1,0 +1,183 @@
+"""Gate queries + DuckDB oracles for the dedup/similarity operators.
+
+Near-dup inputs are synthesized deterministically from the driver's
+``documents`` view: each doc is unioned with a truncated mutant (first
+4/5 of its text), guaranteeing near-dup pairs exist — computed
+identically in both engines (pure integer/string ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    P,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    with_minhash_signature,
+    with_simhash,
+)
+
+# ---------------------------------------------------------------------------
+# DuckDB fragments mirroring operators/dedup.py exactly
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKENS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')"
+
+_DUCK_TOK_IDS = (
+    f"list_transform({_DUCK_TOKENS}, tok ->"
+    " list_reduce(list_prepend(0::BIGINT,"
+    " list_transform(range(1, least(length(tok), 7) + 1),"
+    " i -> ascii(substr(tok, i, 1))::BIGINT)),"
+    f" (a, c) -> a * 256 + c) % {P})"
+)
+
+_DUCK_SHINGLES = (
+    "CASE WHEN len(tok_ids) >= 3 THEN"
+    " list_transform(range(1, len(tok_ids) - 1),"
+    f" i -> (tok_ids[i] * 961 + tok_ids[i + 1] * 31 + tok_ids[i + 2]) % {P})"
+    " ELSE [] END"
+)
+
+
+def _duck_minhash(j: int) -> str:
+    a, b = MINHASH_A[j], MINHASH_B[j]
+    return (
+        f"list_reduce(list_prepend({P}::BIGINT,"
+        f" list_transform(shingles, s -> ({a}::BIGINT * s + {b}) % {P})),"
+        " (m, x) -> least(m, x))"
+    )
+
+
+def _duck_band(b: int, rows: int = 4) -> str:
+    terms = " + ".join(
+        f"mh[{b * rows + r + 1}] * {31 ** (rows - 1 - r)}" for r in range(rows)
+    )
+    return f"({terms}) % {P}"
+
+
+def _duck_simhash(bits: int = 16) -> str:
+    terms = " + ".join(
+        "(CASE WHEN 2 * list_reduce(list_prepend(0::BIGINT,"
+        f" list_transform(tok_ids, t -> (t // {1 << j}) % 2)),"
+        f" (a, x) -> a + x) > len(tok_ids) THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"CASE WHEN len(tok_ids) = 0 THEN 0 ELSE ({terms}) END"
+
+
+# augmented corpus: each doc + a truncated mutant (guaranteed near-dups)
+AUG_SQL = """
+    SELECT doc_id * 2 AS pid, text FROM documents
+    UNION ALL
+    SELECT doc_id * 2 + 1 AS pid, substr(text, 1, (length(text) * 4) // 5) AS text
+    FROM documents
+"""
+
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    orig = d.select((F.col("doc_id") * 2).alias("pid"), "text")
+    mut = d.select(
+        (F.col("doc_id") * 2 + 1).alias("pid"),
+        F.expr("substring(text, 1, (length(text) * 4) div 5)").alias("text"),
+    )
+    return orig.unionByName(mut)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    sig = with_minhash_signature(d, k=16)
+    return sig.select(
+        "doc_id", F.posexplode("minhash").alias("slot", "mh_value")
+    )
+
+
+MINHASH_SIG_SQL = f"""
+    WITH ids AS (SELECT doc_id, {_DUCK_TOK_IDS} AS tok_ids FROM documents),
+    sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM ids),
+    sig AS (SELECT doc_id,
+            [{', '.join(_duck_minhash(j) for j in range(16))}] AS mh
+            FROM sh)
+    SELECT doc_id, CAST(s.slot AS INT) AS slot, mh[s.slot + 1] AS mh_value
+    FROM sig, (SELECT unnest(range(0, 16)) AS slot) s
+"""
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(_aug_docs(spark, sf_dir), id_col="pid", k=16, bands=4).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+    )
+
+
+LSH_PAIRS_SQL = f"""
+    WITH aug AS ({AUG_SQL}),
+    ids AS (SELECT pid, {_DUCK_TOK_IDS} AS tok_ids FROM aug),
+    sh AS (SELECT pid, {_DUCK_SHINGLES} AS shingles FROM ids),
+    sig AS (SELECT pid, [{', '.join(_duck_minhash(j) for j in range(16))}] AS mh FROM sh),
+    buckets AS (
+        SELECT pid, b.band, CASE b.band
+            WHEN 0 THEN {_duck_band(0)} WHEN 1 THEN {_duck_band(1)}
+            WHEN 2 THEN {_duck_band(2)} ELSE {_duck_band(3)} END AS bh
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+    )
+    SELECT DISTINCT a.pid AS doc_a, b.pid AS doc_b
+    FROM buckets a JOIN buckets b USING (band, bh)
+    WHERE a.pid < b.pid
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return with_simhash(d, bits=16).select("doc_id", "simhash")
+
+
+SIMHASH_SQL = f"""
+    WITH ids AS (SELECT doc_id, {_DUCK_TOK_IDS} AS tok_ids FROM documents)
+    SELECT doc_id, CAST({_duck_simhash(16)} AS BIGINT) AS simhash FROM ids
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _aug_docs(spark, sf_dir), id_col="pid", threshold=0.35, max_id=60
+    ).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        "n_inter", "n_union", "jaccard",
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+    WITH aug AS ({AUG_SQL}),
+    ids AS (SELECT pid, {_DUCK_TOK_IDS} AS tok_ids FROM aug WHERE pid < 60),
+    sh AS (SELECT pid, list_sort(list_distinct({_DUCK_SHINGLES})) AS sh FROM ids),
+    pairs AS (
+        SELECT a.pid AS doc_a, b.pid AS doc_b,
+               len(list_intersect(a.sh, b.sh)) AS n_inter,
+               len(list_distinct(list_concat(a.sh, b.sh))) AS n_union
+        FROM sh a, sh b WHERE a.pid < b.pid
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           CAST(n_inter AS INT) AS n_inter, CAST(n_union AS INT) AS n_union,
+           round(n_inter / n_union, 6) AS jaccard
+    FROM pairs
+    WHERE n_union > 0 AND n_inter::DOUBLE / n_union >= 0.35
+"""
+
+
+DEDUP_QUERIES = {
+    "minhash_signature": (q_minhash_sig, MINHASH_SIG_SQL),
+    "minhash_lsh_pairs": (q_lsh_pairs, LSH_PAIRS_SQL),
+    "simhash16": (q_simhash, SIMHASH_SQL),
+    "ngram_jaccard_pairs": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
+}

@@ -1,0 +1,115 @@
+"""Raster↔vector coverage joins on the H3 grid (G16, per north rule).
+
+Media-bearing spans are opaque binary assets (media_ref) with no
+intrinsic coordinates; per the interleaved-document model their location
+is the geo span *nearest by offset* within the same document (the span
+sequence is order-significant). Tiling those onto the grid gives a
+raster layer; joining it against the vector layer (admin polygon cell
+covers) on cell id is the raster↔vector coverage join — cell-granular by
+construction, like any raster algebra.
+
+Not present in the reference (mimirsbrunn has no raster concept); the
+grid machinery reuses operators/pip.py's admin cell cover.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..tiles import _I_SHIFT, _RES_SHIFT, grid_cell_col
+
+
+def media_points(docs: DataFrame) -> DataFrame:
+    """(doc_id, media_ref, offset, lon, lat): each media span located at
+    its nearest-by-offset geo span in the same doc (ties → earlier span).
+    Docs with no geo span contribute nothing (un-locatable media)."""
+    s = F.col("s")
+    spans = docs.select("doc_id", F.explode("spans").alias("s"))
+    geo = (
+        spans.filter(s["kind"] == "geo")
+        .select(
+            "doc_id",
+            s["offset"].alias("geo_offset"),
+            F.split(s["text"], ";").getItem(0).try_cast("double").alias("lon"),
+            F.split(s["text"], ";").getItem(1).try_cast("double").alias("lat"),
+        )
+        .filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
+    )
+    media = spans.filter(s["kind"] == "media").select(
+        "doc_id", s["media_ref"].alias("media_ref"), s["offset"].alias("offset")
+    )
+    paired = media.join(geo, "doc_id")
+    w = Window.partitionBy("doc_id", "offset").orderBy(
+        F.abs(F.col("offset") - F.col("geo_offset")).asc(), F.col("geo_offset").asc()
+    )
+    return (
+        paired.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "media_ref", "offset", "lon", "lat")
+    )
+
+
+def media_grid(docs: DataFrame, res: int = 7) -> DataFrame:
+    """Raster layer: media assets per grid cell."""
+    return media_points(docs).select(
+        "doc_id", "media_ref", grid_cell_col("lon", "lat", res).alias("cell")
+    )
+
+
+def _ancestor_at(cell_col: F.Column, cov_res: int, res: int) -> F.Column:
+    """Grid-cell ancestor at a coarser resolution — pure integer math
+    (same layout as tiles.grid_parent_np), usable inside a join key."""
+    shift = res - cov_res
+    i = ((cell_col % F.lit(_RES_SHIFT)) / F.lit(_I_SHIFT)).cast("long")
+    j = (cell_col % F.lit(_I_SHIFT)).cast("long")
+    return (
+        F.lit(cov_res).cast("long") * F.lit(_RES_SHIFT)
+        + F.shiftright(i, shift) * F.lit(_I_SHIFT)
+        + F.shiftright(j, shift)
+    )
+
+
+def coverage_join(docs: DataFrame, admins: DataFrame, res: int = 7) -> DataFrame:
+    """Vector×raster coverage detail: (admin_id, cell, doc_id, media_ref).
+
+    The admin cover is multi-resolution (big polygons covered coarsely);
+    for each cover resolution present, the raster cell is reprojected to
+    that resolution via integer ancestor math and equi-joined — a union
+    of broadcast hash joins, no geometry evaluation."""
+    from .pip import admin_cell_cover
+
+    raster = media_grid(docs, res)
+    cover = admin_cell_cover(admins).select(
+        F.col("cell").alias("cov_cell"), F.col("id").alias("admin_id")
+    )
+    cov_res_levels = [
+        int(r["cres"])
+        for r in cover.select(
+            (F.col("cov_cell") / _RES_SHIFT).cast("long").alias("cres")
+        ).distinct().collect()
+    ]
+    parts = []
+    for cres in cov_res_levels:
+        sub = raster.withColumn("cov_cell", _ancestor_at(F.col("cell"), cres, res)).join(
+            F.broadcast(
+                cover.filter((F.col("cov_cell") / _RES_SHIFT).cast("long") == cres)
+            ),
+            "cov_cell",
+        )
+        parts.append(sub.select("admin_id", "cell", "doc_id", "media_ref"))
+    if not parts:
+        schema = "admin_id string, cell long, doc_id string, media_ref string"
+        return docs.sparkSession.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # multi-res covers can produce the same (admin, media) pair twice
+    return out.dropDuplicates(["admin_id", "cell", "doc_id", "media_ref"])
+
+
+def coverage_stats(docs: DataFrame, admins: DataFrame, res: int = 7) -> DataFrame:
+    """Per-admin media coverage rollup: n_media, n_cells."""
+    return coverage_join(docs, admins, res).groupBy("admin_id").agg(
+        F.count("*").alias("n_media"), F.countDistinct("cell").alias("n_cells")
+    )

@@ -1,0 +1,175 @@
+"""Deduplication & similarity operators for large-scale corpora.
+
+Not present in the reference (mimirsbrunn dedups streets by exact
+(name, city) keys only — /root/reference/src/osm_reader/street.rs:89-133);
+these are the training-data-pipeline operators a 100 TB corpus engine
+needs: exact dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard.
+
+Everything here is **pure Spark SQL expressions** (higher-order array
+functions over token arrays) — JVM-side, whole-stage-codegen, no Python
+in the hot path — and every hash is exact 64-bit integer arithmetic
+reproducible in DuckDB for the oracle gate (see gate_dedup.py).
+
+Hash design (cross-engine exact):
+- token id  = fold of first 7 ASCII bytes (acc*256 + byte) — < 2^56,
+  then mod P so downstream products fit in int64;
+- shingle3  = (t[i]*961 + t[i+1]*31 + t[i+2]) mod P;
+- minhash_j = min over shingles of (A_j*s + B_j) mod P  (P = 2^31-1);
+- LSH: bands of R consecutive signature slots hashed together; docs
+  sharing any (band_idx, band_hash) are candidate pairs — the classic
+  shingle→minhash→band→bucket-join, realized as explode + self-equi-join
+  (shuffle on band hash, which Spark distributes/AQE-skew-handles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+# seeded affine coefficients (deterministic, coprime-ish with P)
+MINHASH_A = [1103515245, 1299709, 104729, 7919, 50331653, 999331, 23456789, 777767777,
+             104395301, 15485863, 32452843, 49979687, 67867967, 86028121, 122949823, 141650939]
+MINHASH_B = [12345, 54321, 2468, 13579, 86420, 97531, 11111, 99999,
+             31337, 73331, 12421, 98765, 55555, 44444, 33333, 22222]
+
+
+def tokens_expr(text_col: str = "text") -> str:
+    """Lower-cased whitespace tokens, empties removed (SQL fragment)."""
+    return rf"filter(split(lower(trim({text_col})), '\\s+'), x -> x != '')"
+
+
+def token_ids_expr(text_col: str = "text") -> str:
+    """Array of exact token ids: 7-byte pack mod P."""
+    return (
+        f"transform({tokens_expr(text_col)},"
+        " tok -> aggregate(transform(sequence(1, least(length(tok), 7)),"
+        " i -> cast(ascii(substring(tok, i, 1)) as bigint)),"
+        f" 0L, (a, c) -> a * 256 + c) % {P})"
+    )
+
+
+def shingles_expr(ids_col: str = "tok_ids") -> str:
+    """3-shingle hashes from a token-id array column (empty if < 3)."""
+    return (
+        f"CASE WHEN size({ids_col}) >= 3 THEN"
+        f" transform(sequence(1, size({ids_col}) - 2),"
+        f" i -> (element_at({ids_col}, i) * 961"
+        f" + element_at({ids_col}, i + 1) * 31"
+        f" + element_at({ids_col}, i + 2)) % {P})"
+        " ELSE array() END"
+    )
+
+
+def minhash_expr(j: int, shingles_col: str = "shingles") -> str:
+    a, b = MINHASH_A[j], MINHASH_B[j]
+    return (
+        f"aggregate({shingles_col}, {P}L,"
+        f" (m, s) -> least(m, ({a}L * s + {b}L) % {P}))"
+    )
+
+
+def with_minhash_signature(df: DataFrame, text_col: str = "text", k: int = 16) -> DataFrame:
+    """Adds ``minhash`` array<long> of length k (and drops intermediates)."""
+    out = (
+        df.withColumn("tok_ids", F.expr(token_ids_expr(text_col)))
+        .withColumn("shingles", F.expr(shingles_expr()))
+        .withColumn("minhash", F.array(*[F.expr(minhash_expr(j)) for j in range(k)]))
+        .drop("tok_ids", "shingles")
+    )
+    return out
+
+
+def band_hash_expr(band: int, rows: int, sig_col: str = "minhash") -> str:
+    """Hash of one LSH band (``rows`` consecutive signature slots)."""
+    terms = " + ".join(
+        f"element_at({sig_col}, {band * rows + r + 1}) * {31 ** (rows - 1 - r)}"
+        for r in range(rows)
+    )
+    return f"({terms}) % {P}"
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 16, bands: int = 4,
+) -> DataFrame:
+    """shingle → minhash → band → bucket-join: candidate near-dup pairs.
+
+    Output: (doc_a, doc_b) distinct, doc_a < doc_b. The self-join shuffles
+    on (band, band_hash) — at corpus scale AQE skew-join splits hot
+    buckets (stop-word-heavy shingle profiles)."""
+    rows = k // bands
+    sig = with_minhash_signature(df.select(id_col, text_col), text_col, k)
+    buckets = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.expr(band_hash_expr(b, rows)).alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_expr(bits: int = 16, ids_col: str = "tok_ids") -> str:
+    """SimHash over token ids: bit j of the fingerprint is 1 iff more than
+    half the tokens have bit j set. Pure integer SQL."""
+    n = f"size({ids_col})"
+    terms = " + ".join(
+        f"(CASE WHEN 2 * aggregate({ids_col}, 0L,"
+        f" (acc, t) -> acc + ((t div {1 << j}) % 2)) > {n} THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"CASE WHEN {n} = 0 THEN 0 ELSE ({terms}) END"
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    return (
+        df.withColumn("tok_ids", F.expr(token_ids_expr(text_col)))
+        .withColumn("simhash", F.expr(simhash_expr(bits)).cast("long"))
+        .drop("tok_ids")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    threshold: float = 0.5, max_id: int | None = None,
+) -> DataFrame:
+    """Exact n-gram (3-shingle) Jaccard over all pairs of a bounded slice
+    (brute force — the verification step after LSH candidate generation).
+    Jaccard computed on distinct shingle sets via array_intersect/union
+    cardinalities; emitted as exact rational (inter, union) + rounded
+    ratio for engine-stable comparison."""
+    base = df.select(id_col, text_col)
+    if max_id is not None:
+        base = base.filter(F.col(id_col) < max_id)
+    sh = (
+        base.withColumn("tok_ids", F.expr(token_ids_expr(text_col)))
+        .withColumn("sh", F.array_sort(F.array_distinct(F.expr(shingles_expr()))))
+        .select(id_col, "sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            inter.alias("n_inter"),
+            union.alias("n_union"),
+        )
+        .filter(F.col("n_union") > 0)
+        .filter(F.col("n_inter").cast("double") / F.col("n_union") >= threshold)
+        .withColumn("jaccard", F.round(F.col("n_inter") / F.col("n_union"), 6))
+    )

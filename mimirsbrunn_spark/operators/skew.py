@@ -1,0 +1,108 @@
+"""Urban-core skew defense: hot-cell detection, salting, AQE conf.
+
+At planetary scale a handful of res-7 cells (city centers) hold orders
+of magnitude more points than the median cell — the reference never
+faces this (single-process R-tree), but any shuffle keyed on cell id
+would straggle (SURVEY §7 risk 3). Two complementary defenses:
+
+1. **AQE skew-join splitting** — enabled session-wide (session.py);
+   handles skew discovered at runtime for sort-merge joins.
+2. **Explicit cell splitting ("salting by resolution")** — hot cells
+   detected on a sample are re-keyed to their res+k children, cold cells
+   keep the coarse key. Deterministic, content-derived (no random salt),
+   so both join sides can compute the same salted key independently —
+   which a random salt cannot do for an equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..tiles import _I_SHIFT, _RES_SHIFT, grid_cell_col
+
+
+def detect_hot_cells(
+    points: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int = 7,
+    sample_fraction: float = 0.05,
+    hot_multiplier: float = 20.0,
+    min_sample_rows: int = 50_000,
+) -> list[int]:
+    """Cells whose (sampled) point count exceeds hot_multiplier × median.
+    One cheap aggregation over a sample; returns a small driver-side list
+    (broadcastable)."""
+    sample = points.sample(fraction=sample_fraction, seed=42)
+    counts = (
+        sample.select(grid_cell_col(lon_col, lat_col, res).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+    rows = counts.collect()
+    if not rows:
+        return []
+    ns = sorted(r["n"] for r in rows)
+    median = ns[len(ns) // 2]
+    threshold = max(median * hot_multiplier, 1.0)
+    return sorted(r["cell"] for r in rows if r["n"] > threshold)
+
+
+def salted_cell_col(
+    lon_col: str,
+    lat_col: str,
+    base_res: int,
+    hot_cells: list[int],
+    fine_res: int | None = None,
+) -> Column:
+    """Deterministic salted key: points in hot base-res cells are keyed at
+    fine_res (default base+2 → up to 16 subkeys per hot cell), others at
+    base_res. Both sides of an equi-join can apply this identically."""
+    if fine_res is None:
+        fine_res = base_res + 2
+    base = grid_cell_col(lon_col, lat_col, base_res)
+    fine = grid_cell_col(lon_col, lat_col, fine_res)
+    if not hot_cells:
+        return base.alias("salted_cell")
+    return F.when(base.isin(hot_cells), fine).otherwise(base).alias("salted_cell")
+
+
+def split_cells_to_children(cells: list[int], levels: int = 2) -> list[int]:
+    """Enumerate the res+levels children of the given cells (driver-side;
+    used to re-key the small/dimension side of a salted join)."""
+    out = []
+    for cell in cells:
+        res = cell // _RES_SHIFT
+        rem = cell - res * _RES_SHIFT
+        i = rem // _I_SHIFT
+        j = rem - i * _I_SHIFT
+        child_res = res + levels
+        base_i, base_j = i << levels, j << levels
+        for di in range(1 << levels):
+            for dj in range(1 << levels):
+                out.append(child_res * _RES_SHIFT + (base_i + di) * _I_SHIFT + (base_j + dj))
+    return out
+
+
+def skew_report(points: DataFrame, lon_col: str = "lon", lat_col: str = "lat", res: int = 7) -> dict:
+    """Max/median cell occupancy — the straggler-bound metric BENCH
+    reports (BASELINE.md asks for partition/skew stats)."""
+    counts = (
+        points.select(grid_cell_col(lon_col, lat_col, res).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.max("n").alias("max_cell"),
+            F.expr("percentile_approx(n, 0.5)").alias("median_cell"),
+            F.count("*").alias("n_cells"),
+        )
+        .collect()[0]
+    )
+    return {
+        "res": res,
+        "n_cells": counts["n_cells"],
+        "max_cell": counts["max_cell"],
+        "median_cell": counts["median_cell"],
+        "skew_ratio": round(counts["max_cell"] / max(counts["median_cell"], 1), 1),
+    }

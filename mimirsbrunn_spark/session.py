@@ -49,7 +49,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # NOTE: keep the local heap moderate — empirically a 48g heap makes
+        # local[32] *slower* than local[8] on this box (GC/alloc overhead on
+        # allocation-heavy explode workloads); 12g is ample for our
+        # broadcasts and leaves RAM to the OS page cache.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )

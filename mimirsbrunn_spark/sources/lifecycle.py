@@ -1,0 +1,76 @@
+"""Table lifecycle: create → insert → atomic publish, and partial update.
+
+Mirrors the reference's index lifecycle (SURVEY §2.1 S9/S10):
+
+- ``publish_table`` = the timestamped-index + alias-swap protocol
+  (configuration.rs:45-73, storage.rs:129-205): data lands in a
+  timestamped generation directory; a ``_CURRENT`` pointer file is
+  swapped atomically (os.replace) to the new generation; previous
+  generations are pruned — exactly the munin alias dance, on parquet.
+  With an Iceberg catalog present this maps to a snapshot commit; the
+  jar is absent in this image so the directory backend is default.
+- ``merge_update`` = the partial-update bulk (storage.rs:99-126,
+  update.rs:11-39): Iceberg MERGE INTO emulated as anti-join + union.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def publish_table(df: DataFrame, base_dir: str, name: str, keep_generations: int = 2) -> str:
+    """Write df as a new generation of ``{base_dir}/{name}`` and atomically
+    repoint ``_CURRENT``. Returns the generation path."""
+    root = Path(base_dir) / name
+    root.mkdir(parents=True, exist_ok=True)
+    ts = time.strftime("%Y%m%d_%H%M%S") + f"_{int(time.time_ns() % 1_000_000):06d}"
+    gen_dir = root / f"gen_{ts}"
+    df.write.mode("overwrite").parquet(str(gen_dir))
+
+    pointer_tmp = root / f"_CURRENT.tmp_{ts}"
+    pointer_tmp.write_text(json.dumps({"generation": gen_dir.name, "published_at": time.time()}))
+    os.replace(pointer_tmp, root / "_CURRENT")  # atomic swap (the alias dance)
+
+    # prune old generations (reference deletes previous indices at publish)
+    gens = sorted(d for d in root.iterdir() if d.is_dir() and d.name.startswith("gen_"))
+    for old in gens[:-keep_generations]:
+        shutil.rmtree(old, ignore_errors=True)
+    return str(gen_dir)
+
+
+def read_published(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
+    """Read whatever generation ``_CURRENT`` points at — the Iceberg-
+    snapshot-as-PIT property (SURVEY S7): a concurrent publish never
+    mutates the generation a reader already resolved."""
+    root = Path(base_dir) / name
+    pointer = json.loads((root / "_CURRENT").read_text())
+    return spark.read.parquet(str(root / pointer["generation"]))
+
+
+def merge_update(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE semantics (update-by-id partial documents): rows in ``updates``
+    replace same-key rows in ``target`` column-wise (non-null update
+    columns win), other rows pass through."""
+    upd_cols = [c for c in updates.columns if c != key]
+    joined = target.alias("t").join(updates.alias("u"), key, "left")
+    merged = joined.select(
+        F.col(key),
+        *[
+            F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+            if c in upd_cols
+            else F.col(f"t.{c}").alias(c)
+            for c in target.columns
+            if c != key
+        ],
+    )
+    inserts = updates.join(target.select(key), key, "left_anti")
+    if set(updates.columns) == set(target.columns):
+        return merged.unionByName(inserts)
+    return merged
