@@ -1,0 +1,86 @@
+"""Production job: index an interleaved-document corpus.
+
+Run: spark-submit --py-files mimirsbrunn_spark.zip jobs/index_corpus.py \
+        --docs <parquet/iceberg path> --admins <path> --out <dir> [--resume]
+
+The cosmogony2mimir + bano2mimir shape (SURVEY §3) over the interleaved
+corpus: every stage goes through plans.checkpoint.run_stage, so a killed
+run resumes past completed stages (north rule), and each stage leaves a
+lineage/metrics record. Stage outputs publish atomically via the
+generation/pointer protocol.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True)
+    ap.add_argument("--admins", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--res", type=int, nargs="+", default=[7, 8, 9, 10, 11, 12])
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from mimirsbrunn_spark.operators.coverage import coverage_stats
+    from mimirsbrunn_spark.operators.pip import attach_admins
+    from mimirsbrunn_spark.operators.skew import skew_report
+    from mimirsbrunn_spark.operators.spans import extract_geo_points, span_invariant_violations
+    from mimirsbrunn_spark.plans import run_stage
+    from mimirsbrunn_spark.session import get_spark
+    from mimirsbrunn_spark.sources import publish_table
+    from mimirsbrunn_spark.tiles import s2_cell_pandas_udf, with_grid_cells
+
+    spark = get_spark(app_name="index_corpus", cpus=args.cpus)
+    docs = spark.read.parquet(args.docs)
+    admins = spark.read.parquet(args.admins)
+    ckpt = str(Path(args.out) / "_checkpoints")
+
+    points = run_stage(
+        spark, ckpt, "extract_points", [args.docs],
+        lambda: with_grid_cells(extract_geo_points(docs), "lon", "lat", args.res).withColumn(
+            "s2_cell", s2_cell_pandas_udf(16)(F.col("lon"), F.col("lat"))
+        ),
+    )
+
+    attached = run_stage(
+        spark, ckpt, "attach_admins", [args.docs, args.admins],
+        lambda: attach_admins(
+            points.withColumn("point_uid", F.concat_ws("#", "doc_id", "span_offset")),
+            admins, strategy="broadcast",
+        ),
+    )
+
+    cov = run_stage(
+        spark, ckpt, "coverage", [args.docs, args.admins],
+        lambda: coverage_stats(docs, admins, res=args.res[0]),
+    )
+
+    # invariant gate before publish (north rule: span sequence preserved)
+    violations = span_invariant_violations(docs, spark.read.parquet(args.docs))
+    if violations:
+        raise SystemExit(f"span-sequence invariant violated for {violations} docs; aborting publish")
+
+    publish_table(attached, args.out, "points_indexed")
+    publish_table(cov, args.out, "coverage")
+    report = {
+        "points": attached.count(),
+        "coverage_admins": cov.count(),
+        "skew": skew_report(points),
+        "invariant_violations": violations,
+    }
+    (Path(args.out) / "run_report.json").write_text(json.dumps(report, indent=1))
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -95,24 +95,37 @@ def _rect_ring(x0, y0, w, h):
 
 
 def rect_admins_df(spark: SparkSession) -> DataFrame:
-    """The gate's admin dimension as real WKB polygons (548 admins)."""
+    """The gate's admin dimension as real WKB polygons (548 admins),
+    carrying enrichment columns (name/level/zips/weight) with closed-form
+    values so enrichment gate queries have exact SQL oracles:
+
+    - city (i,j): name ``city i_j``, weight ((i*16+j)%100)/200, zips
+      ``[str(20000+i*16+j)]`` unless (i+j)%3==0 (then empty → the A1 fold
+      must fall back to the state's zips);
+    - state (i,j): name ``state i_j``, weight 0.6, zips [str(30000+i*4+j)];
+    - country: weight 0.9, no zips."""
     rows = []
     for i in range(2):
         for j in range(2):
-            rows.append((f"adm:c:{i}:{j}", "country", None,
+            rows.append((f"adm:c:{i}:{j}", f"country {i}_{j}", 2, "country", None, [], 0.9,
                          mp_to_wkb([[_rect_ring(-180 + i * 180.0, -90 + j * 90.0, 180.0, 90.0)]])))
     for i in range(8):
         for j in range(4):
             parent = f"adm:c:{i // 4}:{j // 2}"
-            rows.append((f"adm:s:{i}:{j}", "state", parent,
+            rows.append((f"adm:s:{i}:{j}", f"state {i}_{j}", 4, "state", parent,
+                         [str(30000 + i * 4 + j)], 0.6,
                          mp_to_wkb([[_rect_ring(-180 + i * 45.0, -90 + j * 45.0, 45.0, 45.0)]])))
     for i in range(32):
         for j in range(16):
             parent = f"adm:s:{i // 4}:{j // 4}"
-            rows.append((f"adm:t:{i}:{j}", "city", parent,
+            zips = [] if (i + j) % 3 == 0 else [str(20000 + i * 16 + j)]
+            weight = ((i * 16 + j) % 100) / 200.0
+            rows.append((f"adm:t:{i}:{j}", f"city {i}_{j}", 8, "city", parent, zips, weight,
                          mp_to_wkb([[_rect_ring(-180 + i * _CITY_W, -90 + j * _CITY_H, _CITY_W, _CITY_H)]])))
     return spark.createDataFrame(
-        rows, schema="id string, zone_type string, parent_id string, boundary_wkb binary"
+        rows,
+        schema="id string, name string, level int, zone_type string, parent_id string, "
+        "zip_codes array<string>, weight double, boundary_wkb binary",
     )
 
 
@@ -464,5 +477,7 @@ QUERIES = {
 }
 
 from .gate_dedup import DEDUP_QUERIES  # noqa: E402
+from .gate_places import PLACES_QUERIES  # noqa: E402
 
 QUERIES.update(DEDUP_QUERIES)
+QUERIES.update(PLACES_QUERIES)

@@ -1,0 +1,280 @@
+"""Gate queries + DuckDB oracles for enrichment, streets, stops, ANN.
+
+All geo inputs derive from driver tables (orders/customer/nation) via
+exact integer arithmetic; the rect admin hierarchy's enrichment columns
+(gate.rect_admins_df) are closed-form, so every expected label / zip /
+weight is computable in SQL by floor division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .gate import (
+    POINTS_FROM_ORDERS_SQL,
+    _CITY_H,
+    _CITY_W,
+    points_from_orders,
+    rect_admins_df,
+)
+
+# closed-form admin attributes by floor-div indices (must mirror rect_admins_df)
+_IDX_SQL = f"""
+        SELECT point_id, lon, lat,
+               CAST(floor((lon + 180.0) / {_CITY_W}) AS INT) AS ti,
+               CAST(floor((lat + 90.0) / {_CITY_H}) AS INT) AS tj
+        FROM pts
+"""
+_CITY_ZIPS = "(CASE WHEN (ti + tj) % 3 = 0 THEN NULL ELSE CAST(20000 + ti * 16 + tj AS VARCHAR) END)"
+_STATE_ZIP = "CAST(30000 + (ti // 4) * 4 + (tj // 4) AS VARCHAR)"
+_CITY_W8 = "(((ti * 16 + tj) % 100) / 200.0)"
+
+
+# ---------------------------------------------------------------------------
+# address enrichment (bano path through real operators)
+# ---------------------------------------------------------------------------
+
+
+def q_addr_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """points → attach → resolve admin structs → enrich: name/label (C1/
+    C3), zip fold (A1 + C5 own-zip precedence), weight (A4)."""
+    from .operators.enrich import attach_admin_structs, enrich_addresses
+    from .operators.pip import attach_admins
+
+    admins = rect_admins_df(spark)
+    pts = points_from_orders(spark, sf_dir).select(
+        "point_id", "lon", "lat",
+        (F.col("point_id") % 200 + 1).cast("string").alias("house_number"),
+        F.concat(F.lit("Street "), (F.col("point_id") % 50).cast("string")).alias("street"),
+        # every 7th row carries its own zip list (takes precedence over A1)
+        F.when(F.col("point_id") % 7 == 0, F.lit("99001;99002")).otherwise(F.lit("")).alias("zip"),
+        F.format_string("%011d", F.col("point_id")).alias("id"),
+    )
+    out = enrich_addresses(
+        attach_admin_structs(attach_admins(pts, admins, strategy="broadcast"), admins)
+    )
+    return out.select(
+        "point_id", "name", "label",
+        F.concat_ws(",", "zip_codes").alias("zips"),
+        F.round("weight", 6).alias("weight"),
+        "insee",
+    )
+
+
+ADDR_ENRICH_SQL = f"""
+    WITH pts AS ({POINTS_FROM_ORDERS_SQL}),
+    idx AS ({_IDX_SQL}),
+    base AS (
+        SELECT point_id, ti, tj,
+               CAST(point_id % 200 + 1 AS VARCHAR) || ' Street ' || CAST(point_id % 50 AS VARCHAR) AS name,
+               'city ' || ti || '_' || tj AS city_name,
+               {_CITY_ZIPS} AS city_zip,
+               {_STATE_ZIP} AS state_zip,
+               {_CITY_W8} AS weight,
+               (CASE WHEN point_id % 7 = 0 THEN '99001,99002' ELSE NULL END) AS own_zips,
+               format('{{:011d}}', point_id) AS idstr
+        FROM idx
+    )
+    SELECT point_id, name,
+           name || ' (' || city_name || ')' AS label,
+           coalesce(own_zips, city_zip, state_zip) AS zips,
+           round(weight, 6) AS weight,
+           regexp_replace(substr(idstr, 1, 5), '^0+', '') AS insee
+    FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# streets pipeline (F1 + G10 + G6 + W1 through real operators)
+# ---------------------------------------------------------------------------
+
+
+def q_streets_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ways with 3 nodes (middle = base point); colliding names force
+    (name, city) dedup with min-osm-id-wins; every 13th way is an
+    excluded bus_stop (F1)."""
+    from .operators.places import streets_pipeline
+
+    pts = points_from_orders(spark, sf_dir)
+    raw = pts.select(
+        F.col("point_id").cast("long").alias("osm_id"),
+        F.lit("way").alias("kind"),
+        F.concat(F.lit("S"), (F.col("point_id") % 300).cast("string")).alias("name"),
+        F.when(F.col("point_id") % 13 == 0, F.lit("bus_stop")).otherwise(F.lit("residential")).alias("highway"),
+        F.lit(None).cast("string").alias("public_transport"),
+        F.array(
+            F.struct((F.col("lon") - 1e-4).alias("lon"), F.col("lat").alias("lat")),
+            F.struct(F.col("lon").alias("lon"), F.col("lat").alias("lat")),
+            F.struct((F.col("lon") + 1e-4).alias("lon"), F.col("lat").alias("lat")),
+        ).alias("node_points"),
+    )
+    admins = rect_admins_df(spark)
+    out = streets_pipeline(raw, admins)
+    return out.select(
+        "street_id", "name", "city_id",
+        F.size("branch_admin_ids").alias("n_admins"),
+    )
+
+
+STREETS_DEDUP_SQL = f"""
+    WITH pts AS ({POINTS_FROM_ORDERS_SQL}),
+    idx AS ({_IDX_SQL}),
+    valid AS (
+        SELECT point_id, ti, tj, 'S' || CAST(point_id % 300 AS VARCHAR) AS name,
+               'adm:t:' || ti || ':' || tj AS city_id
+        FROM idx WHERE point_id % 13 != 0
+    ),
+    dedup AS (
+        SELECT name, city_id, min(point_id) AS osm_id
+        FROM valid GROUP BY name, city_id
+    )
+    SELECT 'street:osm:way:' || CAST(osm_id AS VARCHAR) AS street_id,
+           name, city_id, 3 AS n_admins
+    FROM dedup
+"""
+
+
+# ---------------------------------------------------------------------------
+# stop weights (A6/A7/J7 through stops_pipeline)
+# ---------------------------------------------------------------------------
+
+_MODES = ["Bus", "Tramway", "Metro", "RapidTransit", "Ferry"]
+_MODE_W = {"Bus": 1.0, "Tramway": 2.0, "Metro": 5.0, "RapidTransit": 10.0, "Ferry": 3.0}
+
+
+def q_stop_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.places import stops_pipeline
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey").cast("long")
+    base = c.select(
+        F.col("c_custkey").alias("ck"),
+        ((k * 48271) % 360_000_000 / 1_000_000.0 - 180.0).alias("lon"),
+        ((k * 16807 + 3) % 180_000_000 / 1_000_000.0 - 90.0).alias("lat"),
+    )
+    raw = base.select(
+        F.concat(F.lit("SA:"), F.col("ck").cast("string")).alias("stop_area_id"),
+        F.concat(F.lit("stop "), F.col("ck").cast("string")).alias("name"),
+        "lon", "lat",
+        F.transform(
+            F.sequence(F.lit(1), (F.col("ck") % 7 + 1).cast("int")),
+            lambda i: F.concat(F.lit("sp:"), i.cast("string")),
+        ).alias("stop_point_ids"),
+        F.array(
+            F.element_at(
+                F.array(*[F.lit(m) for m in _MODES]), (F.col("ck") % 5 + 1).cast("int")
+            )
+        ).alias("physical_modes"),
+    )
+    out = stops_pipeline(raw, rect_admins_df(spark))
+    return out.select(
+        "stop_area_id",
+        "n_stop_points",
+        F.round("mode_weight", 6).alias("mode_weight"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+_MODE_CASE = "CASE ck % 5 WHEN 0 THEN 1.0 WHEN 1 THEN 2.0 WHEN 2 THEN 5.0 WHEN 3 THEN 10.0 ELSE 3.0 END"
+
+STOP_WEIGHTS_SQL = f"""
+    WITH base AS (
+        SELECT c_custkey AS ck,
+               (CAST(c_custkey AS BIGINT) * 48271) % 360000000 / 1000000.0 - 180.0 AS lon,
+               (CAST(c_custkey AS BIGINT) * 16807 + 3) % 180000000 / 1000000.0 - 90.0 AS lat
+        FROM customer
+    ),
+    pts AS (
+        SELECT ck, lon, lat, ck % 7 + 1 AS n_sp, {_MODE_CASE} AS mode_sum,
+               CAST(floor((lon + 180.0) / {_CITY_W}) AS INT) AS ti,
+               CAST(floor((lat + 90.0) / {_CITY_H}) AS INT) AS tj
+        FROM base
+    ),
+    mx AS (SELECT max(mode_sum) AS max_mode FROM pts)
+    SELECT 'SA:' || CAST(ck AS VARCHAR) AS stop_area_id,
+           n_sp AS n_stop_points,
+           round(mode_sum / max_mode, 6) AS mode_weight,
+           round((mode_sum / max_mode + {_CITY_W8}) / 2.0, 6) AS weight
+    FROM pts, mx
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN (LSH-bucketed cosine top-k through operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_lsh_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=3, bits=6, tables=4, dim=64
+    ).select("query_vec", "neighbor_vec", "cosine", F.col("rank").cast("int").alias("rank"))
+
+
+def _duck_hp(t: int, b: int) -> str:
+    x = f"({t} * 1009 + {b} * 101 + i)"
+    return f"(((1103515245::BIGINT * {x} + 12345) % 2147483647) / 2147483647.0 - 0.5)"
+
+
+def _duck_sig(t: int, bits: int = 6) -> str:
+    terms = []
+    for b in range(bits):
+        dot = (
+            "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0, 64),"
+            f" i -> embedding[i + 1]::DOUBLE * {_duck_hp(t, b)})), (a, v) -> a + v)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_sql(bits: int = 6, tables: int = 4) -> str:
+    sig_rows = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS lsh_table, {_duck_sig(t, bits)} AS sig FROM embeddings"
+        for t in range(tables)
+    )
+    dot = (
+        "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),"
+        " i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), (x, y) -> x + y)"
+    )
+    norm = (
+        "sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),"
+        " i -> {s}.embedding[i]::DOUBLE * {s}.embedding[i]::DOUBLE)), (x, y) -> x + y))"
+    )
+    return f"""
+    WITH sigs AS ({sig_rows}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS query_vec, b.vec_id AS neighbor_vec,
+               a.embedding AS qe, b.embedding AS ce
+        FROM sigs a JOIN sigs b USING (lsh_table, sig)
+        WHERE a.vec_id < 20 AND a.vec_id != b.vec_id
+    ),
+    scored AS (
+        SELECT query_vec, neighbor_vec,
+               round(
+                 list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+                   i -> qe[i]::DOUBLE * ce[i]::DOUBLE)), (x, y) -> x + y)
+                 / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+                      i -> qe[i]::DOUBLE * qe[i]::DOUBLE)), (x, y) -> x + y))
+                    * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+                      i -> ce[i]::DOUBLE * ce[i]::DOUBLE)), (x, y) -> x + y))), 6) AS cosine
+        FROM cand
+    ),
+    ranked AS (
+        SELECT query_vec, neighbor_vec, cosine,
+               row_number() OVER (PARTITION BY query_vec ORDER BY cosine DESC, neighbor_vec ASC) AS rank
+        FROM scored
+    )
+    SELECT query_vec, neighbor_vec, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """
+
+
+PLACES_QUERIES = {
+    "addr_enrich": (q_addr_enrich, ADDR_ENRICH_SQL),
+    "streets_dedup": (q_streets_dedup, STREETS_DEDUP_SQL),
+    "stop_weights": (q_stop_weights, STOP_WEIGHTS_SQL),
+    "ann_lsh_topk": (q_ann_lsh, _ann_sql()),
+}

@@ -92,39 +92,50 @@ def refine_batch(finder: AdminGeoFinder, lon: np.ndarray, lat: np.ndarray) -> li
         mask = points_in_multipolygon(lon[pts], lat[pts], mp)
         contains_by_admin[aid] = pts[mask]
 
-    # per-point candidate lists in pinned (zone_rank, id) order
-    cands_per_point: list[list[str]] = [[] for _ in range(n)]
-    for aid, pts in cand_by_admin.items():
-        for p in pts:
-            cands_per_point[p].append(aid)
-    contains_sets = {aid: set(pts.tolist()) for aid, pts in contains_by_admin.items()}
-
     by_id = finder.by_id
+
+    # Build per-point candidate lists already in pinned (zone_rank, id)
+    # order by iterating admins in that global order — no per-point sort.
+    # Each entry carries its precomputed contains flag.
+    admin_order = sorted(cand_by_admin, key=lambda a: (zone_rank(by_id[a].zone_type), a))
+    cands_per_point: list[list[tuple[str, bool]]] = [[] for _ in range(n)]
+    for aid in admin_order:
+        cset = set(contains_by_admin[aid].tolist())
+        for p in cand_by_admin[aid]:
+            cands_per_point[p].append((aid, p in cset))
+
+    # Points sharing (candidates, contains-flags) get identical results —
+    # memoize the dedup loop by that signature (clustered corpora hit the
+    # memo for the vast majority of points).
+    memo: dict[tuple, list[str]] = {}
     results: list[list[str]] = []
     for p in range(n):
-        cands = sorted(cands_per_point[p], key=lambda a: (zone_rank(by_id[a].zone_type), a))
-        tested_hierarchy: set[str] = set()
-        added_zone_types: set[str] = set()
-        res: list[str] = []
-        for aid in cands:
-            rec = by_id[aid]
-            if aid in tested_hierarchy:
-                res.append(aid)
-            elif rec.zone_type is not None and rec.zone_type in added_zone_types:
-                pass
-            elif p in contains_sets.get(aid, ()):
-                if rec.zone_type is not None:
-                    added_zone_types.add(rec.zone_type)
-                parent_id = rec.parent_id
-                while parent_id is not None:
-                    parent = by_id.get(parent_id)
-                    if parent is not None and parent.zone_type is not None:
-                        added_zone_types.add(parent.zone_type)
-                    if parent_id in tested_hierarchy:
-                        break
-                    tested_hierarchy.add(parent_id)
-                    parent_id = parent.parent_id if parent is not None else None
-                res.append(aid)
+        key = tuple(cands_per_point[p])
+        res = memo.get(key)
+        if res is None:
+            tested_hierarchy: set[str] = set()
+            added_zone_types: set[str] = set()
+            res = []
+            for aid, contained in key:
+                rec = by_id[aid]
+                if aid in tested_hierarchy:
+                    res.append(aid)
+                elif rec.zone_type is not None and rec.zone_type in added_zone_types:
+                    pass
+                elif contained:
+                    if rec.zone_type is not None:
+                        added_zone_types.add(rec.zone_type)
+                    parent_id = rec.parent_id
+                    while parent_id is not None:
+                        parent = by_id.get(parent_id)
+                        if parent is not None and parent.zone_type is not None:
+                            added_zone_types.add(parent.zone_type)
+                        if parent_id in tested_hierarchy:
+                            break
+                        tested_hierarchy.add(parent_id)
+                        parent_id = parent.parent_id if parent is not None else None
+                    res.append(aid)
+            memo[key] = res
         results.append(res)
     return results
 

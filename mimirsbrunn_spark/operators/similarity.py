@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns: brute-force + LSH-bucketed ANN.
+
+- ``cosine_topk``: exact brute force — the correctness baseline. Dot
+  products as sequential folds over zip_with (JVM, engine-exact for the
+  DuckDB oracle); quadratic, fine for ≤10^4 queries × corpus shards.
+- ``ann_lsh_topk``: the scale path — random-hyperplane LSH: each vector
+  gets a b-bit signature (sign of dot with b fixed pseudo-random
+  hyperplanes); candidates are vectors sharing a signature in any of
+  ``tables`` independent tables; exact cosine re-rank inside buckets.
+  Hyperplanes are generated from a seeded integer recurrence, so the
+  oracle can reproduce them exactly in SQL. Bucket join = shuffle on
+  (table, signature) — Catalyst/AQE territory, no Python.
+- An IVF variant (k-means coarse quantizer) would need iterative
+  training; LSH gives the same bucket-join plan shape without training
+  state, which is why it's the scale path here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# deterministic pseudo-random hyperplane component for (table t, bit b, dim i):
+# lcg(t, b, i) = ((a*(t*1009 + b*101 + i) + c) mod m) / m - 0.5, exact in SQL
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2_147_483_647
+
+
+def _hyperplane_component_sql(t: int, b: int, i_expr: str) -> str:
+    x = f"({t} * 1009 + {b} * 101 + {i_expr})"
+    return (
+        f"(((CAST({_LCG_A} AS BIGINT) * {x} + {_LCG_C}) % {_LCG_M})"
+        f" / {float(_LCG_M)} - 0.5)"
+    )
+
+
+def _dot_fold(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm_fold(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)),"
+        " 0D, (acc, v) -> acc + v))"
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_vec, neighbor_vec, cosine, rank)."""
+    a = queries.alias("a")
+    b = corpus.alias("b")
+    cos = F.round(
+        F.expr(_dot_fold(f"a.{vec_col}", f"b.{vec_col}"))
+        / (F.expr(_norm_fold(f"a.{vec_col}")) * F.expr(_norm_fold(f"b.{vec_col}"))),
+        6,
+    )
+    pairs = a.join(b, F.col(f"a.{id_col}") != F.col(f"b.{id_col}")).select(
+        F.col(f"a.{id_col}").alias("query_vec"),
+        F.col(f"b.{id_col}").alias("neighbor_vec"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("query_vec").orderBy(F.col("cosine").desc(), F.col("neighbor_vec").asc())
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def signature_expr(vec_col: str, table: int, bits: int, dim: int) -> str:
+    """b-bit hyperplane signature of a vector as an integer (SQL string
+    usable verbatim in Spark and DuckDB-with-adaptation)."""
+    terms = []
+    for b in range(bits):
+        dot = (
+            f"aggregate(zip_with({vec_col}, transform(sequence(0, {dim - 1}),"
+            f" i -> {_hyperplane_component_sql(table, b, 'i')}),"
+            " (x, h) -> cast(x as double) * h), 0D, (acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    bits: int = 8,
+    tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: union of per-table signature buckets, exact
+    re-rank inside the candidate set. Recall grows with ``tables``."""
+    def bucketize(df, side):
+        parts = []
+        for t in range(tables):
+            parts.append(
+                df.select(
+                    F.col(id_col), F.col(vec_col),
+                    F.lit(t).alias("lsh_table"),
+                    F.expr(signature_expr(vec_col, t, bits, dim)).alias("sig"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    qb = bucketize(queries, "q").alias("a")
+    cb = bucketize(corpus, "c").alias("b")
+    cand = (
+        qb.join(cb, ["lsh_table", "sig"])
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("query_vec"),
+            F.col(f"b.{id_col}").alias("neighbor_vec"),
+            F.col(f"a.{vec_col}").alias("qv"),
+            F.col(f"b.{vec_col}").alias("cv"),
+        )
+        .dropDuplicates(["query_vec", "neighbor_vec"])
+    )
+    cos = F.round(
+        F.expr(_dot_fold("qv", "cv")) / (F.expr(_norm_fold("qv")) * F.expr(_norm_fold("cv"))), 6
+    )
+    w = Window.partitionBy("query_vec").orderBy(F.col("cosine").desc(), F.col("neighbor_vec").asc())
+    return (
+        cand.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_vec", "neighbor_vec", "cosine", "rank")
+    )
