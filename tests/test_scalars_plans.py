@@ -1,0 +1,115 @@
+"""Scalar functions (C2/C7/C8/C9/A3/W4) + physical-plan shape assertions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mimirsbrunn_spark.functions import scalars as S
+
+
+def test_codes_from_tags(spark):
+    df = spark.createDataFrame(
+        [({"ISO3166-1:alpha2": "FR", "ref:INSEE": "75056", "wikidata": "Q90", "name": "Paris"},)],
+        "tags map<string,string>",
+    )
+    got = df.select(S.codes_from_tags("tags").alias("c")).collect()[0]["c"]
+    assert got == {"ISO3166-1:alpha2": "FR", "ref:INSEE": "75056", "wikidata": "Q90"}
+    cc = df.select(S.country_code_from_codes(S.codes_from_tags("tags")).alias("cc")).collect()[0]["cc"]
+    assert cc == "fr"
+
+
+def test_i18n_names_from_tags(spark):
+    df = spark.createDataFrame(
+        [({"name": "Paris", "name:ru": "Париж", "name:ja": "パリ", "name:xx": "nope"},)],
+        "tags map<string,string>",
+    )
+    got = df.select(S.i18n_names_from_tags("tags", ["ru", "ja"]).alias("n")).collect()[0]["n"]
+    assert got == {"ru": "Париж", "ja": "パリ"}
+
+
+def test_i18n_labels_skips_default(spark):
+    df = spark.createDataFrame(
+        [("Tour Eiffel", {"ru": "Эйфелева башня"}, {"ru": "Париж", "ja": "パリ"})],
+        "name string, names map<string,string>, city_names map<string,string>",
+    )
+    got = df.select(S.i18n_labels("name", "names", "city_names", ["ru", "ja"]).alias("l")).collect()[0]["l"]
+    assert got["ru"] == "Эйфелева башня (Париж)"
+    assert got["ja"] == "Tour Eiffel (パリ)"
+
+
+def test_population_weight(spark):
+    df = spark.createDataFrame(
+        [({"population": "2148000"}, {}), ({}, {"population": "500"}), ({"population": "n/a"}, {})],
+        "tags map<string,string>, center_tags map<string,string>",
+    )
+    got = [r["w"] for r in df.select(S.population_weight("tags", "center_tags").alias("w")).collect()]
+    assert got == [2148000.0, 500.0, 0.0]
+
+
+def test_human_sort_and_line_order(spark):
+    df = spark.createDataFrame([("A2",), ("A10",), ("B1",), ("2",), ("10",)], "s string")
+    keys = {r["s"]: r["k"] for r in df.select("s", S.human_sort_key("s").alias("k")).collect()}
+    assert keys["2"] < keys["10"]
+    assert keys["A2"] < keys["A10"] < keys["B1"]
+
+    lines = [([
+        {"sort_order": None, "code": "10", "name": "z"},
+        {"sort_order": None, "code": "2", "name": "a"},
+        {"sort_order": 1, "code": "99", "name": "m"},
+    ],)]
+    ldf = spark.createDataFrame(lines, "lines array<struct<sort_order:int,code:string,name:string>>")
+    out = ldf.select(S.sort_lines("lines").alias("o")).collect()[0]["o"]
+    assert [l["code"] for l in out] == ["99", "2", "10"]  # sort_order first, then human(code)
+
+
+# ---------------------------------------------------------------------------
+# physical plan shape — the Catalyst guarantees we rely on at 100 TB
+# ---------------------------------------------------------------------------
+
+
+def test_parquet_pushdown_and_pruning(spark):
+    df = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    plan = (
+        df.filter(F.col("o_orderkey") < 100)
+        .select("o_orderkey", "o_totalprice")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)" in plan
+    # column pruning: the scan schema carries only the two selected columns
+    assert "o_comment" not in plan
+
+
+def test_knn_join_is_broadcast_no_python(spark):
+    from mimirsbrunn_spark.gate import points_from_nation, points_from_orders
+    from mimirsbrunn_spark.operators.knn import reverse_geocode
+
+    q = points_from_nation(spark, "/root/testdata/sf0.01")
+    t = points_from_orders(spark, "/root/testdata/sf0.01").withColumnRenamed("point_id", "target_id")
+    plan = reverse_geocode(q, t, k=3, radius_m=2e6, res=0)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the huge target side stays JVM: no Python eval below the join
+    target_side = plan.split("BroadcastHashJoin")[0]
+    assert "BatchEvalPython" not in target_side and "ArrowEvalPython" not in target_side
+
+
+def test_flagship_has_single_shuffle_at_rollup(spark, fixtures_dir):
+    from mimirsbrunn_spark.operators.pip import attach_admins
+    from mimirsbrunn_spark.operators.spans import extract_geo_points
+    from mimirsbrunn_spark.tiles import with_grid_cells
+
+    docs = spark.read.parquet(f"{fixtures_dir}/docs.parquet")
+    admins = spark.read.parquet(f"{fixtures_dir}/admins.parquet")
+    pts = with_grid_cells(extract_geo_points(docs), "lon", "lat").select("h3_7", "lon", "lat")
+    att = attach_admins(pts, admins, strategy="broadcast")
+    rollup = att.select("h3_7", F.try_element_at("admin_ids", F.lit(1)).alias("a")).groupBy("a").count()
+    rollup.collect()  # finalize the AQE plan (codegen visible post-execution)
+    plan = rollup._jdf.queryExecution().executedPlan().toString()
+    # map-side join: exactly ONE shuffle stage (the final rollup), zero joins
+    # (AQE prints the initial plan too, so count materialized shuffle stages)
+    assert plan.count("ShuffleQueryStage") == 1
+    assert "Join" not in plan
+    # extraction/tiling runs inside whole-stage codegen ("*(n)" node prefix)
+    assert "*(" in plan
+    # column pruning reached the scan: only spans is read
+    assert "ReadSchema: struct<spans:array" in plan
