@@ -147,6 +147,22 @@ def main() -> None:
 
     timed("q5_dedup_exact", q5)
 
+    # q6 — MinHash+LSH near-dup candidate generation (shingle→minhash→
+    # band→bucket-join) over the documents table + truncated mutants
+    def q6():
+        from mimirsbrunn_spark.operators.dedup import lsh_candidate_pairs
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        aug = d.select((F.col("doc_id") * 2).alias("pid"), "text").unionByName(
+            d.select(
+                (F.col("doc_id") * 2 + 1).alias("pid"),
+                F.expr("substring(text, 1, (length(text) * 4) div 5)").alias("text"),
+            )
+        )
+        return lsh_candidate_pairs(aug, id_col="pid").count()
+
+    timed("q6_minhash_lsh", q6)
+
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["q1_pipeline_full"], 1)
     print(

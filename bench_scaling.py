@@ -69,6 +69,8 @@ def run_level(cpus: int, docs_path: str, admins_path: str) -> dict:
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_400_000
+    n_level = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    xn_level = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * n_level
     # reuse bench corpus machinery at a dedicated size
     from mimirsbrunn_spark.session import get_spark
     from bench import ensure_corpus
@@ -81,16 +83,16 @@ def main() -> None:
 
     # interleave levels (two cold JVMs each) so co-tenant noise bursts hit
     # both levels equally; min-of-all is the steady-state estimate.
-    runs = {8: [], 32: []}
-    for cpus in (8, 32, 8, 32):
+    runs = {n_level: [], xn_level: []}
+    for cpus in (n_level, xn_level, n_level, xn_level):
         r = run_level(cpus, docs_path, admins_path)
         runs[cpus].append(r)
-    lo = min(runs[8], key=lambda r: r["best_sec"])
-    lo["times"] = sorted(t for r in runs[8] for t in r["times"])
+    lo = min(runs[n_level], key=lambda r: r["best_sec"])
+    lo["times"] = sorted(t for r in runs[n_level] for t in r["times"])
     lo["best_sec"] = lo["times"][0]
     lo["docs_per_sec"] = round(n_docs / lo["best_sec"], 1)
-    hi = min(runs[32], key=lambda r: r["best_sec"])
-    hi["times"] = sorted(t for r in runs[32] for t in r["times"])
+    hi = min(runs[xn_level], key=lambda r: r["best_sec"])
+    hi["times"] = sorted(t for r in runs[xn_level] for t in r["times"])
     hi["best_sec"] = hi["times"][0]
     hi["docs_per_sec"] = round(n_docs / hi["best_sec"], 1)
     eff = round(lo["best_sec"] / (4.0 * hi["best_sec"]), 3)
@@ -119,8 +121,8 @@ tile encoding (JVM expressions) → broadcast PIP admin attachment
 
 | level | cores | runs (sec) | best (sec) | docs/sec |
 |---|---|---|---|---|
-| N  | 8  | {lo['times']} | {lo['best_sec']} | {lo['docs_per_sec']} |
-| 4N | 32 | {hi['times']} | {hi['best_sec']} | {hi['docs_per_sec']} |
+| N  | {n_level}  | {lo['times']} | {lo['best_sec']} | {lo['docs_per_sec']} |
+| 4N | {xn_level} | {hi['times']} | {hi['best_sec']} | {hi['docs_per_sec']} |
 
 - input: {n_docs:,} interleaved docs (deterministic seeded corpus, octagon
   admin hierarchy from `mimirsbrunn_spark/datagen.py`)

@@ -143,6 +143,40 @@ def forward_geocode(
     )
 
 
+def autocomplete(
+    places: DataFrame,
+    q: str,
+    k: int = 10,
+    coord: tuple[float, float] | None = None,
+    types: list[str] | None = None,
+):
+    """T9 — the bragi /autocomplete retry loop (handlers.rs:144-169):
+    PREFIX pass first; when it returns nothing, the FUZZY pass relaxes
+    the token-coverage threshold (the ES side relaxes via ngram
+    minimum_should_match; our score floor plays that role).
+
+    Returns (DataFrame, mode) where mode is 'prefix' or 'fuzzy'."""
+    strict = forward_geocode(places, q, k=k, coord=coord, types=types)
+    rows = strict.count()
+    if rows > 0:
+        return strict, "prefix"
+    q_tokens = _query_tokens(q)
+    base = places
+    if types:
+        base = base.filter(F.col("type").isin(types))
+    if len(q_tokens) <= 1:
+        base = base.filter(F.col("type") != "addr")
+    match = score_expr(q_tokens)
+    fuzzy = (
+        base.withColumn("match_score", match)
+        .filter(F.col("match_score") >= 0.5)  # any token hit
+        .withColumn("score", match)
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+    return fuzzy, "fuzzy"
+
+
 def reverse_geocode_endpoint(
     places: DataFrame, lon: float, lat: float, k: int = 1, radius_m: float = 1000.0
 ) -> DataFrame:

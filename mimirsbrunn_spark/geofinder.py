@@ -72,8 +72,9 @@ class AdminGeoFinder:
 
     # cover budget: pick the finest res whose bbox cover stays small,
     # so one huge polygon doesn't explode the index (SURVEY §7 risk 2).
+    # res 0 covers continent-scale polygons within budget (5.6° cells).
     MAX_CELLS_PER_ADMIN = 256
-    RES_CANDIDATES = (3, 5, 7, 9)
+    RES_CANDIDATES = (0, 2, 4, 6, 8)
 
     def __init__(self):
         self.by_id: dict[str, AdminRec] = {}

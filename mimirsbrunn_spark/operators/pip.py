@@ -244,8 +244,12 @@ def attach_admins_partitioned(
     spark = SparkSession.getActiveSession()
     cover = admin_cell_cover(admins)
 
-    # Points keyed by their cell at every live cover resolution.
-    res_levels = [r for r in AdminGeoFinder.RES_CANDIDATES]
+    # Points keyed by their cell at every resolution the cover actually
+    # uses (usually 1-2 of the 4 candidates — avoids 4x point duplication).
+    res_levels = [
+        int(r["res"])
+        for r in cover.select((F.col("cell") / F.lit(2**58)).cast("long").alias("res")).distinct().collect()
+    ] or list(AdminGeoFinder.RES_CANDIDATES)
     pts = points.select(
         point_id_col, lon_col, lat_col,
         F.explode(
@@ -265,35 +269,81 @@ def attach_admins_partitioned(
     }
     bc_skel = spark.sparkContext.broadcast(skeleton)
 
-    def cogroup_refine(pts_pdf: pd.DataFrame, adm_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pts_pdf) == 0 or len(adm_pdf) == 0:
-            return pd.DataFrame({"point_uid": [], "admin_id": [], "contains": []})
-        lon = pts_pdf[lon_col].to_numpy(dtype=np.float64)
-        lat = pts_pdf[lat_col].to_numpy(dtype=np.float64)
-        uids = pts_pdf[point_id_col].to_numpy()
-        out_uid, out_adm, out_contains = [], [], []
-        for aid, wkb in zip(adm_pdf["id"], adm_pdf["boundary_wkb"]):
-            mp = wkb_to_mp(bytes(wkb))
-            from ..geometry import mp_bbox as _bb
-
-            bb = _bb(mp)
-            m = (lon >= bb[0]) & (lon <= bb[2]) & (lat >= bb[1]) & (lat <= bb[3])
-            if not m.any():
-                continue
-            sub = np.nonzero(m)[0]
-            inside = points_in_multipolygon(lon[sub], lat[sub], mp)
-            for k, p in enumerate(sub):
-                out_uid.append(uids[p])
-                out_adm.append(aid)
-                out_contains.append(bool(inside[k]))
-        return pd.DataFrame({"point_uid": out_uid, "admin_id": out_adm, "contains": out_contains})
-
-    pairs = (
-        pts.groupBy("cell")
-        .cogroup(cover.groupBy("cell"))
-        .applyInPandas(cogroup_refine, schema="point_uid string, admin_id string, contains boolean")
-        .dropDuplicates(["point_uid", "admin_id"])  # multi-res cover may duplicate pairs
+    # Co-partition both sides on cell via a tagged union + hash
+    # repartition, then refine whole PARTITIONS in one Python call each
+    # (a per-cell cogroup would pay per-group Python overhead × millions
+    # of cells at scale; per-partition it's × shuffle.partitions).
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    tagged_pts = pts.select(
+        "cell",
+        F.lit("p").alias("side"),
+        F.col(point_id_col).alias("point_uid"),
+        F.col(lon_col).alias("lon"),
+        F.col(lat_col).alias("lat"),
+        F.lit(None).cast("string").alias("admin_id"),
+        F.lit(None).cast("binary").alias("wkb"),
     )
+    tagged_cov = cover.select(
+        "cell",
+        F.lit("a").alias("side"),
+        F.lit(None).cast("string").alias("point_uid"),
+        F.lit(None).cast("double").alias("lon"),
+        F.lit(None).cast("double").alias("lat"),
+        F.col("id").alias("admin_id"),
+        F.col("boundary_wkb").alias("wkb"),
+    )
+    both = tagged_pts.unionByName(tagged_cov).repartition(n_parts, "cell")
+
+    def partition_refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..geometry import mp_bbox as _bb
+
+        # a partition holds complete cells (hash-partitioned on cell);
+        # accumulate it, then refine per cell group vectorized.
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        adm = pdf[pdf["side"] == "a"]
+        pts_l = pdf[pdf["side"] == "p"]
+        if adm.empty or pts_l.empty:
+            return
+        geom_cache: dict[str, tuple] = {}
+        # cell -> admin rows; iterate point cells present
+        adm_by_cell: dict[int, list[str]] = {}
+        for cell, aid, wkb in zip(adm["cell"], adm["admin_id"], adm["wkb"]):
+            adm_by_cell.setdefault(int(cell), []).append(aid)
+            if aid not in geom_cache:
+                mp = wkb_to_mp(bytes(wkb))
+                geom_cache[aid] = (mp, _bb(mp))
+        lon = pts_l["lon"].to_numpy(dtype=np.float64)
+        lat = pts_l["lat"].to_numpy(dtype=np.float64)
+        uids = pts_l["point_uid"].to_numpy()
+        cells = pts_l["cell"].to_numpy()
+        # group point indices per (cell, admin) via cell dict
+        pair_pts: dict[str, list[int]] = {}
+        for i, c in enumerate(cells):
+            for aid in adm_by_cell.get(int(c), ()):
+                pair_pts.setdefault(aid, []).append(i)
+        out_uid, out_adm, out_contains = [], [], []
+        for aid, idxs in pair_pts.items():
+            mp, bb = geom_cache[aid]
+            sub = np.asarray(idxs)
+            m = (lon[sub] >= bb[0]) & (lon[sub] <= bb[2]) & (lat[sub] >= bb[1]) & (lat[sub] <= bb[3])
+            sub = sub[m]
+            if not len(sub):
+                continue
+            inside = points_in_multipolygon(lon[sub], lat[sub], geom_cache[aid][0])
+            out_uid.extend(uids[sub])
+            out_adm.extend([aid] * len(sub))
+            out_contains.extend(bool(x) for x in inside)
+        if out_uid:
+            yield pd.DataFrame(
+                {"point_uid": out_uid, "admin_id": out_adm, "contains": out_contains}
+            )
+
+    pairs = both.mapInPandas(
+        partition_refine, schema="point_uid string, admin_id string, contains boolean"
+    ).dropDuplicates(["point_uid", "admin_id"])  # multi-res cover may duplicate pairs
 
     gathered = pairs.groupBy("point_uid").agg(
         F.collect_list(F.struct("admin_id", "contains")).alias("cands")

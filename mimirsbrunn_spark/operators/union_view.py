@@ -1,0 +1,77 @@
+"""The "munin" union view: one queryable surface over all place types.
+
+The reference routes every document type into its own ES index and
+exposes aliases ``munin`` (all), ``munin_{type}`` and
+``munin_{type}_{dataset}`` (configuration.rs:45-73); queries fan out to
+a subset of indices chosen from the requested types
+(build_es_indices_to_search, handlers.rs:423-490 — J8).
+
+Spark-side: each type is a table; the union view is a ``unionByName``
+over a shared projection with a ``type`` discriminator. Partition
+pruning on ``type`` plays the per-type-alias role: a query for
+types=[addr] never touches the other tables because the view is built
+lazily from only the requested ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# the shared projection every place table must be able to produce
+PLACE_COLS = ["id", "type", "name", "label", "weight", "lon", "lat", "zip_codes"]
+
+
+def _project(df: DataFrame, type_name: str, mapping: dict[str, str]) -> DataFrame:
+    cols = []
+    for target in PLACE_COLS:
+        if target == "type":
+            cols.append(F.lit(type_name).alias("type"))
+        elif target in mapping:
+            cols.append(F.col(mapping[target]).alias(target))
+        elif target in df.columns:
+            cols.append(F.col(target))
+        elif target == "zip_codes":
+            cols.append(F.array().cast("array<string>").alias("zip_codes"))
+        elif target == "weight":
+            cols.append(F.lit(0.0).alias("weight"))
+        else:
+            cols.append(F.lit(None).cast("string").alias(target))
+    return df.select(*cols)
+
+
+def places_view(
+    spark: SparkSession,
+    addrs: DataFrame | None = None,
+    streets: DataFrame | None = None,
+    admins: DataFrame | None = None,
+    pois: DataFrame | None = None,
+    stops: DataFrame | None = None,
+    types: list[str] | None = None,
+) -> DataFrame:
+    """Union of the requested place types in the shared projection.
+
+    Passing ``types`` prunes entire tables from the plan (the J8 index
+    narrowing) — not just a filter Catalyst must push."""
+    candidates = {
+        "addr": (addrs, {"id": "addr_id"}),
+        "street": (streets, {"id": "street_id"}),
+        "admin": (admins, {}),
+        "poi": (pois, {"id": "poi_id"}),
+        "stop": (stops, {"id": "stop_id"}),
+    }
+    parts = []
+    for t, (df, mapping) in candidates.items():
+        if df is None:
+            continue
+        if types is not None and t not in types:
+            continue
+        if t == "admin" and "lon" not in df.columns and "coord" in df.columns:
+            df = df.withColumn("lon", F.col("coord.lon")).withColumn("lat", F.col("coord.lat"))
+        parts.append(_project(df, t, mapping))
+    if not parts:
+        raise ValueError("no place tables supplied (or all pruned by types)")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

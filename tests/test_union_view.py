@@ -1,0 +1,54 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_places_view_union_and_pruning(spark):
+    from mimirsbrunn_spark.operators.union_view import places_view
+
+    addrs = spark.createDataFrame(
+        [("addr:1", "10 Rue X", "10 Rue X (P)", 0.1, 1.0, 2.0, ["75012"])],
+        "addr_id string, name string, label string, weight double, lon double, lat double, zip_codes array<string>",
+    )
+    admins = spark.createDataFrame(
+        [("admin:1", "P", "P", 0.5, {"lon": 1.0, "lat": 2.0}, ["75"])],
+        "id string, name string, label string, weight double, coord struct<lon:double,lat:double>, zip_codes array<string>",
+    )
+    view = places_view(spark, addrs=addrs, admins=admins)
+    rows = {r["type"]: r for r in view.collect()}
+    assert set(rows) == {"addr", "admin"}
+    assert rows["addr"]["id"] == "addr:1"
+    assert rows["admin"]["lon"] == 1.0
+
+    # type pruning removes whole tables from the plan (J8 index narrowing)
+    pruned = places_view(spark, addrs=addrs, admins=admins, types=["addr"])
+    assert [r["type"] for r in pruned.collect()] == ["addr"]
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan  # single table, no union node at all
+
+    with pytest.raises(ValueError):
+        places_view(spark, addrs=addrs, types=["stop"])
+
+
+def test_partitioned_attach_still_matches_broadcast(spark, fixtures_dir):
+    """Regression for the geom-cache + live-res-level optimizations."""
+    from mimirsbrunn_spark.operators.pip import attach_admins
+    from mimirsbrunn_spark.operators.spans import extract_geo_points
+
+    docs = spark.read.parquet(f"{fixtures_dir}/docs.parquet")
+    admins = spark.read.parquet(f"{fixtures_dir}/admins.parquet")
+    pts = extract_geo_points(docs).withColumn(
+        "point_uid", F.concat_ws("#", "doc_id", "span_offset")
+    )
+    b = attach_admins(pts, admins, strategy="broadcast").select(
+        "point_uid", F.to_json("admin_ids").alias("a")
+    )
+    p = attach_admins(pts, admins, strategy="partitioned").select(
+        "point_uid", F.to_json("admin_ids").alias("a")
+    )
+    mism = (
+        b.alias("b").join(p.alias("p"), "point_uid").filter(F.expr("b.a <> p.a")).count()
+    )
+    assert mism == 0
+    assert b.count() == p.count()
