@@ -272,9 +272,61 @@ def _ann_sql(bits: int = 6, tables: int = 4) -> str:
     """
 
 
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with cosine >= 0.25 among the
+    corpus ∪ noise-free self-copies (vec_id+10000), guaranteeing true
+    near-dups exist; the detector is the dedup decision, not top-k."""
+    from .operators.similarity import _dot_fold, _norm_fold
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    aug = e.select("vec_id", "embedding").unionByName(
+        e.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    a, b = aug.alias("a"), aug.alias("b")
+    cos = F.round(
+        F.expr(_dot_fold("a.embedding", "b.embedding"))
+        / (F.expr(_norm_fold("a.embedding")) * F.expr(_norm_fold("b.embedding"))),
+        6,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.25)
+    )
+
+
+_FOLD_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),"
+    " i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), (x, y) -> x + y)"
+)
+_FOLD_NORM_T = (
+    "sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),"
+    " i -> {s}.embedding[i]::DOUBLE * {s}.embedding[i]::DOUBLE)), (x, y) -> x + y))"
+)
+
+EMBED_NEARDUP_SQL = f"""
+    WITH aug AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_FOLD_DOT} / ({_FOLD_NORM_T.format(s='a')} * {_FOLD_NORM_T.format(s='b')}), 6) AS cosine
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.25
+"""
+
+
 PLACES_QUERIES = {
     "addr_enrich": (q_addr_enrich, ADDR_ENRICH_SQL),
     "streets_dedup": (q_streets_dedup, STREETS_DEDUP_SQL),
     "stop_weights": (q_stop_weights, STOP_WEIGHTS_SQL),
     "ann_lsh_topk": (q_ann_lsh, _ann_sql()),
+    "embed_neardup_pairs": (q_embed_neardup, EMBED_NEARDUP_SQL),
 }
