@@ -21,16 +21,30 @@ from ..operators.knn import haversine_col
 TYPE_BOOSTS = {"addr": 30.0, "admin": 19.0, "stop": 18.0, "poi": 1.5, "street": 1.0}
 GLOBAL_BOOST = 0.025
 
-# T1 — synonym list (mimir-base.json synonyms, the ones the fixtures use)
+# T1 — the reference's synonym groups (mimir-base.json:~synonyms), each
+# alias mapped to its canonical token. Short aliases NOT in this list
+# ("p" → place, "r" → rue, "av" → avenue) match through prefix scoring
+# instead — exactly how the reference resolves them (edge-ngram .prefix
+# field), see the alias examples in features/addresses/limousin.feature.
 SYNONYMS = {
     "cc": "centre commercial",
+    "ld": "lieu-dit",
     "st": "saint",
     "ste": "sainte",
+    "bvd": "boulevard",
+    "bld": "boulevard",
     "bd": "boulevard",
-    "av": "avenue",
+    "pt": "pont",
+    "rle": "ruelle",
     "rte": "route",
-    "r": "rue",
-    "pl": "place",
+    "vla": "villa",
+    "fac": "universite",
+    "ufr": "universite",
+    "faculte": "universite",
+    "chu": "hopital",
+    "chr": "hopital",
+    "mairie": "hotel de ville",
+    "grandchamp": "grand-champ",
 }
 
 
