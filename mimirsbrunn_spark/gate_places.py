@@ -323,10 +323,73 @@ EMBED_NEARDUP_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# raster↔vector coverage join (G16 machinery) vs closed-form cover oracle
+# ---------------------------------------------------------------------------
+
+
+def q_coverage_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-derived point raster (res 7) joined against the rect admins'
+    multi-res cell covers via the real cell_coverage_join (integer
+    ancestor reprojection, no geometry). The rect hierarchy aligns
+    exactly to cell boundaries, so membership — including shared
+    boundary cells — has a closed form the oracle reproduces."""
+    from .operators.coverage import cell_coverage_join
+    from .tiles import grid_cell_col
+
+    pts = points_from_orders(spark, sf_dir)
+    raster = pts.select("point_id", grid_cell_col("lon", "lat", 7).alias("cell"))
+    joined = cell_coverage_join(raster, rect_admins_df(spark), res=7)
+    return joined.select("point_id", "admin_id").distinct()
+
+
+# cover geometry (see rect_admins_df): cities covered at res2 (9×17 cells,
+# ranges [8ti, 8ti+8]×[16tj, 16tj+16]), states and countries at res0
+# (states [8si,8si+8]×[16sj,16sj+16]; countries [32ci,32ci+32]×[32cj,32cj+32],
+# right edges clamped to the grid). A raster res-7 cell reprojects by
+# integer shifts: res2 = >>5, res0 = >>7. Boundary cells belong to both
+# neighbors (i%step==0 → also the left/lower admin).
+COVERAGE_CELLS_SQL = f"""
+    WITH pts AS ({POINTS_FROM_ORDERS_SQL}),
+    cells AS (
+        SELECT point_id,
+               least(greatest(CAST(floor((lon + 180.0) / 360.0 * 8192.0) AS BIGINT), 0), 8191) AS i7,
+               least(greatest(CAST(floor((lat + 90.0) / 180.0 * 8192.0) AS BIGINT), 0), 8191) AS j7
+        FROM pts
+    ),
+    proj AS (
+        SELECT point_id, i7 // 32 AS i2, j7 // 32 AS j2, i7 // 128 AS i0, j7 // 128 AS j0
+        FROM cells
+    ),
+    cities AS (
+        SELECT point_id, 'adm:t:' || ti || ':' || tj AS admin_id
+        FROM proj,
+             unnest(list_concat([i2 // 8], CASE WHEN i2 % 8 = 0 AND i2 // 8 - 1 >= 0 THEN [i2 // 8 - 1] ELSE [] END)) AS a(ti),
+             unnest(list_concat([j2 // 16], CASE WHEN j2 % 16 = 0 AND j2 // 16 - 1 >= 0 THEN [j2 // 16 - 1] ELSE [] END)) AS b(tj)
+    ),
+    states AS (
+        SELECT point_id, 'adm:s:' || si || ':' || sj AS admin_id
+        FROM proj,
+             unnest(list_concat([i0 // 8], CASE WHEN i0 % 8 = 0 AND i0 // 8 - 1 >= 0 THEN [i0 // 8 - 1] ELSE [] END)) AS a(si),
+             unnest(list_concat([j0 // 16], CASE WHEN j0 % 16 = 0 AND j0 // 16 - 1 >= 0 THEN [j0 // 16 - 1] ELSE [] END)) AS b(sj)
+    ),
+    countries AS (
+        SELECT point_id, 'adm:c:' || ci || ':' || cj AS admin_id
+        FROM proj,
+             unnest(list_concat([i0 // 32], CASE WHEN i0 % 32 = 0 AND i0 // 32 - 1 >= 0 THEN [i0 // 32 - 1] ELSE [] END)) AS a(ci),
+             unnest(list_concat([j0 // 32], CASE WHEN j0 % 32 = 0 AND j0 // 32 - 1 >= 0 THEN [j0 // 32 - 1] ELSE [] END)) AS b(cj)
+    )
+    SELECT DISTINCT point_id, admin_id FROM (
+        SELECT * FROM cities UNION ALL SELECT * FROM states UNION ALL SELECT * FROM countries
+    )
+"""
+
+
 PLACES_QUERIES = {
     "addr_enrich": (q_addr_enrich, ADDR_ENRICH_SQL),
     "streets_dedup": (q_streets_dedup, STREETS_DEDUP_SQL),
     "stop_weights": (q_stop_weights, STOP_WEIGHTS_SQL),
     "ann_lsh_topk": (q_ann_lsh, _ann_sql()),
     "embed_neardup_pairs": (q_embed_neardup, EMBED_NEARDUP_SQL),
+    "coverage_cells": (q_coverage_cells, COVERAGE_CELLS_SQL),
 }

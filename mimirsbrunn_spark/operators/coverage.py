@@ -70,16 +70,16 @@ def _ancestor_at(cell_col: F.Column, cov_res: int, res: int) -> F.Column:
     )
 
 
-def coverage_join(docs: DataFrame, admins: DataFrame, res: int = 7) -> DataFrame:
-    """Vector×raster coverage detail: (admin_id, cell, doc_id, media_ref).
+def cell_coverage_join(raster: DataFrame, admins: DataFrame, res: int) -> DataFrame:
+    """Raster(cell, …)×vector coverage: join any cell-keyed raster layer
+    against the admins' multi-resolution cell covers.
 
-    The admin cover is multi-resolution (big polygons covered coarsely);
-    for each cover resolution present, the raster cell is reprojected to
+    For each cover resolution present, the raster cell is reprojected to
     that resolution via integer ancestor math and equi-joined — a union
-    of broadcast hash joins, no geometry evaluation."""
+    of broadcast hash joins, no geometry evaluation. Output: raster
+    columns + admin_id, deduplicated per (admin, raster row)."""
     from .pip import admin_cell_cover
 
-    raster = media_grid(docs, res)
     cover = admin_cell_cover(admins).select(
         F.col("cell").alias("cov_cell"), F.col("id").alias("admin_id")
     )
@@ -89,6 +89,7 @@ def coverage_join(docs: DataFrame, admins: DataFrame, res: int = 7) -> DataFrame
             (F.col("cov_cell") / _RES_SHIFT).cast("long").alias("cres")
         ).distinct().collect()
     ]
+    raster_cols = raster.columns
     parts = []
     for cres in cov_res_levels:
         sub = raster.withColumn("cov_cell", _ancestor_at(F.col("cell"), cres, res)).join(
@@ -97,15 +98,27 @@ def coverage_join(docs: DataFrame, admins: DataFrame, res: int = 7) -> DataFrame
             ),
             "cov_cell",
         )
-        parts.append(sub.select("admin_id", "cell", "doc_id", "media_ref"))
+        parts.append(sub.select("admin_id", *raster_cols))
     if not parts:
-        schema = "admin_id string, cell long, doc_id string, media_ref string"
-        return docs.sparkSession.createDataFrame([], schema)
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [T.StructField("admin_id", T.StringType(), True)] + list(raster.schema.fields)
+        )
+        return raster.sparkSession.createDataFrame([], schema)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    # multi-res covers can produce the same (admin, media) pair twice
-    return out.dropDuplicates(["admin_id", "cell", "doc_id", "media_ref"])
+    # multi-res covers can produce the same (admin, row) pair twice
+    return out.dropDuplicates(["admin_id", *raster_cols])
+
+
+def coverage_join(docs: DataFrame, admins: DataFrame, res: int = 7) -> DataFrame:
+    """Vector×raster coverage detail: (admin_id, cell, doc_id, media_ref)."""
+    raster = media_grid(docs, res)
+    return cell_coverage_join(raster, admins, res).select(
+        "admin_id", "cell", "doc_id", "media_ref"
+    )
 
 
 def coverage_stats(docs: DataFrame, admins: DataFrame, res: int = 7) -> DataFrame:
