@@ -450,6 +450,65 @@ EMBED_COSINE_SQL = """
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization over the events table: a session breaks after a
+    >30-minute gap per user (classic lag + cumulative-sum window plan —
+    the batch analog of session_window in streaming). Timestamps are
+    compared as epoch microseconds (exact integers in both engines)."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # ts is TIMESTAMP_NTZ; cast to TIMESTAMP (session TZ pinned to UTC
+    # in get_spark, and the driver compares epochs) before unix_micros
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sessions = (
+        e.withColumn("new_s", new_session)
+        .withColumn("session_idx", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(F.count("*").alias("n_events"),
+             F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("start_us"),
+             F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("end_us"))
+        .select(
+            "user_id",
+            F.col("session_idx").cast("long").alias("session_idx"),
+            "n_events",
+            (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+        )
+    )
+
+
+SESSIONIZE_SQL = """
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN us - lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+    ),
+    sess AS (
+        SELECT user_id, us,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           max(us) - min(us) AS duration_us
+    FROM sess GROUP BY user_id, session_idx
+"""
+
+
 def q_s2_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 cell assignment (pandas UDF) — no SQL oracle (Hilbert curve is
     not SQL-expressible); driver records the weaker rows-only check,
@@ -474,6 +533,7 @@ QUERIES = {
     "lang_guess": (q_lang_guess, LANG_GUESS_SQL),
     "embed_cosine_topk": (q_embed_cosine_topk, EMBED_COSINE_SQL),
     "s2_tiles": (q_s2_tiles, None),  # rows-only: Hilbert not SQL-expressible
+    "sessionize_events": (q_sessionize, SESSIONIZE_SQL),
 }
 
 from .gate_dedup import DEDUP_QUERIES  # noqa: E402
