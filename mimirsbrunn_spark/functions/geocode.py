@@ -171,8 +171,7 @@ def autocomplete(
 
     Returns (DataFrame, mode) where mode is 'prefix' or 'fuzzy'."""
     strict = forward_geocode(places, q, k=k, coord=coord, types=types)
-    rows = strict.count()
-    if rows > 0:
+    if len(strict.take(1)) > 0:  # existence probe, not a full count
         return strict, "prefix"
     q_tokens = _query_tokens(q)
     base = places

@@ -175,9 +175,58 @@ NGRAM_JACCARD_SQL = f"""
 """
 
 
+def q_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end production dedup pipeline: MinHash-LSH candidate
+    pairs → exact n-gram Jaccard verify over ONLY those pairs (the
+    candidates= API — no cartesian anywhere)."""
+    docs = _aug_docs(spark, sf_dir)
+    cands = lsh_candidate_pairs(docs, id_col="pid", k=16, bands=4)
+    return ngram_jaccard_pairs(
+        docs, id_col="pid", threshold=0.35, candidates=cands
+    ).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        "n_inter", "n_union", "jaccard",
+    )
+
+
+NGRAM_JACCARD_LSH_SQL = f"""
+    WITH aug AS ({AUG_SQL}),
+    ids AS (SELECT pid, {_DUCK_TOK_IDS} AS tok_ids FROM aug),
+    shx AS (SELECT pid, {_DUCK_SHINGLES} AS shingles FROM ids),
+    sig AS (SELECT pid, [{', '.join(_duck_minhash(j) for j in range(16))}] AS mh FROM shx),
+    buckets AS (
+        SELECT pid, b.band, CASE b.band
+            WHEN 0 THEN {_duck_band(0)} WHEN 1 THEN {_duck_band(1)}
+            WHEN 2 THEN {_duck_band(2)} ELSE {_duck_band(3)} END AS bh
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.pid AS doc_a, b.pid AS doc_b
+        FROM buckets a JOIN buckets b USING (band, bh)
+        WHERE a.pid < b.pid
+    ),
+    sh AS (SELECT pid, list_sort(list_distinct(shingles)) AS sh FROM shx),
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(a.sh, b.sh)) AS n_inter,
+               len(list_distinct(list_concat(a.sh, b.sh))) AS n_union
+        FROM cand c
+        JOIN sh a ON a.pid = c.doc_a
+        JOIN sh b ON b.pid = c.doc_b
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           CAST(n_inter AS INT) AS n_inter, CAST(n_union AS INT) AS n_union,
+           round(n_inter / n_union, 6) AS jaccard
+    FROM scored
+    WHERE n_union > 0 AND n_inter::DOUBLE / n_union >= 0.35
+"""
+
+
 DEDUP_QUERIES = {
     "minhash_signature": (q_minhash_sig, MINHASH_SIG_SQL),
     "minhash_lsh_pairs": (q_lsh_pairs, LSH_PAIRS_SQL),
     "simhash16": (q_simhash, SIMHASH_SQL),
     "ngram_jaccard_pairs": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "ngram_jaccard_lsh": (q_ngram_jaccard_lsh, NGRAM_JACCARD_LSH_SQL),
 }

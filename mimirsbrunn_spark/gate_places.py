@@ -38,7 +38,9 @@ _CITY_W8 = "(((ti * 16 + tj) % 100) / 200.0)"
 
 def q_addr_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """points → attach → resolve admin structs → enrich: name/label (C1/
-    C3), zip fold (A1 + C5 own-zip precedence), weight (A4)."""
+    C3 country-keyed order: even rows France = hn-first, odd rows NL =
+    street-first, per labels.rs:121-124 + the fr/nl goldens), zip fold
+    (A1 + C5 own-zip precedence), weight (A4)."""
     from .operators.enrich import attach_admin_structs, enrich_addresses
     from .operators.pip import attach_admins
 
@@ -50,9 +52,11 @@ def q_addr_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         # every 7th row carries its own zip list (takes precedence over A1)
         F.when(F.col("point_id") % 7 == 0, F.lit("99001;99002")).otherwise(F.lit("")).alias("zip"),
         F.format_string("%011d", F.col("point_id")).alias("id"),
+        F.when(F.col("point_id") % 2 == 0, F.lit("fr")).otherwise(F.lit("nl")).alias("cc"),
     )
     out = enrich_addresses(
-        attach_admin_structs(attach_admins(pts, admins, strategy="broadcast"), admins)
+        attach_admin_structs(attach_admins(pts, admins, strategy="broadcast"), admins),
+        country_code=F.col("cc"),
     )
     return out.select(
         "point_id", "name", "label",
@@ -67,7 +71,10 @@ ADDR_ENRICH_SQL = f"""
     idx AS ({_IDX_SQL}),
     base AS (
         SELECT point_id, ti, tj,
-               CAST(point_id % 200 + 1 AS VARCHAR) || ' Street ' || CAST(point_id % 50 AS VARCHAR) AS name,
+               (CASE WHEN point_id % 2 = 0
+                     THEN CAST(point_id % 200 + 1 AS VARCHAR) || ' Street ' || CAST(point_id % 50 AS VARCHAR)
+                     ELSE 'Street ' || CAST(point_id % 50 AS VARCHAR) || ' ' || CAST(point_id % 200 + 1 AS VARCHAR)
+                END) AS name,
                'city ' || ti || '_' || tj AS city_name,
                {_CITY_ZIPS} AS city_zip,
                {_STATE_ZIP} AS state_zip,
@@ -323,6 +330,52 @@ EMBED_NEARDUP_SQL = f"""
 """
 
 
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION near-dup threshold path (lsh_neardup_pairs):
+    signature buckets → exact cosine >= 0.95 in-bucket, verified
+    hash-exact against the brute-force ground truth. Near-dups are the
+    corpus plus slightly-perturbed copies (element 1 + 0.05, vec_id +
+    10000, double-cast in both engines so the arithmetic is bit-equal);
+    at 0.95 random cross-pairs are impossible (7+ sigma for dim-64
+    noise), so exact-recall is a property of the fixed sf data, checked
+    here, not a distributional hope."""
+    from .operators.similarity import lsh_neardup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding")
+    )
+    near = e.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    aug = e.unionByName(near)
+    return lsh_neardup_pairs(aug, threshold=0.95, bits=6, tables=4, dim=64)
+
+
+EMBED_NEARDUP_LSH_SQL = f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+        FROM embeddings
+    ),
+    aug AS (
+        SELECT vec_id, embedding FROM base
+        UNION ALL
+        SELECT vec_id + 10000 AS vec_id,
+               list_prepend(embedding[1] + 0.05, embedding[2:]) AS embedding
+        FROM base
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_FOLD_DOT} / ({_FOLD_NORM_T.format(s='a')} * {_FOLD_NORM_T.format(s='b')}), 6) AS cosine
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.95
+"""
+
+
 # ---------------------------------------------------------------------------
 # raster↔vector coverage join (G16 machinery) vs closed-form cover oracle
 # ---------------------------------------------------------------------------
@@ -391,5 +444,6 @@ PLACES_QUERIES = {
     "stop_weights": (q_stop_weights, STOP_WEIGHTS_SQL),
     "ann_lsh_topk": (q_ann_lsh, _ann_sql()),
     "embed_neardup_pairs": (q_embed_neardup, EMBED_NEARDUP_SQL),
+    "embed_neardup_lsh": (q_embed_neardup_lsh, EMBED_NEARDUP_LSH_SQL),
     "coverage_cells": (q_coverage_cells, COVERAGE_CELLS_SQL),
 }

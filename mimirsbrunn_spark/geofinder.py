@@ -36,7 +36,12 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .geometry import mp_bbox, points_in_multipolygon, wkb_to_mp
+from .geometry import (
+    mp_bbox,
+    points_in_multipolygon,
+    points_intersect_multipolygon,
+    wkb_to_mp,
+)
 from .tiles import grid_cell_np, grid_decompose
 
 # cosmogony ZoneType variant order (smallest → largest); None ranks first,
@@ -128,6 +133,13 @@ class AdminGeoFinder:
     def _contains(self, rec: AdminRec, lon: float, lat: float) -> bool:
         return bool(points_in_multipolygon(np.array([lon]), np.array([lat]), rec.mp)[0])
 
+    def _intersects(self, rec: AdminRec, lon: float, lat: float) -> bool:
+        """Boundary-inclusive variant (admin_geofinder.rs:186-188:
+        ``bound.intersects(&Point)``) — only the get_admins_if path."""
+        return bool(
+            points_intersect_multipolygon(np.array([lon]), np.array([lat]), rec.mp)[0]
+        )
+
     def get(self, lon: float, lat: float) -> list[AdminRec]:
         """Port of admin_geofinder.rs:220-269 (semantics 1:1)."""
         tested_hierarchy: set[str] = set()
@@ -160,7 +172,7 @@ class AdminGeoFinder:
         for cand in self._candidates(lon, lat):
             if not condition(cand):
                 continue
-            if cand.id in visited_ids or not self._contains(cand, lon, lat):
+            if cand.id in visited_ids or not self._intersects(cand, lon, lat):
                 continue
             branch = [cand]
             while True:

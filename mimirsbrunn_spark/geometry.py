@@ -71,6 +71,42 @@ def points_in_multipolygon(lon: np.ndarray, lat: np.ndarray, mp: MultiPolygon) -
     return out
 
 
+def points_on_ring_boundary(lon: np.ndarray, lat: np.ndarray, ring: Ring) -> np.ndarray:
+    """Bool mask of points lying exactly on a ring edge (or vertex):
+    colinear (cross product 0) and within the segment's parameter range.
+    Exact float arithmetic, like the geo crate's Point-Intersects."""
+    x = np.asarray(lon, dtype=np.float64)[:, None]
+    y = np.asarray(lat, dtype=np.float64)[:, None]
+    ax, ay = ring[:, 0], ring[:, 1]
+    bx, by = np.roll(ax, -1), np.roll(ay, -1)
+    ux, uy = bx - ax, by - ay
+    cross = ux * (y - ay) - uy * (x - ax)
+    dot = (x - ax) * ux + (y - ay) * uy
+    len2 = ux * ux + uy * uy
+    on = (cross == 0.0) & (dot >= 0.0) & (dot <= len2)
+    # zero-length edges degenerate to a vertex-equality test
+    on |= (len2 == 0.0) & (x == ax) & (y == ay)
+    return on.any(axis=1)
+
+
+def points_on_multipolygon_boundary(lon: np.ndarray, lat: np.ndarray, mp: MultiPolygon) -> np.ndarray:
+    out = np.zeros(len(np.asarray(lon)), dtype=bool)
+    for poly in mp:
+        for ring in poly:
+            out |= points_on_ring_boundary(lon, lat, ring)
+    return out
+
+
+def points_intersect_multipolygon(lon: np.ndarray, lat: np.ndarray, mp: MultiPolygon) -> np.ndarray:
+    """Boundary-INCLUSIVE containment — the semantics of the geo crate's
+    ``bound.intersects(&Point)`` used by ``get_admins_if``
+    (/root/reference/src/admin_geofinder.rs:186-188), in contrast to the
+    exclusive ``contains`` used by ``get`` (:101-104). A street node
+    sitting exactly on a shared way/boundary edge (common in OSM) must
+    attach through the get_admins_if path."""
+    return points_in_multipolygon(lon, lat, mp) | points_on_multipolygon_boundary(lon, lat, mp)
+
+
 # ---------------------------------------------------------------------------
 # bbox / centroid
 # ---------------------------------------------------------------------------

@@ -57,14 +57,20 @@ def media_grid(docs: DataFrame, res: int = 7) -> DataFrame:
     )
 
 
-def _ancestor_at(cell_col: F.Column, cov_res: int, res: int) -> F.Column:
-    """Grid-cell ancestor at a coarser resolution — pure integer math
-    (same layout as tiles.grid_parent_np), usable inside a join key."""
-    shift = res - cov_res
+def _ancestor_at(cell_col: F.Column, parent_res: int, res: int) -> F.Column:
+    """Grid-cell ancestor at a *coarser* resolution — pure integer math
+    (same layout as tiles.grid_parent_np), usable inside a join key.
+
+    ``parent_res`` must be <= ``res``: Spark's shiftright masks the shift
+    count (Java ``>>`` semantics), so a negative shift silently produces
+    garbage keys instead of failing."""
+    shift = res - parent_res
+    if shift < 0:
+        raise ValueError(f"parent_res {parent_res} must be <= cell res {res}")
     i = ((cell_col % F.lit(_RES_SHIFT)) / F.lit(_I_SHIFT)).cast("long")
     j = (cell_col % F.lit(_I_SHIFT)).cast("long")
     return (
-        F.lit(cov_res).cast("long") * F.lit(_RES_SHIFT)
+        F.lit(parent_res).cast("long") * F.lit(_RES_SHIFT)
         + F.shiftright(i, shift) * F.lit(_I_SHIFT)
         + F.shiftright(j, shift)
     )
@@ -74,10 +80,14 @@ def cell_coverage_join(raster: DataFrame, admins: DataFrame, res: int) -> DataFr
     """Raster(cell, …)×vector coverage: join any cell-keyed raster layer
     against the admins' multi-resolution cell covers.
 
-    For each cover resolution present, the raster cell is reprojected to
-    that resolution via integer ancestor math and equi-joined — a union
-    of broadcast hash joins, no geometry evaluation. Output: raster
-    columns + admin_id, deduplicated per (admin, raster row)."""
+    For each cover resolution present, the coarser side is reprojected to
+    the finer side's resolution via integer ancestor math and equi-joined
+    — a union of broadcast hash joins, no geometry evaluation. When the
+    cover is *finer* than the raster (small admins covered at res 8 vs a
+    res-7 raster), the cover cells are rolled up to the raster resolution
+    instead — shifting the raster down would need a negative shiftright,
+    which Java bit-masks into garbage keys. Output: raster columns +
+    admin_id, deduplicated per (admin, raster row)."""
     from .pip import admin_cell_cover
 
     cover = admin_cell_cover(admins).select(
@@ -92,12 +102,19 @@ def cell_coverage_join(raster: DataFrame, admins: DataFrame, res: int) -> DataFr
     raster_cols = raster.columns
     parts = []
     for cres in cov_res_levels:
-        sub = raster.withColumn("cov_cell", _ancestor_at(F.col("cell"), cres, res)).join(
-            F.broadcast(
-                cover.filter((F.col("cov_cell") / _RES_SHIFT).cast("long") == cres)
-            ),
-            "cov_cell",
-        )
+        sub_cover = cover.filter((F.col("cov_cell") / _RES_SHIFT).cast("long") == cres)
+        if cres <= res:
+            sub = raster.withColumn(
+                "cov_cell", _ancestor_at(F.col("cell"), cres, res)
+            ).join(F.broadcast(sub_cover), "cov_cell")
+        else:
+            # cover finer than raster: roll the cover up to the raster res
+            # (a raster cell intersects the admin iff it is the ancestor of
+            # at least one cover cell); distinct to bound the join fan-out.
+            rolled = sub_cover.select(
+                _ancestor_at(F.col("cov_cell"), res, cres).alias("cell"), "admin_id"
+            ).distinct()
+            sub = raster.join(F.broadcast(rolled), "cell")
         parts.append(sub.select("admin_id", *raster_cols))
     if not parts:
         from pyspark.sql import types as T

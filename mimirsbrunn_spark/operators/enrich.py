@@ -42,16 +42,38 @@ def format_label(name: Column | str, admins: Column | str = "admins") -> Column:
     )
 
 
-def format_addr_name(house_number: Column | str, street: Column | str, country_code: Column | None = None) -> Column:
-    """C3 — address_formatter port (labels.rs:75-124): France puts the
-    house number first (``"{hn} {street}"``); default is also hn-first in
-    the reference's default_name — street-first variants only appear in
-    country templates we don't ship. Deterministic template by country."""
+# Countries whose public address-formatter template puts the house number
+# before the road (the OpenCageData address-formatting templates the
+# reference's address_formatter crate embeds); everything else uses the
+# reference's street-first default_name.
+HN_FIRST_COUNTRIES = ["fr", "gb", "us", "ca", "au", "nz", "ie", "lu"]
+
+
+def format_addr_name(
+    house_number: Column | str,
+    street: Column | str,
+    country_code: Column | str | None = None,
+) -> Column:
+    """C3 — address_formatter port (labels.rs:75-89): the DEFAULT format
+    is street-first ``"{street} {hn}"`` (``default_name``,
+    labels.rs:121-124 — "the most common format (but not correct for
+    france)"); countries whose template is house-number-first (France
+    among them) flip to ``"{hn} {street}"``. Golden vectors ported from
+    labels.rs tests: fr_addr → "20 rue hector malot"; nl_addr →
+    "Herengracht 573"."""
     hn = F.col(house_number) if isinstance(house_number, str) else house_number
     st = F.col(street) if isinstance(street, str) else street
-    return F.when(
-        hn.isNull() | (F.trim(hn) == ""), st
-    ).otherwise(F.concat_ws(" ", F.trim(hn), st))
+    if country_code is None:
+        cc = F.lit(None).cast("string")
+    elif isinstance(country_code, str):
+        cc = F.lit(country_code.lower())
+    else:
+        cc = F.lower(country_code)
+    return (
+        F.when(hn.isNull() | (F.trim(hn) == ""), st)
+        .when(cc.isin(HN_FIRST_COUNTRIES), F.concat_ws(" ", F.trim(hn), st))
+        .otherwise(F.concat_ws(" ", st, F.trim(hn)))
+    )
 
 
 def zip_codes_from_admins(admins: Column | str = "admins") -> Column:
@@ -164,7 +186,22 @@ def attach_admin_structs(attached: DataFrame, admins: DataFrame,
             F.col("zip_codes"), F.col("weight"),
         ).alias("__astruct"),
     )
-    uid = F.monotonically_increasing_id()
+    # Deterministic, content-derived uid: monotonically_increasing_id is
+    # nondeterministic and this plan evaluates `base` in two branches —
+    # under task retry / AQE replanning the ids could diverge between the
+    # branches and silently mis-zip rows. Two independent 64-bit hashes of
+    # the row make collisions of *distinct* rows negligible even at
+    # 100 TB. Map-typed columns are excluded (Spark forbids hashing maps);
+    # that is safe: rows colliding on the uid are then identical in every
+    # non-map column — including admin_ids — so their aggregated admins
+    # arrays are identical, and the join fans each row back out with its
+    # own map values intact.
+    from pyspark.sql import types as T
+
+    hash_cols = [
+        F.col(f.name) for f in attached.schema.fields if not isinstance(f.dataType, T.MapType)
+    ]
+    uid = F.concat_ws("_", F.xxhash64(*hash_cols), F.xxhash64(F.lit(0x9E3779B9), *hash_cols))
     base = attached.withColumn("__uid", uid)
     exploded = base.select("__uid", F.posexplode(admin_ids_col).alias("__pos", "__aid"))
     resolved = (
@@ -172,7 +209,10 @@ def attach_admin_structs(attached: DataFrame, admins: DataFrame,
         .groupBy("__uid")
         .agg(
             F.transform(
-                F.sort_array(F.collect_list(F.struct("__pos", "__astruct"))),
+                # array_distinct: identical input rows share a content uid,
+                # so each contributes an identical (pos, struct) set — keep
+                # one copy per position.
+                F.array_distinct(F.sort_array(F.collect_list(F.struct("__pos", "__astruct")))),
                 lambda s: s["__astruct"],
             ).alias("admins")
         )
@@ -184,12 +224,16 @@ def attach_admin_structs(attached: DataFrame, admins: DataFrame,
     )
 
 
-def enrich_addresses(attached: DataFrame) -> DataFrame:
+def enrich_addresses(attached: DataFrame, country_code: Column | str = "fr") -> DataFrame:
     """The bano2mimir enrichment block (bano.rs:64-150) over attached
     addresses: name/label (C1/C3), zips (C5 + A1 fallback), weight (A4),
     id (C6), insee/fantoir (F6). Expects columns: id, house_number,
-    street, zip, lon, lat + ``admins`` array (attach_admin_structs)."""
-    name = format_addr_name("house_number", "street")
+    street, zip, lon, lat + ``admins`` array (attach_admin_structs).
+
+    ``country_code`` (column or literal, default "fr" — BANO is a French
+    dataset) keys the C3 name template; the reference derives it from the
+    attached admins' ISO codes the same way."""
+    name = format_addr_name("house_number", "street", country_code)
     insee, fantoir = insee_fantoir("id")
     own_zips = split_zip_codes("zip")
     zips = F.when(F.size(own_zips) > 0, own_zips).otherwise(zip_codes_from_admins())

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..geometry import EARTH_RADIUS_M
-from ..tiles import grid_cell_col, grid_cells_for_radius
+from ..tiles import _RES_SHIFT, _I_SHIFT, _grid_n, M_PER_DEG, grid_cell_col
 
 
 def haversine_col(lon1, lat1, lon2, lat2):
@@ -55,19 +55,65 @@ def reverse_geocode(
     targets within radius_m (reference default 1000 m,
     config/query/default.toml:65-66; k default 1, api.rs:15).
 
-    ``res`` must be coarse enough that one disk stays small; the helper
-    grid_cells_for_radius sizes the disk from the query latitude.
+    ``res`` must be coarse enough that one disk stays small; the ring
+    count is derived per query row from its latitude.
     """
-    disk_udf = F.udf(
-        lambda lon, lat: grid_cells_for_radius(lon, lat, radius_m, res), "array<long>"
+    # Disk enumeration in pure Catalyst — integer cell math +
+    # explode(sequence(-k, k)) twice. No Python anywhere in the plan, so
+    # the same operator is safe with millions of query rows (the G8
+    # POI→address join runs it with broadcast_queries=False).
+    n = _grid_n(res)
+    size = 1 << n
+    cell_h_m = 180.0 / size * M_PER_DEG
+    coslat = F.greatest(F.cos(F.radians(F.col("lat"))), F.lit(1e-9))
+    cell_w_m = F.lit(360.0 / size * M_PER_DEG) * coslat
+    # floor(delta/width)+1 rings cover the radius from any in-cell offset;
+    # +1 safety ring for the cos-at-query-lat underestimate (see
+    # tiles.radius_disk_k — same rule); clamp so the ring never wraps the
+    # full longitude circle (which would duplicate cells).
+    k_rings = (
+        F.greatest(
+            F.floor(F.lit(radius_m) / F.lit(cell_h_m)),
+            F.floor(F.lit(radius_m) / cell_w_m),
+        ).cast("int")
+        + F.lit(2)
     )
-    # The disk is tiny per query (a python list); the per-row udf runs on
-    # the small query side only — the huge target side stays pure JVM.
-    q = queries.select(
-        F.col(query_id).alias("__qid"),
-        F.col("lon").alias("__qlon"),
-        F.col("lat").alias("__qlat"),
-        F.explode(disk_udf("lon", "lat")).alias("__cell"),
+    k_rings = F.least(k_rings, F.lit(max((size - 1) // 2, 0)))
+    i0 = F.least(
+        F.greatest(F.floor((F.col("lon") + 180.0) / 360.0 * size), F.lit(0)),
+        F.lit(size - 1),
+    )
+    j0 = F.least(
+        F.greatest(F.floor((F.col("lat") + 90.0) / 180.0 * size), F.lit(0)),
+        F.lit(size - 1),
+    )
+    q = (
+        queries.select(
+            F.col(query_id).alias("__qid"),
+            F.col("lon").alias("__qlon"),
+            F.col("lat").alias("__qlat"),
+            k_rings.alias("__k"),
+            i0.cast("long").alias("__i0"),
+            j0.cast("long").alias("__j0"),
+        )
+        .select(
+            "__qid", "__qlon", "__qlat", "__k", "__i0", "__j0",
+            F.explode(F.sequence(-F.col("__k"), F.col("__k"))).alias("__di"),
+        )
+        .select(
+            "__qid", "__qlon", "__qlat", "__i0", "__j0", "__di",
+            F.explode(F.sequence(-F.col("__k"), F.col("__k"))).alias("__dj"),
+        )
+        .withColumn("__jj", F.col("__j0") + F.col("__dj"))
+        .filter((F.col("__jj") >= 0) & (F.col("__jj") < size))  # poles clamp
+        .select(
+            "__qid", "__qlon", "__qlat",
+            (
+                F.lit(res).cast("long") * F.lit(_RES_SHIFT)
+                + F.pmod(F.col("__i0") + F.col("__di"), F.lit(size)) * F.lit(_I_SHIFT)
+                + F.col("__jj")
+            ).alias("__cell"),  # antimeridian wrap via pmod
+        )
     )
     if broadcast_queries:
         q = F.broadcast(q)

@@ -144,7 +144,11 @@ def refine_batch(finder: AdminGeoFinder, lon: np.ndarray, lat: np.ndarray) -> li
 # broadcast strategy
 # ---------------------------------------------------------------------------
 
-_FINDER_CACHE: dict[int, AdminGeoFinder] = {}
+# keyed by a content digest of the admin dim, NOT id(bc.value): object ids
+# are recycled by the allocator in long-lived Python workers, which could
+# silently serve a stale finder built from a *different* admin broadcast.
+_FINDER_CACHE: dict[str, AdminGeoFinder] = {}
+_FINDER_CACHE_MAX = 4
 
 
 def _finder_from_rows(rows: list[tuple]) -> AdminGeoFinder:
@@ -156,17 +160,53 @@ def _finder_from_rows(rows: list[tuple]) -> AdminGeoFinder:
     return finder
 
 
+def _dim_rows(admins: DataFrame) -> list[tuple]:
+    return [
+        (r["id"], r["zone_type"], r["parent_id"],
+         bytes(r["boundary_wkb"]) if r["boundary_wkb"] is not None else None)
+        for r in admins.select(*ADMIN_DIM_COLS).collect()
+    ]
+
+
+def _dim_token(rows: list[tuple]) -> str:
+    """Stable driver-side digest of the admin dimension's content."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for id_, zt, pid, wkb in rows:
+        for part in (id_, zt, pid):
+            h.update(repr(part).encode())
+            h.update(b"\x00")
+        h.update(len(wkb or b"").to_bytes(8, "little"))
+        if wkb:
+            h.update(wkb[:64])
+    return h.hexdigest()
+
+
+def broadcast_admin_dim(spark: SparkSession, admins: DataFrame):
+    """Broadcast the admin dim as (content_token, rows)."""
+    rows = _dim_rows(admins)
+    return spark.sparkContext.broadcast((_dim_token(rows), rows))
+
+
+def finder_for_broadcast(bc_value: tuple[str, list[tuple]]) -> AdminGeoFinder:
+    """Per-worker finder cache lookup by content token (bounded)."""
+    token, rows = bc_value
+    finder = _FINDER_CACHE.get(token)
+    if finder is None:
+        finder = _finder_from_rows(rows)
+        if len(_FINDER_CACHE) >= _FINDER_CACHE_MAX:
+            _FINDER_CACHE.pop(next(iter(_FINDER_CACHE)))
+        _FINDER_CACHE[token] = finder
+    return finder
+
+
 def attach_admins_broadcast(
     points: DataFrame, admins: DataFrame, lon_col: str = "lon", lat_col: str = "lat"
 ) -> DataFrame:
     """Map-side spatial join: broadcast admin dim, mapInPandas refine."""
     spark = SparkSession.getActiveSession()
-    rows = [
-        (r["id"], r["zone_type"], r["parent_id"],
-         bytes(r["boundary_wkb"]) if r["boundary_wkb"] is not None else None)
-        for r in admins.select(*ADMIN_DIM_COLS).collect()
-    ]
-    bc = spark.sparkContext.broadcast(rows)
+    bc = broadcast_admin_dim(spark, admins)
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
@@ -175,11 +215,7 @@ def attach_admins_broadcast(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        key = id(bc.value) if bc.value is not None else 0
-        finder = _FINDER_CACHE.get(key)
-        if finder is None:
-            finder = _finder_from_rows(bc.value)
-            _FINDER_CACHE[key] = finder
+        finder = finder_for_broadcast(bc.value)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -198,16 +234,19 @@ def attach_admins_broadcast(
 
 
 def admin_cell_cover(admins: DataFrame, spark: SparkSession | None = None) -> DataFrame:
-    """Explode each admin into its covering cells (multi-res, bounded
-    per-admin cell budget — geofinder cover policy). Distributed: runs as
-    mapInPandas over the admin table itself."""
+    """Explode each admin into its covering cells — SLIM (cell, id) rows
+    only, never the geometry: replicating WKB once per covering cell (up
+    to MAX_CELLS_PER_ADMIN copies) was the round-1 scale killer. Each
+    admin is covered at exactly ONE resolution (its size class, the
+    geofinder cover policy). Distributed: mapInPandas over the admin
+    table itself."""
     from ..geofinder import _bbox_cells
     from ..geometry import mp_bbox
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tmp = AdminGeoFinder()
         for pdf in batches:
-            out = {"cell": [], "id": [], "boundary_wkb": []}
+            out = {"cell": [], "id": []}
             for _, r in pdf.iterrows():
                 wkb = r["boundary_wkb"]
                 if wkb is None:
@@ -218,13 +257,10 @@ def admin_cell_cover(admins: DataFrame, spark: SparkSession | None = None) -> Da
                 for c in _bbox_cells(bbox, res):
                     out["cell"].append(c)
                     out["id"].append(r["id"])
-                    out["boundary_wkb"].append(bytes(wkb))
             if out["cell"]:
                 yield pd.DataFrame(out)
 
-    return admins.select(*ADMIN_DIM_COLS).mapInPandas(
-        gen, schema="cell long, id string, boundary_wkb binary"
-    )
+    return admins.select(*ADMIN_DIM_COLS).mapInPandas(gen, schema="cell long, id string")
 
 
 def attach_admins_partitioned(
@@ -233,25 +269,49 @@ def attach_admins_partitioned(
     lon_col: str = "lon",
     lat_col: str = "lat",
     point_id_col: str = "point_uid",
+    n_salts: int = 8,
 ) -> DataFrame:
-    """Shuffle-on-cell spatial join for polygon sets beyond broadcast budget.
+    """Shuffle spatial join for polygon sets beyond broadcast budget —
+    the 100-TB-regime path. Three stages, each a standard Spark shape:
 
-    Phase 1 (cogrouped by cell): exact PIP + bbox candidacy per point.
-    Phase 2 (map-side): replay of the G5 dedup/memo loop using the
-    broadcast admin *skeleton* (no geometry). Identical results to the
-    broadcast path — covered by tests.
+    1. **Candidate pairs** (filter phase, G2): points explode to one cell
+       per *live* cover resolution (= admin size class, usually 1-3) and
+       equi-join the slim (cell, admin_id) cover. Pure Catalyst: AQE
+       broadcast-plans the cover when it fits, skew-splits hot city cells
+       otherwise. Pairs are unique by construction (one cover res per
+       admin), so no dedup shuffle.
+    2. **Exact refine** (G3): pairs cogroup with the geometry table on
+       (admin_id, salt) — each admin's WKB crosses the wire exactly
+       ``n_salts`` times TOTAL (not once per covering cell), and the salt
+       (deterministic hash of the point uid, operators/skew.salted_mod_col)
+       splits a giant polygon's candidate set across reducers. bbox
+       pre-filter + vectorized even-odd ray cast inside the cogroup;
+       pairs failing the bbox are dropped (same candidate set as the
+       broadcast path's _candidate_map).
+    3. **Replay** (G5): candidates gather per point (map-side partial
+       collect_list) and the dedup/memo loop replays against the
+       broadcast admin *skeleton* (id/zone_type/parent_id — no geometry),
+       exactly as admin_geofinder.rs:220-269.
+
+    Identical results to the broadcast path — gate `pip_admins_partitioned`
+    is hash-checked against the same closed-form oracle.
     """
+    from ..geometry import mp_bbox as _bb
+    from .skew import salted_mod_col
+
     spark = SparkSession.getActiveSession()
     cover = admin_cell_cover(admins)
 
-    # Points keyed by their cell at every resolution the cover actually
-    # uses (usually 1-2 of the 4 candidates — avoids 4x point duplication).
+    # live cover resolutions (one per admin size class actually present)
     res_levels = [
         int(r["res"])
         for r in cover.select((F.col("cell") / F.lit(2**58)).cast("long").alias("res")).distinct().collect()
     ] or list(AdminGeoFinder.RES_CANDIDATES)
+
     pts = points.select(
-        point_id_col, lon_col, lat_col,
+        F.col(point_id_col).alias("point_uid"),
+        F.col(lon_col).alias("__plon"),
+        F.col(lat_col).alias("__plat"),
         F.explode(
             F.array(*[
                 (F.lit(int(r)) * F.lit(2**58)
@@ -262,130 +322,97 @@ def attach_admins_partitioned(
         ).alias("cell"),
     )
 
-    # skeleton for phase 2 (tiny: no geometry)
+    # stage 1 — candidate pairs (narrow rows: uid, lon, lat, admin_id)
+    pairs = pts.join(cover.withColumnRenamed("id", "admin_id"), "cell").select(
+        "point_uid", "__plon", "__plat", "admin_id",
+        salted_mod_col("point_uid", n_salts).alias("__salt"),
+    )
+
+    # stage 2 — geometry side: one row per (admin, salt); WKB × n_salts total
+    geom = (
+        admins.select(F.col("id").alias("admin_id"), "boundary_wkb")
+        .filter(F.col("boundary_wkb").isNotNull())
+        .withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    )
+
+    def refine(key, pairs_pdf: pd.DataFrame, geom_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"point_uid": [], "admin_id": [], "contains": []})
+        if geom_pdf.empty or pairs_pdf.empty:
+            return empty
+        mp = wkb_to_mp(bytes(geom_pdf["boundary_wkb"].iloc[0]))
+        bb = _bb(mp)
+        lon = pairs_pdf["__plon"].to_numpy(dtype=np.float64)
+        lat = pairs_pdf["__plat"].to_numpy(dtype=np.float64)
+        m = (lon >= bb[0]) & (lon <= bb[2]) & (lat >= bb[1]) & (lat <= bb[3])
+        if not m.any():
+            return empty
+        lon, lat = lon[m], lat[m]
+        uids = pairs_pdf["point_uid"].to_numpy()[m]
+        inside = points_in_multipolygon(lon, lat, mp)
+        return pd.DataFrame(
+            {"point_uid": uids, "admin_id": key[0], "contains": inside.astype(bool)}
+        )
+
+    flags = (
+        pairs.groupBy("admin_id", "__salt")
+        .cogroup(geom.groupBy("admin_id", "__salt"))
+        .applyInPandas(refine, schema="point_uid string, admin_id string, contains boolean")
+    )
+
+    # stage 3 — gather per point (partial agg map-side) + batch replay
     skeleton = {
-        r["id"]: (r["zone_type"], r["parent_id"], r["boundary_wkb"] is not None)
-        for r in admins.select("id", "zone_type", "parent_id", "boundary_wkb").collect()
+        r["id"]: (r["zone_type"], r["parent_id"])
+        for r in admins.select("id", "zone_type", "parent_id").collect()
     }
     bc_skel = spark.sparkContext.broadcast(skeleton)
 
-    # Co-partition both sides on cell via a tagged union + hash
-    # repartition, then refine whole PARTITIONS in one Python call each
-    # (a per-cell cogroup would pay per-group Python overhead × millions
-    # of cells at scale; per-partition it's × shuffle.partitions).
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    tagged_pts = pts.select(
-        "cell",
-        F.lit("p").alias("side"),
-        F.col(point_id_col).alias("point_uid"),
-        F.col(lon_col).alias("lon"),
-        F.col(lat_col).alias("lat"),
-        F.lit(None).cast("string").alias("admin_id"),
-        F.lit(None).cast("binary").alias("wkb"),
-    )
-    tagged_cov = cover.select(
-        "cell",
-        F.lit("a").alias("side"),
-        F.lit(None).cast("string").alias("point_uid"),
-        F.lit(None).cast("double").alias("lon"),
-        F.lit(None).cast("double").alias("lat"),
-        F.col("id").alias("admin_id"),
-        F.col("boundary_wkb").alias("wkb"),
-    )
-    both = tagged_pts.unionByName(tagged_cov).repartition(n_parts, "cell")
-
-    def partition_refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..geometry import mp_bbox as _bb
-
-        # a partition holds complete cells (hash-partitioned on cell);
-        # accumulate it, then refine per cell group vectorized.
-        parts = [pdf for pdf in batches if len(pdf)]
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True)
-        adm = pdf[pdf["side"] == "a"]
-        pts_l = pdf[pdf["side"] == "p"]
-        if adm.empty or pts_l.empty:
-            return
-        geom_cache: dict[str, tuple] = {}
-        # cell -> admin rows; iterate point cells present
-        adm_by_cell: dict[int, list[str]] = {}
-        for cell, aid, wkb in zip(adm["cell"], adm["admin_id"], adm["wkb"]):
-            adm_by_cell.setdefault(int(cell), []).append(aid)
-            if aid not in geom_cache:
-                mp = wkb_to_mp(bytes(wkb))
-                geom_cache[aid] = (mp, _bb(mp))
-        lon = pts_l["lon"].to_numpy(dtype=np.float64)
-        lat = pts_l["lat"].to_numpy(dtype=np.float64)
-        uids = pts_l["point_uid"].to_numpy()
-        cells = pts_l["cell"].to_numpy()
-        # group point indices per (cell, admin) via cell dict
-        pair_pts: dict[str, list[int]] = {}
-        for i, c in enumerate(cells):
-            for aid in adm_by_cell.get(int(c), ()):
-                pair_pts.setdefault(aid, []).append(i)
-        out_uid, out_adm, out_contains = [], [], []
-        for aid, idxs in pair_pts.items():
-            mp, bb = geom_cache[aid]
-            sub = np.asarray(idxs)
-            m = (lon[sub] >= bb[0]) & (lon[sub] <= bb[2]) & (lat[sub] >= bb[1]) & (lat[sub] <= bb[3])
-            sub = sub[m]
-            if not len(sub):
-                continue
-            inside = points_in_multipolygon(lon[sub], lat[sub], geom_cache[aid][0])
-            out_uid.extend(uids[sub])
-            out_adm.extend([aid] * len(sub))
-            out_contains.extend(bool(x) for x in inside)
-        if out_uid:
-            yield pd.DataFrame(
-                {"point_uid": out_uid, "admin_id": out_adm, "contains": out_contains}
-            )
-
-    pairs = both.mapInPandas(
-        partition_refine, schema="point_uid string, admin_id string, contains boolean"
-    ).dropDuplicates(["point_uid", "admin_id"])  # multi-res cover may duplicate pairs
-
-    gathered = pairs.groupBy("point_uid").agg(
+    gathered = flags.groupBy("point_uid").agg(
         F.collect_list(F.struct("admin_id", "contains")).alias("cands")
     )
 
     def replay(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         skel = bc_skel.value
+        memo: dict[tuple, list[str]] = {}
         for pdf in batches:
             out = []
             for cands in pdf["cands"]:
-                info = sorted(
-                    (c["admin_id"] for c in cands),
-                    key=lambda a: (zone_rank(skel[a][0]), a),
-                )
-                contains = {c["admin_id"]: c["contains"] for c in cands}
-                tested: set[str] = set()
-                added: set[str] = set()
-                res: list[str] = []
-                for aid in info:
-                    zt, pid, _ = skel[aid]
-                    if aid in tested:
-                        res.append(aid)
-                    elif zt is not None and zt in added:
-                        pass
-                    elif contains.get(aid, False):
-                        if zt is not None:
-                            added.add(zt)
-                        parent_id = pid
-                        while parent_id is not None:
-                            pz = skel.get(parent_id)
-                            if pz is not None and pz[0] is not None:
-                                added.add(pz[0])
-                            if parent_id in tested:
-                                break
-                            tested.add(parent_id)
-                            parent_id = pz[1] if pz is not None else None
-                        res.append(aid)
+                key = tuple(sorted((c["admin_id"], bool(c["contains"])) for c in cands))
+                res = memo.get(key)
+                if res is None:
+                    ordered = sorted(
+                        (c[0] for c in key), key=lambda a: (zone_rank(skel[a][0]), a)
+                    )
+                    contains = dict(key)
+                    tested: set[str] = set()
+                    added: set[str] = set()
+                    res = []
+                    for aid in ordered:
+                        zt, pid = skel[aid]
+                        if aid in tested:
+                            res.append(aid)
+                        elif zt is not None and zt in added:
+                            pass
+                        elif contains.get(aid, False):
+                            if zt is not None:
+                                added.add(zt)
+                            parent_id = pid
+                            while parent_id is not None:
+                                pz = skel.get(parent_id)
+                                if pz is not None and pz[0] is not None:
+                                    added.add(pz[0])
+                                if parent_id in tested:
+                                    break
+                                tested.add(parent_id)
+                                parent_id = pz[1] if pz is not None else None
+                            res.append(aid)
+                    memo[key] = res
                 out.append(res)
             yield pd.DataFrame({"point_uid": pdf["point_uid"], "admin_ids": out})
 
     attached = gathered.mapInPandas(replay, schema="point_uid string, admin_ids array<string>")
-    return points.join(attached, point_id_col, "left").withColumn(
+    return points.join(
+        attached.withColumnRenamed("point_uid", point_id_col), point_id_col, "left"
+    ).withColumn(
         "admin_ids", F.coalesce("admin_ids", F.array().cast("array<string>"))
     )
 

@@ -61,25 +61,16 @@ def attach_street_admins(
     Broadcast the admin dim (as in attach_admins) and evaluate per way in
     a vectorized batch UDF; per-way candidate work is tiny (few nodes ×
     few candidate admins)."""
-    from .pip import ADMIN_DIM_COLS, _FINDER_CACHE, _finder_from_rows
+    from .pip import broadcast_admin_dim, finder_for_broadcast
 
     spark = SparkSession.getActiveSession()
-    rows = [
-        (r["id"], r["zone_type"], r["parent_id"],
-         bytes(r["boundary_wkb"]) if r["boundary_wkb"] is not None else None)
-        for r in admins.select(*ADMIN_DIM_COLS).collect()
-    ]
-    bc = spark.sparkContext.broadcast(rows)
+    bc = broadcast_admin_dim(spark, admins)
     max_rank = zone_rank(max_zone)
 
     in_cols = streets.columns
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        key = ("streets", id(bc.value))
-        finder = _FINDER_CACHE.get(key)
-        if finder is None:
-            finder = _finder_from_rows(bc.value)
-            _FINDER_CACHE[key] = finder
+        finder = finder_for_broadcast(bc.value)
         # street.rs:338-343: zone_type.map(|zt| zt <= City).unwrap_or(false)
         # — untyped admins are EXCLUDED (unlike `get`, which keeps them)
         cond = lambda rec: rec.zone_type is not None and zone_rank(rec.zone_type) <= max_rank  # noqa: E731
@@ -248,8 +239,11 @@ def stops_pipeline(stops: DataFrame, admins: DataFrame) -> DataFrame:
             "physical_modes", F.lit(0.0), lambda acc, m: acc + F.coalesce(mode_map[m], F.lit(0.0))
         ),
     )
-    max_count = with_counts.agg(F.max("n_stop_points")).collect()[0][0] or 1
-    max_mode = with_counts.agg(F.max("mode_weight_sum")).collect()[0][0] or 1.0
+    maxima = with_counts.agg(
+        F.max("n_stop_points").alias("c"), F.max("mode_weight_sum").alias("m")
+    ).collect()[0]
+    max_count = maxima["c"] or 1
+    max_mode = maxima["m"] or 1.0
     weighted = with_counts.withColumn(
         "count_weight", F.col("n_stop_points") / F.lit(float(max_count))
     ).withColumn("mode_weight", F.col("mode_weight_sum") / F.lit(float(max_mode)))

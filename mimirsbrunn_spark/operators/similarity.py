@@ -85,6 +85,26 @@ def signature_expr(vec_col: str, table: int, bits: int, dim: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def bucketize(
+    df: DataFrame, tables: int, bits: int, dim: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """One row per (vector, lsh_table) with its b-bit signature — the
+    shared bucketing stage of the ANN top-k and near-dup operators."""
+    parts = [
+        df.select(
+            F.col(id_col), F.col(vec_col),
+            F.lit(t).alias("lsh_table"),
+            F.expr(signature_expr(vec_col, t, bits, dim)).alias("sig"),
+        )
+        for t in range(tables)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -97,23 +117,8 @@ def ann_lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: union of per-table signature buckets, exact
     re-rank inside the candidate set. Recall grows with ``tables``."""
-    def bucketize(df, side):
-        parts = []
-        for t in range(tables):
-            parts.append(
-                df.select(
-                    F.col(id_col), F.col(vec_col),
-                    F.lit(t).alias("lsh_table"),
-                    F.expr(signature_expr(vec_col, t, bits, dim)).alias("sig"),
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-
-    qb = bucketize(queries, "q").alias("a")
-    cb = bucketize(corpus, "c").alias("b")
+    qb = bucketize(queries, tables, bits, dim, id_col, vec_col).alias("a")
+    cb = bucketize(corpus, tables, bits, dim, id_col, vec_col).alias("b")
     cand = (
         qb.join(cb, ["lsh_table", "sig"])
         .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
@@ -134,4 +139,46 @@ def ann_lsh_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_vec", "neighbor_vec", "cosine", "rank")
+    )
+
+
+def lsh_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 6,
+    tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup detection at scale: the *threshold* counterpart
+    of ann_lsh_topk (VERDICT r01: the production dedup decision was only
+    available as an all-pairs O(n²) join).
+
+    Signature-bucket self-join → exact cosine >= threshold inside the
+    candidate set. Cost is Σ bucket² instead of n²; identical vectors
+    always share every bucket (recall 1.0 for exact dups), and recall for
+    near-dups at cosine c is 1-(1-(1-acos(c)/pi)^bits)^tables — at the
+    near-dup thresholds this operator is for (>= ~0.9) it is ~1.
+    Output: (vec_a, vec_b, cosine), vec_a < vec_b, distinct."""
+    b_all = bucketize(corpus, tables, bits, dim, id_col, vec_col)
+    a, b = b_all.alias("a"), b_all.alias("b")
+    cand = (
+        a.join(b, ["lsh_table", "sig"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.col(f"a.{vec_col}").alias("qv"),
+            F.col(f"b.{vec_col}").alias("cv"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = F.round(
+        F.expr(_dot_fold("qv", "cv")) / (F.expr(_norm_fold("qv")) * F.expr(_norm_fold("cv"))), 6
+    )
+    return (
+        cand.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
     )

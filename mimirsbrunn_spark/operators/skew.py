@@ -68,6 +68,16 @@ def salted_cell_col(
     return F.when(base.isin(hot_cells), fine).otherwise(base).alias("salted_cell")
 
 
+def salted_mod_col(key_col: Column | str, n_salts: int) -> Column:
+    """Deterministic hash-mod salt in [0, n_salts): content-derived (no
+    rand()), so retries/AQE replans recompute the identical salt. Used by
+    the partitioned PIP refine to split one giant polygon's candidate set
+    (a country's millions of candidate points would otherwise land on a
+    single (admin_id) reducer)."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.pmod(F.xxhash64(c), F.lit(n_salts)).cast("int")
+
+
 def split_cells_to_children(cells: list[int], levels: int = 2) -> list[int]:
     """Enumerate the res+levels children of the given cells (driver-side;
     used to re-key the small/dimension side of a salted join)."""

@@ -71,6 +71,17 @@ def merge_update(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
         ],
     )
     inserts = updates.join(target.select(key), key, "left_anti")
-    if set(updates.columns) == set(target.columns):
-        return merged.unionByName(inserts)
-    return merged
+    extra = set(updates.columns) - set(target.columns)
+    if extra:
+        raise ValueError(f"update columns not in target schema: {sorted(extra)}")
+    # partial-document inserts are null-padded to the target schema (the
+    # reference's update-by-id path upserts whatever fields it has;
+    # silently dropping new-key rows would lose data).
+    inserts = inserts.select(
+        *[
+            F.col(c) if c in updates.columns
+            else F.lit(None).cast(target.schema[c].dataType).alias(c)
+            for c in target.columns
+        ]
+    )
+    return merged.unionByName(inserts)

@@ -109,16 +109,33 @@ def grid_disk(cell: int, k: int) -> list[int]:
     return sorted(set(out))
 
 
+# meters per degree consistent with geometry.EARTH_RADIUS_M = 6_371_000
+# (2*pi*R/360); using a larger constant here would undersize pruning disks
+# relative to the haversine refine and silently drop in-radius neighbors.
+M_PER_DEG = 2.0 * np.pi * 6_371_000.0 / 360.0
+
+
+def radius_disk_k(lat: float, radius_m: float, res: int) -> int:
+    """Chebyshev ring count k such that the (2k+1)^2 cell disk is a
+    guaranteed superset of the metric radius around any point at ``lat``.
+
+    floor(delta/width)+1 rings are required to cover an offset of delta
+    from an arbitrary in-cell position; +1 more is a safety ring for the
+    lon-width underestimate at the disk's far latitudes (cos evaluated at
+    the query latitude only). Extras are free: the exact haversine refine
+    filters them."""
+    n = _grid_n(res)
+    cell_h_m = 180.0 / (1 << n) * M_PER_DEG  # meridional cell height
+    coslat = max(np.cos(np.radians(lat)), 1e-9)
+    cell_w_m = 360.0 / (1 << n) * M_PER_DEG * coslat
+    return int(max(np.floor(radius_m / cell_h_m), np.floor(radius_m / cell_w_m))) + 2
+
+
 def grid_cells_for_radius(lon: float, lat: float, radius_m: float, res: int) -> list[int]:
     """Disk of cells covering a metric radius around a point (kNN pruning,
     role of ``geo_distance`` filter in
     ``/root/reference/libs/mimir/src/adapters/primary/common/dsl.rs:391-423``)."""
-    n = _grid_n(res)
-    cell_h_m = 180.0 / (1 << n) * 111_320.0  # meridional cell height
-    coslat = max(np.cos(np.radians(lat)), 1e-9)
-    cell_w_m = 360.0 / (1 << n) * 111_320.0 * coslat
-    k = int(max(np.ceil(radius_m / cell_h_m), np.ceil(radius_m / cell_w_m)))
-    return grid_disk(grid_cell(lon, lat, res), k)
+    return grid_disk(grid_cell(lon, lat, res), radius_disk_k(lat, radius_m, res))
 
 
 # ---------------------------------------------------------------------------

@@ -34,14 +34,31 @@ def _places_df(spark):
 
 
 def test_label_goldens(spark):
-    # labels.rs:266-312 goldens: "20 rue hector malot (Paris)",
-    # "Herengracht 573 (Amsterdam)" (NL order not modeled: hn-first default)
-    df = _places_df(spark).withColumn("name", E.format_addr_name("house_number", "street"))
+    # labels.rs:266-299 goldens, country-keyed C3 order: fr_addr
+    # "20 rue hector malot (Paris)" (hn-first), nl_addr "Herengracht 573
+    # (Amsterdam)" (street-first default_name, labels.rs:121-124)
+    df = _places_df(spark).withColumn("cc", F.when(F.col("street") == "rue hector malot", "fr").otherwise("nl"))
+    df = df.withColumn("name", E.format_addr_name("house_number", "street", F.col("cc")))
     out = {r["street"]: (r["name"], r["label"]) for r in
            df.withColumn("label", E.format_label("name")).collect()}
     assert out["rue hector malot"] == ("20 rue hector malot", "20 rue hector malot (Paris)")
-    assert out["Herengracht"][1] == "573 Herengracht (Amsterdam)"
+    assert out["Herengracht"] == ("Herengracht 573", "Herengracht 573 (Amsterdam)")
     assert out["lonely road"] == ("lonely road", "lonely road")  # no city admin
+
+
+def test_addr_name_country_templates(spark):
+    # street-first when no country is known (the reference's default_name)
+    df = spark.createDataFrame([("5", "Hauptstrasse")], "hn string, st string")
+    got = df.select(
+        E.format_addr_name("hn", "st").alias("default"),
+        E.format_addr_name("hn", "st", "de").alias("de"),
+        E.format_addr_name("hn", "st", "FR").alias("fr"),  # case-insensitive
+        E.format_addr_name("hn", "st", "us").alias("us"),
+    ).collect()[0]
+    assert got["default"] == "Hauptstrasse 5"
+    assert got["de"] == "Hauptstrasse 5"
+    assert got["fr"] == "5 Hauptstrasse"
+    assert got["us"] == "5 Hauptstrasse"
 
 
 def test_zip_codes_from_admins(spark):

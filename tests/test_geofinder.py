@@ -103,3 +103,30 @@ def test_boundaryless_admin_not_indexed_but_resolvable():
     f = finder_of(make_admin("bob_city", 40.0, "city", 1.0, "ghost_parent"))
     f.insert(AdminRec(id="ghost_parent", zone_type="state", parent_id=None, mp=[]))
     assert f.get_ids(44.0, 44.0) == ["bob_city"]
+
+
+def test_get_admins_if_boundary_inclusive():
+    """admin_geofinder.rs:186-188: get_admins_if tests
+    bound.intersects(&Point) — boundary-INCLUSIVE — while get (:101-104)
+    uses exclusive contains. A node exactly on an admin edge (a shared
+    OSM way/boundary node) must attach via get_admins_if."""
+    from mimirsbrunn_spark.geofinder import AdminRec
+
+    square = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    f = finder_of(
+        AdminRec(id="admin:sq", zone_type="city", parent_id="admin:top", mp=[[square]]),
+        AdminRec(id="admin:top", zone_type="state", parent_id=None, mp=[]),
+    )
+    cond = lambda rec: rec.zone_type is not None  # noqa: E731
+    # (0.5, 1.0) sits exactly on the TOP edge — the even-odd ray cast puts
+    # it outside (half-open convention), so `get` excludes it...
+    assert f.get_ids(0.5, 1.0) == []
+    # ...but the boundary-inclusive get_admins_if attaches the full branch
+    branches = f.get_admins_if(0.5, 1.0, cond)
+    assert [[a.id for a in br] for br in branches] == [["admin:sq", "admin:top"]]
+    # vertex case
+    branches = f.get_admins_if(0.0, 1.0, cond)
+    assert [[a.id for a in br] for br in branches] == [["admin:sq", "admin:top"]]
+    # strictly interior / exterior behave as before
+    assert [[a.id for a in br] for br in f.get_admins_if(0.5, 0.5, cond)] == [["admin:sq", "admin:top"]]
+    assert f.get_admins_if(2.0, 2.0, cond) == []

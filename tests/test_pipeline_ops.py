@@ -160,3 +160,54 @@ def test_forward_geocode_fixture_examples(spark):
     # reverse endpoint (G7): nearest addr/street to a coord within 1 km
     hits = reverse_geocode_endpoint(places, 1.4701, 45.2501, k=1, radius_m=1000.0).collect()
     assert len(hits) == 1 and hits[0]["target_id"] in ("addr:1", "street:1")
+
+
+def test_coverage_cover_finer_than_raster(spark):
+    """ADVICE r01: an admin small enough to be covered at res 8 (finer than
+    the res-7 raster) must still match — the cover is rolled up to the
+    raster res instead of shift-right-by-negative garbage."""
+    import numpy as np
+
+    from mimirsbrunn_spark.geometry import mp_to_wkb
+    from mimirsbrunn_spark.operators.coverage import coverage_stats
+    from mimirsbrunn_spark.schemas import DOCS
+
+    sq = [[np.array([[12.33, 43.20], [12.35, 43.20], [12.35, 43.22], [12.33, 43.22]])]]
+    admins = spark.createDataFrame(
+        [("admin:small", "city", None, bytearray(mp_to_wkb(sq)))],
+        "id string, zone_type string, parent_id string, boundary_wkb binary",
+    )
+    docs = spark.createDataFrame(
+        [
+            ("d1", [
+                {"kind": "geo", "text": "12.34;43.21", "media_ref": "", "offset": 0},
+                {"kind": "media", "text": "", "media_ref": "media:x", "offset": 1},
+            ]),
+        ],
+        DOCS,
+    )
+    # sanity: this admin really is covered at res 8 (finer than raster res 7)
+    from mimirsbrunn_spark.geofinder import AdminGeoFinder
+    from mimirsbrunn_spark.geometry import mp_bbox
+
+    assert AdminGeoFinder()._pick_res(mp_bbox(sq)) == 8
+    stats = coverage_stats(docs, admins, res=7).collect()
+    assert len(stats) == 1
+    assert stats[0]["admin_id"] == "admin:small" and stats[0]["n_media"] == 1
+
+
+def test_merge_update_partial_schema_inserts(spark):
+    """ADVICE r01: partial-document updates must still insert new-key rows
+    (null-padded to the target schema), not silently drop them."""
+    from mimirsbrunn_spark.sources import merge_update
+
+    target = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "id int, v string, w int")
+    updates = spark.createDataFrame([(2, "B"), (9, "z")], "id int, v string")
+    got = {r["id"]: (r["v"], r["w"]) for r in merge_update(target, updates, "id").collect()}
+    assert got == {1: ("a", 10), 2: ("B", 20), 9: ("z", None)}
+
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(2, "B")], "id int, nosuch string")
+    with _pytest.raises(ValueError):
+        merge_update(target, bad, "id")

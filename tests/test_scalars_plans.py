@@ -88,9 +88,65 @@ def test_knn_join_is_broadcast_no_python(spark):
     t = points_from_orders(spark, "/root/testdata/sf0.01").withColumnRenamed("point_id", "target_id")
     plan = reverse_geocode(q, t, k=3, radius_m=2e6, res=0)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    # the huge target side stays JVM: no Python eval below the join
-    target_side = plan.split("BroadcastHashJoin")[0]
-    assert "BatchEvalPython" not in target_side and "ArrowEvalPython" not in target_side
+    # the ENTIRE plan is JVM-side since the r02 Catalyst ring enumeration —
+    # no Python eval on either side (required for the G8 POI×address reuse
+    # where the query side is millions of rows).
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_knn_catalyst_disk_matches_python_helper(spark):
+    """The Catalyst explode(sequence) disk enumerates exactly the cells of
+    tiles.grid_cells_for_radius — verified by planting one target at every
+    python-disk cell centre and requiring the operator to pair each with
+    its own query (the equi-join can only see cells its Catalyst disk
+    enumerated). Cases include antimeridian wrap and a high latitude."""
+    from pyspark.sql import functions as F2
+
+    from mimirsbrunn_spark.operators.knn import reverse_geocode
+    from mimirsbrunn_spark.tiles import _I_SHIFT, _RES_SHIFT, _grid_n, grid_cells_for_radius
+
+    cases = [(2.35, 48.86), (-179.995, 60.0), (12.5, 0.0), (17.3, 75.0)]
+    res, radius = 8, 2500.0
+    size = 1 << _grid_n(res)
+    qdf = spark.createDataFrame(
+        [(i, lo, la) for i, (lo, la) in enumerate(cases)], "query_id int, lon double, lat double"
+    )
+    rows, want = [], {}
+    for qi, (lo, la) in enumerate(cases):
+        disk = grid_cells_for_radius(lo, la, radius, res)
+        want[qi] = len(disk)
+        for c in disk:
+            rem = c % _RES_SHIFT
+            ci, cj = rem // _I_SHIFT, rem % _I_SHIFT
+            rows.append((f"t{qi}_{c}", (ci + 0.5) / size * 360.0 - 180.0,
+                         (cj + 0.5) / size * 180.0 - 90.0))
+    tdf = spark.createDataFrame(rows, "target_id string, lon double, lat double")
+    # disable the metric refine (big radius bound via same radius → keep the
+    # same disk size) by filtering pairs ourselves: ask for a huge k and
+    # count pairs whose target belongs to the same query's planted set.
+    got = reverse_geocode(qdf, tdf, k=10_000_000, radius_m=radius * 4, res=res)
+    hits = (
+        got.filter(F2.split("target_id", "_").getItem(0) == F2.concat(F2.lit("t"), F2.col("query_id")))
+        .groupBy("query_id").agg(F2.count("*").alias("n")).collect()
+    )
+    per_q = {r["query_id"]: r["n"] for r in hits}
+    # every planted cell centre within 4*radius must be reachable through
+    # the Catalyst disk of radius 4*radius (a strict superset of the python
+    # disk of radius 1*radius) — if the Catalyst enumeration dropped or
+    # mis-wrapped cells, some planted targets would be unreachable.
+    import numpy as np
+
+    from mimirsbrunn_spark.geometry import haversine_np
+
+    for qi, (lo, la) in enumerate(cases):
+        reachable = 0
+        for tid, tlo, tla in rows:
+            if not tid.startswith(f"t{qi}_"):
+                continue
+            if haversine_np(np.array([lo]), np.array([la]), np.array([tlo]), np.array([tla]))[0] <= radius * 4:
+                reachable += 1
+        assert per_q.get(qi, 0) == reachable
 
 
 def test_flagship_has_single_shuffle_at_rollup(spark, fixtures_dir):

@@ -134,3 +134,44 @@ def test_haversine_sql_matches_numpy(spark):
         .to_numpy()
     )
     assert np.allclose(np.sort(sp), np.sort(want), rtol=1e-9)
+
+
+def test_radius_disk_never_drops_in_radius_points():
+    """ADVICE r01: the pruning disk must be a superset of the metric
+    radius — probe points just inside the radius on many bearings at
+    awkward latitudes and assert their cell is in the disk."""
+    import math
+
+    from mimirsbrunn_spark.geometry import EARTH_RADIUS_M, haversine_np
+    from mimirsbrunn_spark.tiles import grid_cell, grid_cells_for_radius
+
+    import numpy as np
+
+    for lat0, lon0 in [(0.0, 0.0), (45.3, 2.7), (60.1, -179.99), (74.9, 17.3)]:
+        for radius in (500.0, 1000.0, 4999.0):
+            for res in (7, 9):
+                disk = set(grid_cells_for_radius(lon0, lat0, radius, res))
+                d = radius * 0.999
+                for bearing_deg in range(0, 360, 20):
+                    th = math.radians(bearing_deg)
+                    la1 = math.radians(lat0)
+                    ang = d / EARTH_RADIUS_M
+                    la2 = math.asin(
+                        math.sin(la1) * math.cos(ang)
+                        + math.cos(la1) * math.sin(ang) * math.cos(th)
+                    )
+                    lo2 = math.radians(lon0) + math.atan2(
+                        math.sin(th) * math.sin(ang) * math.cos(la1),
+                        math.cos(ang) - math.sin(la1) * math.sin(la2),
+                    )
+                    lat2, lon2 = math.degrees(la2), math.degrees(lo2)
+                    if lon2 > 180.0:
+                        lon2 -= 360.0
+                    if lon2 < -180.0:
+                        lon2 += 360.0
+                    assert haversine_np(
+                        np.array([lon0]), np.array([lat0]), np.array([lon2]), np.array([lat2])
+                    )[0] <= radius
+                    assert grid_cell(lon2, lat2, res) in disk, (
+                        lat0, lon0, radius, res, bearing_deg,
+                    )
