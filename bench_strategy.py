@@ -1,0 +1,112 @@
+"""PIP attach strategy comparison at bench scale (broadcast vs partitioned).
+
+The broadcast path is the common case (admin dim fits executor memory);
+the partitioned path is THE path in the 100-TB regime where the polygon
+side exceeds broadcast budget, so its gap to broadcast is what matters.
+Round-1 gap was 6.6x (WKB replicated per covering cell + triple shuffle);
+the round-2 rewrite targets <= 2x.
+
+Usage: python bench_strategy.py [n_docs] — reuses the bench_scaling
+corpus cache; prints one JSON line and refreshes the strategy table in
+BENCH/BASELINE.md between the STRATEGY-TABLE markers (appends the section
+if absent).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    from pyspark.sql import functions as F
+
+    from bench import ensure_corpus
+    from mimirsbrunn_spark.operators.pip import attach_admins
+    from mimirsbrunn_spark.operators.spans import extract_geo_points
+    from mimirsbrunn_spark.session import get_spark
+    from mimirsbrunn_spark.tiles import with_grid_cells
+
+    sf_equiv = n_docs / 1_500_000
+    spark = get_spark(app_name="bench_strategy", cpus=32, shuffle_partitions=64)
+    docs_path, admins_path, n_docs = ensure_corpus(
+        spark, sf_equiv, REPO / ".bench_cache" / "scaling"
+    )
+    docs = spark.read.parquet(docs_path)
+    admins = spark.read.parquet(admins_path)
+
+    def _warm(it):
+        import numpy  # noqa: F401
+
+        yield from it
+
+    spark.range(64).repartition(64).mapInPandas(_warm, "id long").count()
+
+    pts = (
+        with_grid_cells(extract_geo_points(docs), "lon", "lat")
+        .select(
+            F.concat_ws("#", "doc_id", "span_offset").alias("point_uid"),
+            "lon", "lat",
+        )
+    )
+    pts.write.mode("overwrite").parquet(str(REPO / ".bench_cache" / "strategy_pts.parquet"))
+    pts = spark.read.parquet(str(REPO / ".bench_cache" / "strategy_pts.parquet"))
+    n_points = pts.count()
+
+    def run(strategy: str) -> float:
+        t0 = time.perf_counter()
+        out = attach_admins(pts, admins, strategy=strategy)
+        # force full admin_ids evaluation, tiny result
+        out.select(F.size("admin_ids").alias("n")).groupBy("n").count().collect()
+        return time.perf_counter() - t0
+
+    times: dict[str, list[float]] = {"broadcast": [], "partitioned": []}
+    for _ in range(reps):  # interleave so noise bursts hit both
+        for s in ("broadcast", "partitioned"):
+            times[s].append(round(run(s), 2))
+    best = {s: min(ts) for s, ts in times.items()}
+    ratio = round(best["partitioned"] / best["broadcast"], 2)
+    report = {
+        "n_docs": n_docs,
+        "n_points": n_points,
+        "times": times,
+        "best_sec": best,
+        "pts_per_sec": {s: round(n_points / b, 1) for s, b in best.items()},
+        "partitioned_over_broadcast": ratio,
+    }
+    print(json.dumps(report))
+
+    md = REPO / "BENCH" / "BASELINE.md"
+    section = f"""## Strategy comparison at {n_points / 1e6:.0f}M points ({n_docs / 1e6:.0f}M docs, 32 cores)
+
+| attach strategy | best wall | throughput | when to use |
+|---|---|---|---|
+| broadcast (default) | {best['broadcast']:.1f} s | {n_points / best['broadcast'] / 1e6:.2f}M pts/s | admin dim fits executor memory (the common case) |
+| partitioned (pair join + salted cogroup refine) | {best['partitioned']:.1f} s | {n_points / best['partitioned'] / 1e6:.2f}M pts/s | polygon side beyond broadcast budget — WKB shipped once per salt (8), never per covering cell |
+
+Partitioned/broadcast ratio: **{ratio}x** (round-1: 6.6x; target <= 2x).
+Runs interleaved min-of-{reps}: broadcast {times['broadcast']}, partitioned
+{times['partitioned']}. Both strategies hash-identical on the gate
+(`pip_admins` vs `pip_admins_partitioned`).
+"""
+    if md.exists():
+        text = md.read_text()
+        pat = re.compile(r"## Strategy comparison at .*?(?=\n## |\Z)", re.S)
+        if pat.search(text):
+            text = pat.sub(section, text)
+        else:
+            text = text.rstrip() + "\n\n" + section
+        md.write_text(text)
+        print(f"updated {md}")
+
+
+if __name__ == "__main__":
+    main()

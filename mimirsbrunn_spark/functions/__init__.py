@@ -7,3 +7,8 @@ from .geocode import (  # noqa: F401
     score_expr,
 )
 from . import scalars  # noqa: F401
+from .geocodejson import (  # noqa: F401
+    geocodejson_feature,
+    geocodejson_response,
+    to_geocodejson,
+)

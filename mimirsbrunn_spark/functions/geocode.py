@@ -1,17 +1,31 @@
 """Query-side geocoding: the bragi /autocomplete semantics as DataFrame
-score columns (SURVEY §2.9, scope = fixture parity, not BM25 parity).
+score columns (SURVEY §2.9).
 
 The reference compiles query params into an Elasticsearch DSL
 (/root/reference/libs/mimir/src/adapters/primary/common/dsl.rs); our
-"DSL" is a scored DataFrame: candidate filter (T4/T5 matching
-conditions) → additive boost columns (T6 type boost, T7 importance,
-T8 proximity decay) → orderBy(score desc).limit(k) (W3). Every score
-term is a plain column — the reference's /explain endpoint (T10)
-degenerates to selecting the term columns.
+"DSL" is a scored DataFrame mirroring the same bool-query structure:
+
+    score = string_query (T3: per-field boosts, dsl.rs:73-135)
+          + type boost   (T6: dsl.rs:336-350)
+          + importance   (T7: per-type field_value_factor + admin log1p,
+                          radius-interpolated weights, dsl.rs:188-217,
+                          :315-334, :605-659)
+          + proximity    (T8: exp decay × weight, dsl.rs:354-389)
+    filtered by the matching condition (T4, dsl.rs:265-312) and the
+    house-number gate (T5).
+
+Every score term is a plain column — the reference's /explain endpoint
+(T10) degenerates to selecting the term columns. BM25 magnitudes are not
+reproduced (no IDF statistics in a scan-time model); RELATIVE field
+boosts and the additive bool structure are, which is what the reference's
+own feature examples exercise.
 """
 
 from __future__ import annotations
 
+import math
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -20,6 +34,30 @@ from ..operators.knn import haversine_col
 # T6 — type boosts (config/query/default.toml:2-10)
 TYPE_BOOSTS = {"addr": 30.0, "admin": 19.0, "stop": 18.0, "poi": 1.5, "street": 1.0}
 GLOBAL_BOOST = 0.025
+
+# T3 — string-query per-field boosts (config/query/default.toml:12-24)
+STRING_BOOSTS = {
+    "name": 1.8,
+    "alt_name": 1.8,
+    "loc_name": 1.8,
+    "label": 0.6,
+    "label_prefix": 0.6,
+    "zip_codes": 1.0,
+    "house_number": 0.001,
+    "label_ngram": 1.8,
+    "label_ngram_with_coord": 3.8,
+}
+# string_query.global = 0.00083 against BM25 magnitudes of O(10); our
+# coverage scores are O(1) per field, so fold the nominal magnitude in.
+STRING_GLOBAL = 0.00083 * 12.0
+
+# T7 — importance weights (config/query/default.toml:26-47)
+IMPORTANCE_TYPES = {"addr": 0.5, "admin": 0.5, "poi": 0.5, "stop": 1.0, "street": 0.5}
+RADIUS_RANGE = (100.0, 10_000.0)
+MIN_RADIUS_PREFIX = {"admin": 0.12, "factor": 0.4, "missing": 0.0}
+MIN_RADIUS_FUZZY = {"admin": 0.03, "factor": 0.15, "missing": 0.0}
+MAX_RADIUS = {"admin": 0.03, "factor": 0.75, "missing": 0.0}
+PROXIMITY_WEIGHT = 0.4
 
 # T1 — the reference's synonym groups (mimir-base.json:~synonyms), each
 # alias mapped to its canonical token. Short aliases NOT in this list
@@ -50,7 +88,8 @@ SYNONYMS = {
 
 def normalize_text(col: Column | str) -> Column:
     """T1 analyzer core: lowercase + asciifold (accent strip) + elision
-    (French l'/d' prefixes, word_elision analyzer)."""
+    (French l'/d' prefixes, word_elision analyzer) + punctuation → space
+    (the ES standard tokenizer splits on punctuation)."""
     c = F.col(col) if isinstance(col, str) else col
     lowered = F.lower(c)
     folded = F.translate(
@@ -59,15 +98,12 @@ def normalize_text(col: Column | str) -> Column:
         "aaaaaaceeeeiiiinooooouuuuyyoa",
     )
     elided = F.regexp_replace(folded, r"\b[ld]'", "")
-    return F.regexp_replace(F.trim(elided), r"[-']", " ")
+    return F.regexp_replace(F.trim(elided), r"[-'(),.;:]", " ")
 
 
 def expand_synonyms(tokens: Column) -> Column:
     """Token-level synonym expansion (flatMap through the synonym map)."""
-    expr = None
-    mapping = F.create_map(
-        *[F.lit(x) for kv in SYNONYMS.items() for x in kv]
-    )
+    mapping = F.create_map(*[F.lit(x) for kv in SYNONYMS.items() for x in kv])
     return F.flatten(
         F.transform(
             tokens,
@@ -82,37 +118,263 @@ def _query_tokens(q: str) -> list[str]:
     folded = "".join(
         c for c in unicodedata.normalize("NFD", q.lower()) if unicodedata.category(c) != "Mn"
     )
-    folded = folded.replace("-", " ").replace("'", " ")
+    for ch in "-'(),.;:":
+        folded = folded.replace(ch, " ")
     out = []
     for t in folded.split():
         out.extend(SYNONYMS.get(t, t).split())
     return out
 
 
-def score_expr(q_tokens: list[str], label_col: str = "label") -> Column:
-    """T3/T4-ish additive match score on the normalized label:
-    +1 per query token contained as a token, +0.5 per token that prefixes
-    a label token (the edge-ngram 'prefix' field role)."""
-    label_toks = F.split(normalize_text(label_col), " ")
+def _tokens_of(col_name: str) -> Column:
+    return F.filter(F.split(normalize_text(col_name), " +"), lambda x: x != "")
+
+
+def _auto_fuzz(token: str, low: int = 3, high: int = 6) -> int:
+    """ES `fuzziness: AUTO` edit budget: 0 below `low` chars, 1 below
+    `high`, else 2 (AUTO default 3,6; "auto:4,8" for SEARCH)."""
+    n = len(token)
+    return 0 if n < low else (1 if n < high else 2)
+
+
+def field_score(q_tokens: list[str], field: str, fuzzy: bool = False) -> Column:
+    """Per-field token-coverage score: +1 exact token, +0.5 prefix hit
+    (the edge-ngram .prefix role), and with ``fuzzy`` +0.7 within the
+    AUTO edit budget. Null fields score 0."""
+    toks = _tokens_of(field)
     score = F.lit(0.0)
     for t in q_tokens:
-        exact = F.array_contains(label_toks, t).cast("double")
-        prefix = (
-            F.exists(label_toks, lambda x: x.startswith(t)).cast("double") * F.lit(0.5)
+        exact = F.array_contains(toks, t).cast("double")
+        prefix = F.exists(toks, lambda x: x.startswith(t)).cast("double") * F.lit(0.5)
+        cred = F.greatest(exact, prefix)
+        if fuzzy and _auto_fuzz(t) > 0:
+            fz = F.exists(
+                toks, lambda x: F.levenshtein(x, F.lit(t)) <= F.lit(_auto_fuzz(t))
+            ).cast("double") * F.lit(0.7)
+            cred = F.greatest(cred, fz)
+        score = score + cred
+    return F.coalesce(score, F.lit(0.0))
+
+
+def string_query_score(
+    df: DataFrame, q_tokens: list[str], query_type: str, lang: str | None, has_coord: bool
+) -> Column:
+    """T3 — build_string_query (dsl.rs:73-135): a bool-should of
+    multi_match groups; each group scores best-of-fields × its boost.
+    Optional columns (alt_name, loc_name, names/labels maps, zip_codes,
+    house_number) participate when present."""
+    cols = set(df.columns)
+
+    def best(fields: list[Column]) -> Column:
+        out = fields[0]
+        for f in fields[1:]:
+            out = F.greatest(out, f)
+        return out
+
+    def lang_variant(map_col: str) -> list[Column]:
+        if lang and map_col in cols:
+            tmp = F.try_element_at(F.col(map_col), F.lit(lang))
+            toks = F.filter(F.split(normalize_text(tmp), " +"), lambda x: x != "")
+            score = F.lit(0.0)
+            for t in q_tokens:
+                exact = F.array_contains(toks, t).cast("double")
+                prefix = F.exists(toks, lambda x: x.startswith(t)).cast("double") * F.lit(0.5)
+                score = score + F.greatest(exact, prefix)
+            return [F.coalesce(score, F.lit(0.0))]
+        return []
+
+    groups = []
+    if "name" in cols:
+        groups.append(best([field_score(q_tokens, "name")] + lang_variant("names")) * STRING_BOOSTS["name"])
+    if "alt_name" in cols:
+        groups.append(field_score(q_tokens, "alt_name") * STRING_BOOSTS["alt_name"])
+    if "loc_name" in cols:
+        groups.append(field_score(q_tokens, "loc_name") * STRING_BOOSTS["loc_name"])
+    groups.append(best([field_score(q_tokens, "label")] + lang_variant("labels")) * STRING_BOOSTS["label"])
+    if "zip_codes_str" in cols:
+        groups.append(field_score(q_tokens, "zip_codes_str") * STRING_BOOSTS["zip_codes"])
+    if "house_number" in cols:
+        groups.append(field_score(q_tokens, "house_number") * STRING_BOOSTS["house_number"])
+    if query_type != "search":
+        groups.append(field_score(q_tokens, "label") * STRING_BOOSTS["label_prefix"])
+    if query_type == "fuzzy":
+        b = STRING_BOOSTS["label_ngram_with_coord"] if has_coord else STRING_BOOSTS["label_ngram"]
+        groups.append(field_score(q_tokens, "label", fuzzy=True) * b)
+    total = groups[0]
+    for g in groups[1:]:
+        total = total + g
+    return total * F.lit(STRING_GLOBAL)
+
+
+# -- T4 matching conditions (dsl.rs:265-312) --------------------------------
+
+
+def _msm_fuzzy(n: int) -> int:
+    """minimum_should_match "1<-1 3<-2 9<-4 20<25%" over ngram clauses."""
+    if n <= 1:
+        return n
+    if n <= 3:
+        return n - 1
+    if n <= 9:
+        return n - 2
+    if n <= 20:
+        return n - 4
+    return max(1, int(n * 0.25))
+
+
+def _msm_search(n: int) -> int:
+    """minimum_should_match "4<-1 7<-25%" (SEARCH on full_label_extra)."""
+    if n <= 4:
+        return n
+    if n <= 7:
+        return n - 1
+    return max(1, int(n * 0.25))
+
+
+def full_label_tokens(df: DataFrame) -> Column:
+    """The ``full_label`` field: label + every i18n label + zip_codes,
+    via copy_to in the reference mapping (mimir-base.json:147-151,
+    215-219; mimir-dynamic-mappings.json i18n_labels). This — and only
+    this — is what the T4 matching conditions see; name/alt_name/loc_name
+    influence scores, never matching."""
+    cols = set(df.columns)
+    parts = [_tokens_of("label")]
+    if "labels" in cols:
+        parts.append(
+            F.flatten(
+                F.transform(
+                    F.coalesce(F.map_values(F.col("labels")), F.array().cast("array<string>")),
+                    lambda v: F.filter(F.split(normalize_text(v), " +"), lambda x: x != ""),
+                )
+            )
         )
-        score = score + F.greatest(exact, prefix)
-    return score
+    if "zip_codes_str" in cols:
+        parts.append(_tokens_of("zip_codes_str"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, p)
+    return out
+
+
+def _char_ngrams(token: str, n: int = 3) -> list[str]:
+    return [token[i:i + n] for i in range(len(token) - n + 1)]
+
+
+def _ngrams_of_tokens(toks: Column) -> Column:
+    return F.flatten(
+        F.transform(
+            toks,
+            # min_gram=3: shorter tokens emit nothing (a start>stop
+            # sequence() would count DOWN in Spark, hence the guard)
+            lambda tok: F.when(
+                F.length(tok) >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(tok) - 2),
+                    lambda i: tok.substr(i, F.lit(3)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+
+
+def matching_condition(q_tokens: list[str], query_type: str, toks: Column) -> Column:
+    """T4 — the gate that a document must pass before boosts matter.
+
+    PREFIX: every query token exact-or-prefix matches a full-label token
+    (``operator: and`` on full_label.prefix, dsl.rs:276-283).
+    FUZZY: ngram-level minimum_should_match "1<-1 3<-2 9<-4 20<25%"
+    (dsl.rs:284-301) — query character-3-grams against the label's
+    3-gram set, distinct-gram counting (the analyzer's min_gram=3 drops
+    shorter words, so "zz"-style noise tokens cost nothing).
+    SEARCH: word-level with AUTO:4,8 fuzziness and "4<-1 7<-25%"
+    (dsl.rs:302-309).
+
+    ``toks`` is the full_label token array (full_label_tokens)."""
+
+    def _tok_hit(t):
+        return F.exists(toks, lambda x: (x == t) | x.startswith(t))
+
+    def _lev_hit(t, fz):
+        return F.exists(toks, lambda x: F.levenshtein(x, F.lit(t)) <= F.lit(fz))
+
+    if query_type == "prefix":
+        cond = F.lit(True)
+        for t in q_tokens:
+            cond = cond & _tok_hit(t)
+        return cond
+    if query_type == "fuzzy":
+        grams = sorted({g for t in q_tokens for g in _char_ngrams(t)})
+        if not grams:
+            return F.lit(False)
+        need = _msm_fuzzy(len(grams))
+        label_grams = _ngrams_of_tokens(toks)
+        matched = F.size(
+            F.array_intersect(F.array(*[F.lit(g) for g in grams]), label_grams)
+        )
+        return matched >= F.lit(need)
+    # search
+    need = _msm_search(len(q_tokens))
+    matched = F.lit(0)
+    for t in q_tokens:
+        fz = _auto_fuzz(t, low=4, high=8)
+        hit = _tok_hit(t)
+        if fz > 0:
+            hit = hit | _lev_hit(t, fz)
+        matched = matched + hit.cast("int")
+    return matched >= F.lit(need)
+
+
+# -- T7 importance (dsl.rs:188-217, 315-334, 605-659) ------------------------
+
+
+def _zoom_weights(query_type: str, coord, proximity_scale_offset=None) -> dict:
+    """Linear interpolation of (admin, factor, missing) between the
+    min-radius and max-radius weight sets on ln1p(radius)
+    (build_weight_depending_on_radius, dsl.rs:188-217)."""
+    min_w = MIN_RADIUS_FUZZY if query_type == "fuzzy" else MIN_RADIUS_PREFIX
+    if coord is None:
+        ratio = 1.0
+    else:
+        scale, offset = proximity_scale_offset or (130_000.0, 20_000.0)
+        lo, hi = RADIUS_RANGE
+        radius = min(max((offset + scale) / 1000.0, lo), hi)  # km→ the toml's unit
+        ratio = (math.log1p(radius) - math.log1p(lo)) / (math.log1p(hi) - math.log1p(lo))
+    return {
+        k: (1.0 - ratio) * min_w[k] + ratio * MAX_RADIUS[k] for k in ("admin", "factor", "missing")
+    }
+
+
+def importance_boost(query_type: str, coord, proximity_scale_offset=None) -> Column:
+    """T7 — the bool-should importance functions, summed:
+    build_with_weight (per-type weight × field_value_factor) always, the
+    admin log1p function except in FUZZY, both with radius-interpolated
+    weights."""
+    w = _zoom_weights(query_type, coord, proximity_scale_offset)
+    type_w = F.create_map(*[F.lit(x) for kv in IMPORTANCE_TYPES.items() for x in kv])[F.col("type")]
+    fvf = F.coalesce(F.col("weight"), F.lit(w["missing"])) * F.lit(w["factor"])
+    boost = F.coalesce(type_w, F.lit(0.0)) * fvf
+    if query_type != "fuzzy":
+        admin_term = F.when(
+            F.col("type") == "admin",
+            F.log1p(F.coalesce(F.col("weight"), F.lit(0.0)) * F.lit(1e6)) * F.lit(w["admin"]),
+        ).otherwise(F.lit(0.0))
+        boost = boost + admin_term
+    return boost
 
 
 def proximity_boost(lon: float, lat: float, scale_m: float = 130_000.0,
                     offset_m: float = 20_000.0, decay: float = 0.4) -> Column:
     """T8 — exp decay around the query coord (dsl.rs:354-389; defaults
     scale 130 km / offset 20 km / decay 0.4, config/query/default.toml)."""
-    import math
-
     dist = haversine_col(F.lit(lon), F.lit(lat), F.col("lon"), F.col("lat"))
     lam = math.log(decay) / scale_m
     return F.exp(F.lit(lam) * F.greatest(dist - F.lit(offset_m), F.lit(0.0)))
+
+
+def score_expr(q_tokens: list[str], label_col: str = "label") -> Column:
+    """Back-compat single-field score (round-1 surface): coverage on the
+    label with prefix credit — equivalent to field_score(label)."""
+    return field_score(q_tokens, label_col)
 
 
 def forward_geocode(
@@ -121,36 +383,44 @@ def forward_geocode(
     k: int = 10,
     coord: tuple[float, float] | None = None,
     types: list[str] | None = None,
+    lang: str | None = None,
+    query_type: str = "prefix",
+    shape: tuple | None = None,
 ) -> DataFrame:
     """bragi /autocomplete over a unified places table with columns
-    (id, type, name, label, weight, lon, lat [, house_number]).
+    (id, type, name, label, weight, lon, lat [+ optional alt_name,
+    loc_name, names map, labels map, zip_codes_str, house_number]).
 
-    PREFIX pass first; FUZZY (relaxed: any-token) fallback when empty is
-    the caller's loop, mirroring handlers.rs:144-169 (T9)."""
+    ``query_type``: "prefix" (default first pass), "fuzzy" (the retry,
+    T9), "search" (the /search endpoint shape).
+    ``shape``: optional (multipolygon, scope_types) — the G14 geo_shape
+    filter (scoped types restricted to the shape, others pass)."""
     q_tokens = _query_tokens(q)
+    if not q_tokens:
+        return places.limit(0).withColumn("match_score", F.lit(0.0)).withColumn("score", F.lit(0.0))
     if types:
         places = places.filter(F.col("type").isin(types))
+    if shape is not None:
+        places = shape_filter(places, shape[0], shape[1])
 
-    # T5 — single-word queries never match addresses (house-number gate)
+    # T5 — single-word queries never match addresses (house-number gate,
+    # dsl.rs:218-258 build_house_number_condition)
     if len(q_tokens) <= 1:
         places = places.filter(F.col("type") != "addr")
 
-    type_boost = F.create_map(
-        *[F.lit(x) for kv in TYPE_BOOSTS.items() for x in kv]
-    )[F.col("type")] * F.lit(GLOBAL_BOOST)
-
-    match = score_expr(q_tokens)
-    importance = F.log1p(F.coalesce(F.col("weight"), F.lit(0.0)) * F.lit(1e6)) / F.lit(
-        14.0
-    )  # T7 — log1p(weight*1e6) admin importance, normalized
-    score = match * (F.lit(1.0) + type_boost) + importance
+    cond = matching_condition(q_tokens, query_type, full_label_tokens(places))
+    string_score = string_query_score(places, q_tokens, query_type, lang, coord is not None)
+    type_boost = (
+        F.create_map(*[F.lit(x) for kv in TYPE_BOOSTS.items() for x in kv])[F.col("type")]
+        * F.lit(GLOBAL_BOOST)
+    )
+    score = string_score + F.coalesce(type_boost, F.lit(0.0)) + importance_boost(query_type, coord)
     if coord is not None:
-        score = score * proximity_boost(coord[0], coord[1])
+        score = score + proximity_boost(coord[0], coord[1]) * F.lit(PROXIMITY_WEIGHT)
 
-    min_required = max(1, len(q_tokens) - (1 if len(q_tokens) >= 3 else 0))
     return (
-        places.withColumn("match_score", match)
-        .filter(F.col("match_score") >= F.lit(float(min_required) * 0.5))
+        places.filter(cond)
+        .withColumn("match_score", string_score)
         .withColumn("score", score)
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(k)
@@ -163,30 +433,19 @@ def autocomplete(
     k: int = 10,
     coord: tuple[float, float] | None = None,
     types: list[str] | None = None,
+    lang: str | None = None,
 ):
     """T9 — the bragi /autocomplete retry loop (handlers.rs:144-169):
-    PREFIX pass first; when it returns nothing, the FUZZY pass relaxes
-    the token-coverage threshold (the ES side relaxes via ngram
-    minimum_should_match; our score floor plays that role).
+    PREFIX pass first; when it returns nothing, retry as FUZZY (ngram
+    minimum_should_match matching condition + ngram-boosted scoring).
 
     Returns (DataFrame, mode) where mode is 'prefix' or 'fuzzy'."""
-    strict = forward_geocode(places, q, k=k, coord=coord, types=types)
+    strict = forward_geocode(places, q, k=k, coord=coord, types=types, lang=lang,
+                             query_type="prefix")
     if len(strict.take(1)) > 0:  # existence probe, not a full count
         return strict, "prefix"
-    q_tokens = _query_tokens(q)
-    base = places
-    if types:
-        base = base.filter(F.col("type").isin(types))
-    if len(q_tokens) <= 1:
-        base = base.filter(F.col("type") != "addr")
-    match = score_expr(q_tokens)
-    fuzzy = (
-        base.withColumn("match_score", match)
-        .filter(F.col("match_score") >= 0.5)  # any token hit
-        .withColumn("score", match)
-        .orderBy(F.col("score").desc(), F.col("id").asc())
-        .limit(k)
-    )
+    fuzzy = forward_geocode(places, q, k=k, coord=coord, types=types, lang=lang,
+                            query_type="fuzzy")
     return fuzzy, "fuzzy"
 
 
@@ -206,3 +465,30 @@ def reverse_geocode_endpoint(
     return hits.join(
         places.withColumnRenamed("id", "target_id"), "target_id"
     ).select("target_id", "type", "label", "distance_m", "rank")
+
+
+def shape_filter(places: DataFrame, shape_mp, scope_types: list[str]) -> Column | DataFrame:
+    """G14 — build_shape_query (dsl.rs:438-471): places whose type is in
+    ``scope_types`` must intersect the query shape; unlisted types pass
+    through unfiltered (the should-of-must/must_not structure).
+
+    The shape is a query-side multipolygon (geometry.MultiPolygon). The
+    bbox prefilter runs JVM-side; only the scoped, bbox-passing rows pay
+    the exact vectorized point-in-polygon (Arrow-batched pandas UDF —
+    boundary-inclusive like ES geo_shape intersects)."""
+    from ..geometry import mp_bbox, points_intersect_multipolygon
+
+    bb = mp_bbox(shape_mp)
+    in_scope = F.col("type").isin(scope_types)
+    bbox_ok = (
+        (F.col("lon") >= bb[0]) & (F.col("lon") <= bb[2])
+        & (F.col("lat") >= bb[1]) & (F.col("lat") <= bb[3])
+    )
+
+    @F.pandas_udf("boolean")
+    def _intersects(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(
+            points_intersect_multipolygon(lon.to_numpy(), lat.to_numpy(), shape_mp)
+        )
+
+    return places.filter(~in_scope | (bbox_ok & _intersects(F.col("lon"), F.col("lat"))))

@@ -124,14 +124,39 @@ def format_zip_label(zips: Column | str) -> Column:
     )
 
 
-def addr_id(lon: Column | str, lat: Column | str, house_number: Column | str) -> Column:
+def addr_id(lon: Column | str, lat: Column | str, house_number: Column | str,
+            id_precision: int = 0) -> Column:
     """C6 — ``addr:{lon};{lat}:{hn}`` with whitespace stripped from the
-    house number and [/.:;] mapped to '-' (bano.rs:130-137)."""
+    house number and [/.:;] mapped to '-' (bano.rs:130-137). With
+    ``id_precision > 0``, coordinates are fixed-point-formatted to that
+    many decimals (the OpenAddresses precision-trimmed id variant,
+    openaddresses.rs:101-117)."""
     lon = F.col(lon) if isinstance(lon, str) else lon
     lat = F.col(lat) if isinstance(lat, str) else lat
     hn = F.col(house_number) if isinstance(house_number, str) else house_number
     cleaned = F.regexp_replace(F.regexp_replace(hn, r"\s+", ""), r"[/.:;]", "-")
-    return F.concat(F.lit("addr:"), lon.cast("string"), F.lit(";"), lat.cast("string"), F.lit(":"), cleaned)
+    if id_precision > 0:
+        fmt = f"%.{id_precision}f"
+        lon_s = F.format_string(fmt, lon)
+        lat_s = F.format_string(fmt, lat)
+    else:
+        lon_s, lat_s = lon.cast("string"), lat.cast("string")
+    return F.concat(F.lit("addr:"), lon_s, F.lit(";"), lat_s, F.lit(":"), cleaned)
+
+
+def admin_id(osm_id: Column | str, insee: Column | str | None = None,
+             french_id_retrocompatibility: bool = False) -> Column:
+    """J4 — admin id formatting (src/admin.rs:140-147): normally
+    ``admin:osm:{id}``; with the french retro-compat flag, admins that
+    carry an INSEE become ``admin:fr:{insee}`` (Navitia compatibility)."""
+    oid = F.col(osm_id) if isinstance(osm_id, str) else osm_id
+    base = F.concat(F.lit("admin:osm:"), oid)
+    if not french_id_retrocompatibility or insee is None:
+        return base
+    ins = F.col(insee) if isinstance(insee, str) else insee
+    return F.when(
+        ins.isNotNull() & (F.length(ins) > 0), F.concat(F.lit("admin:fr:"), ins)
+    ).otherwise(base)
 
 
 def insee_fantoir(id_col: Column | str) -> tuple[Column, Column]:

@@ -322,9 +322,51 @@ def attach_admins_partitioned(
         ).alias("cell"),
     )
 
-    # stage 1 — candidate pairs (narrow rows: uid, lon, lat, admin_id)
-    pairs = pts.join(cover.withColumnRenamed("id", "admin_id"), "cell").select(
-        "point_uid", "__plon", "__plat", "admin_id",
+    # Driver-side admin index: candidates travel as ONE int
+    # (idx*2 + contains) instead of (admin_id string, bool) — the refine
+    # output and the gather shuffle are the two dominant costs at bench
+    # scale (profiled: ~32 s + ~25 s of 70 s at 36M points), and both are
+    # proportional to flag-row width.
+    skel_rows = admins.select("id", "zone_type", "parent_id").collect()
+    ids_sorted = sorted(r["id"] for r in skel_rows)
+    idx_of = {aid: i for i, aid in enumerate(ids_sorted)}
+    info = {r["id"]: (r["zone_type"], r["parent_id"]) for r in skel_rows}
+    # per idx: (id, zone_rank, parent_idx|-1, zone_type)
+    skel_idx = [
+        (aid, zone_rank(info[aid][0]), idx_of.get(info[aid][1], -1), info[aid][0])
+        for aid in ids_sorted
+    ]
+    # admins that are some admin's ancestor: ONLY their non-contained
+    # candidacies can influence the replay (the tested_hierarchy
+    # acceptance, admin_geofinder.rs:236-238); everyone else's
+    # contains=False rows are dropped at the refine, shrinking the gather.
+    ancestor_idx: set[int] = set()
+    for aid in ids_sorted:
+        pid = info[aid][1]
+        while pid is not None and pid in idx_of:
+            if idx_of[pid] in ancestor_idx:
+                break
+            ancestor_idx.add(idx_of[pid])
+            pid = info[pid][1]
+    bc_skel = spark.sparkContext.broadcast((skel_idx, ancestor_idx))
+
+    def _adm_idx_df():
+        # fresh lineage per use: reusing one DataFrame in both the cover
+        # and geometry joins trips Spark's ambiguous-self-join check
+        return spark.createDataFrame(
+            [(aid, i) for i, aid in enumerate(ids_sorted)], "admin_id string, __aidx int"
+        )
+
+    adm_idx_df = _adm_idx_df()
+    cover_idx = (
+        cover.withColumnRenamed("id", "admin_id")
+        .join(F.broadcast(adm_idx_df), "admin_id")
+        .select("cell", "__aidx")
+    )
+
+    # stage 1 — candidate pairs (narrow rows: uid, lon, lat, admin idx)
+    pairs = pts.join(cover_idx, "cell").select(
+        "point_uid", "__plon", "__plat", "__aidx",
         salted_mod_col("point_uid", n_salts).alias("__salt"),
     )
 
@@ -332,13 +374,16 @@ def attach_admins_partitioned(
     geom = (
         admins.select(F.col("id").alias("admin_id"), "boundary_wkb")
         .filter(F.col("boundary_wkb").isNotNull())
+        .join(F.broadcast(_adm_idx_df()), "admin_id")
+        .select("__aidx", "boundary_wkb")
         .withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     )
 
     def refine(key, pairs_pdf: pd.DataFrame, geom_pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"point_uid": [], "admin_id": [], "contains": []})
+        empty = pd.DataFrame({"point_uid": pd.Series(dtype=object), "cand": pd.Series(dtype="int32")})
         if geom_pdf.empty or pairs_pdf.empty:
             return empty
+        aidx = int(key[0])
         mp = wkb_to_mp(bytes(geom_pdf["boundary_wkb"].iloc[0]))
         bb = _bb(mp)
         lon = pairs_pdf["__plon"].to_numpy(dtype=np.float64)
@@ -349,61 +394,61 @@ def attach_admins_partitioned(
         lon, lat = lon[m], lat[m]
         uids = pairs_pdf["point_uid"].to_numpy()[m]
         inside = points_in_multipolygon(lon, lat, mp)
+        if aidx not in bc_skel.value[1]:  # not an ancestor: False rows are inert
+            uids = uids[inside]
+            inside = inside[inside]
+            if not len(uids):
+                return empty
         return pd.DataFrame(
-            {"point_uid": uids, "admin_id": key[0], "contains": inside.astype(bool)}
+            {"point_uid": uids, "cand": (aidx * 2 + inside.astype(np.int32)).astype(np.int32)}
         )
 
     flags = (
-        pairs.groupBy("admin_id", "__salt")
-        .cogroup(geom.groupBy("admin_id", "__salt"))
-        .applyInPandas(refine, schema="point_uid string, admin_id string, contains boolean")
+        pairs.groupBy("__aidx", "__salt")
+        .cogroup(geom.groupBy("__aidx", "__salt"))
+        .applyInPandas(refine, schema="point_uid string, cand int")
     )
 
     # stage 3 — gather per point (partial agg map-side) + batch replay
-    skeleton = {
-        r["id"]: (r["zone_type"], r["parent_id"])
-        for r in admins.select("id", "zone_type", "parent_id").collect()
-    }
-    bc_skel = spark.sparkContext.broadcast(skeleton)
-
-    gathered = flags.groupBy("point_uid").agg(
-        F.collect_list(F.struct("admin_id", "contains")).alias("cands")
-    )
+    gathered = flags.groupBy("point_uid").agg(F.collect_list("cand").alias("cands"))
 
     def replay(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        skel = bc_skel.value
+        skel, _ = bc_skel.value
+        # candidate iteration order is (zone_rank, id) — precompute the
+        # per-idx sort key once per worker
+        order_key = [(rank, aid) for (aid, rank, _, _) in skel]
         memo: dict[tuple, list[str]] = {}
         for pdf in batches:
             out = []
             for cands in pdf["cands"]:
-                key = tuple(sorted((c["admin_id"], bool(c["contains"])) for c in cands))
+                key = tuple(sorted(int(c) for c in cands))
                 res = memo.get(key)
                 if res is None:
-                    ordered = sorted(
-                        (c[0] for c in key), key=lambda a: (zone_rank(skel[a][0]), a)
+                    decoded = sorted(
+                        ((c >> 1, bool(c & 1)) for c in key), key=lambda p: order_key[p[0]]
                     )
-                    contains = dict(key)
-                    tested: set[str] = set()
+                    contains = dict(decoded)
+                    tested: set[int] = set()
                     added: set[str] = set()
                     res = []
-                    for aid in ordered:
-                        zt, pid = skel[aid]
-                        if aid in tested:
+                    for aidx, contained in decoded:
+                        aid, _rank, pidx, zt = skel[aidx]
+                        if aidx in tested:
                             res.append(aid)
                         elif zt is not None and zt in added:
                             pass
-                        elif contains.get(aid, False):
+                        elif contained:
                             if zt is not None:
                                 added.add(zt)
-                            parent_id = pid
-                            while parent_id is not None:
-                                pz = skel.get(parent_id)
-                                if pz is not None and pz[0] is not None:
-                                    added.add(pz[0])
-                                if parent_id in tested:
+                            p = pidx
+                            while p >= 0:
+                                pz = skel[p][3]
+                                if pz is not None:
+                                    added.add(pz)
+                                if p in tested:
                                     break
-                                tested.add(parent_id)
-                                parent_id = pz[1] if pz is not None else None
+                                tested.add(p)
+                                p = skel[p][2]
                             res.append(aid)
                     memo[key] = res
                 out.append(res)

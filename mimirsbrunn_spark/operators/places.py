@@ -180,7 +180,9 @@ def pois_pipeline(pois: DataFrame, admins: DataFrame, addresses: DataFrame | Non
     from .enrich import attach_admin_structs, format_label, zip_codes_from_admins
     from .pip import attach_admins
 
-    classified = classify_pois(pois)
+    # navitia POIs (sources/read_navitia_pois) arrive pre-typed; only
+    # OSM-shaped inputs go through the F2 rule engine (poi.rs:134-147).
+    classified = pois if "poi_type" in pois.columns else classify_pois(pois)
     attached = attach_admins(classified, admins, strategy="broadcast")
     resolved = attach_admin_structs(attached, admins)
     named = resolved.withColumn(
@@ -194,7 +196,12 @@ def pois_pipeline(pois: DataFrame, admins: DataFrame, addresses: DataFrame | Non
         ).otherwise(zip_codes_from_admins()),
     ).withColumn("label", format_label("name")).withColumn(
         "poi_id",
-        F.concat(F.lit("poi:osm:"), F.col("kind"), F.lit(":"), F.col("osm_id")),
+        F.when(
+            F.col("kind") == "navitia",
+            F.concat(F.lit("poi:navitia:"), F.col("osm_id")),
+        ).otherwise(
+            F.concat(F.lit("poi:osm:"), F.col("kind"), F.lit(":"), F.col("osm_id"))
+        ),
     )
     if addresses is None:
         return named

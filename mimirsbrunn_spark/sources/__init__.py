@@ -1,6 +1,8 @@
 from .readers import (  # noqa: F401
     read_bano_csv,
     read_cosmogony_jsonl,
+    read_navitia_pois,
+    read_ntfs_stops,
     read_openaddresses_csv,
 )
 from .lifecycle import publish_table, read_published, merge_update  # noqa: F401

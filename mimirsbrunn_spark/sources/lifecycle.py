@@ -85,3 +85,74 @@ def merge_update(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
         ]
     )
     return merged.unionByName(inserts)
+
+
+# ---------------------------------------------------------------------------
+# S10 — dotted-path partial updates (update.rs:11-39)
+# ---------------------------------------------------------------------------
+
+
+def _null_struct(dtype):
+    """A struct literal with every field null — the typed analogue of the
+    reference's json!({}) intermediate object creation."""
+    from pyspark.sql import types as T
+
+    return F.struct(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in dtype.fields]
+    ) if isinstance(dtype, T.StructType) else F.lit(None).cast(dtype)
+
+
+def _set_path(col_expr, dtype, path: list[str], value):
+    """Recursively rebuild a struct column with ``path`` set to ``value``
+    (generate_document_parts semantics: missing intermediate objects are
+    created — here, null intermediate structs are replaced by all-null
+    structs before the field is set)."""
+    from pyspark.sql import types as T
+
+    head = path[0]
+    if not isinstance(dtype, T.StructType) or head not in dtype.fieldNames():
+        raise ValueError(f"no such field {'.'.join(path)} in {dtype.simpleString()}")
+    if len(path) == 1:
+        return col_expr.withField(head, value.cast(dtype[head].dataType))
+    sub_type = dtype[head].dataType
+    sub = F.coalesce(col_expr.getField(head), _null_struct(sub_type))
+    return col_expr.withField(head, _set_path(sub, sub_type, path[1:], value))
+
+
+def apply_dotted_updates(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Partial-document update stream → MERGE into nested documents.
+
+    ``updates`` rows are (key, ident, value) — one Set op per row, ident a
+    dotted path like ``properties.image`` (the reference's
+    UpdateOperation::Set, update.rs:11-39). Ops pivot to one column per
+    distinct path (the op vocabulary is small — it comes from config) and
+    each path is applied with withField rebuilds, creating null
+    intermediate structs as the reference creates empty JSON objects.
+    Paths outside the target schema raise (typed storage, not ES
+    schemaless). Top-level (undotted) idents update plain columns."""
+    idents = [r["ident"] for r in updates.select("ident").distinct().collect()]
+    for ident in idents:
+        path = ident.split(".")
+        dtype = target.schema[path[0]].dataType
+        if len(path) > 1:
+            _ = _set_path(F.coalesce(F.col(path[0]), _null_struct(dtype)), dtype, path[1:], F.lit("probe"))  # schema check
+
+    pivoted = updates.groupBy(key).pivot("ident", idents).agg(F.first("value"))
+    pivoted = pivoted.select(
+        F.col(key), *[F.col(f"`{i}`").alias(f"__upd_{n}") for n, i in enumerate(idents)]
+    )
+    out = target.join(F.broadcast(pivoted), key, "left")
+    for n, ident in enumerate(idents):
+        path = ident.split(".")
+        upd = F.col(f"__upd_{n}")
+        root = path[0]
+        dtype = target.schema[root].dataType
+        if len(path) == 1:
+            new_val = F.when(upd.isNotNull(), upd.cast(dtype)).otherwise(F.col(root))
+        else:
+            base = F.coalesce(F.col(root), _null_struct(dtype))
+            new_val = F.when(upd.isNotNull(), _set_path(base, dtype, path[1:], upd)).otherwise(
+                F.col(root)
+            )
+        out = out.withColumn(root, new_val)
+    return out.drop(*[f"__upd_{n}" for n in range(len(idents))])

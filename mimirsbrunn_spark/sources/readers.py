@@ -61,3 +61,133 @@ def read_cosmogony_jsonl(spark: SparkSession, path: str, schema=None) -> DataFra
     if schema is not None:
         reader = reader.schema(schema)
     return reader.option("mode", "DROPMALFORMED").json(path)
+
+
+def read_ntfs_stops(spark: SparkSession, path: str) -> DataFrame:
+    """S5 — NTFS directory → stops table (the transit-model read in
+    /root/reference/src/stops.rs:266-272 + build_stop_area_weight
+    :97-136 distilled to what the stop pipeline consumes).
+
+    NTFS is a set of headered CSVs. ``stops.txt`` carries both stop areas
+    (location_type=1) and stop points (location_type=0 with
+    parent_station); the physical modes serving an area come from
+    ``stop_times.txt`` → ``trips.txt`` (physical_mode_id) →
+    ``physical_modes.txt``. Output shape feeds
+    operators/places.stops_pipeline directly:
+    (stop_area_id, name, lon, lat, stop_point_ids, physical_modes).
+    Mode files are optional — absent, areas get an empty mode list (the
+    reference computes weight 0 for unknown modes the same way)."""
+    from pathlib import Path
+
+    stops = spark.read.csv(f"{path}/stops.txt", header=True, mode="DROPMALFORMED")
+    areas = stops.filter(F.col("location_type") == "1").select(
+        F.col("stop_id").alias("stop_area_id"),
+        F.col("stop_name").alias("name"),
+        F.col("stop_lon").try_cast("double").alias("lon"),
+        F.col("stop_lat").try_cast("double").alias("lat"),
+    )
+    points = stops.filter(
+        (F.col("location_type").isNull()) | (F.col("location_type") == "0")
+    ).select(F.col("stop_id"), F.col("parent_station"))
+    point_sets = points.filter(F.col("parent_station").isNotNull()).groupBy(
+        "parent_station"
+    ).agg(F.array_sort(F.collect_set("stop_id")).alias("stop_point_ids"))
+
+    have_modes = all(
+        (Path(path) / f).exists()
+        for f in ("stop_times.txt", "trips.txt", "physical_modes.txt")
+    )
+    if have_modes:
+        st = spark.read.csv(f"{path}/stop_times.txt", header=True, mode="DROPMALFORMED").select(
+            "trip_id", "stop_id"
+        )
+        trips = spark.read.csv(f"{path}/trips.txt", header=True, mode="DROPMALFORMED").select(
+            "trip_id", "physical_mode_id"
+        )
+        modes = spark.read.csv(
+            f"{path}/physical_modes.txt", header=True, mode="DROPMALFORMED"
+        ).select("physical_mode_id", "physical_mode_name")
+        area_modes = (
+            st.join(F.broadcast(trips), "trip_id")
+            .join(F.broadcast(modes), "physical_mode_id")
+            .join(points, "stop_id")
+            .filter(F.col("parent_station").isNotNull())
+            .groupBy("parent_station")
+            .agg(F.array_sort(F.collect_set("physical_mode_name")).alias("physical_modes"))
+        )
+    else:
+        area_modes = None
+
+    out = areas.join(
+        point_sets.withColumnRenamed("parent_station", "stop_area_id"), "stop_area_id", "left"
+    )
+    if area_modes is not None:
+        out = out.join(
+            area_modes.withColumnRenamed("parent_station", "stop_area_id"), "stop_area_id", "left"
+        )
+    else:
+        out = out.withColumn("physical_modes", F.lit(None).cast("array<string>"))
+    return out.withColumn(
+        "stop_point_ids", F.coalesce("stop_point_ids", F.array().cast("array<string>"))
+    ).withColumn(
+        "physical_modes", F.coalesce("physical_modes", F.array().cast("array<string>"))
+    )
+
+
+def read_navitia_pois(spark: SparkSession, path: str) -> DataFrame:
+    """S6 — navitia POI file set (/root/reference/src/pois.rs:110-125,
+    NavitiaModel::try_from_path): ';'-separated headered CSVs ``poi.txt``
+    (poi_id;poi_type_id;poi_name;poi_lat;poi_lon) + ``poi_type.txt``
+    (poi_type_id;poi_type_name) + optional ``poi_properties.txt``
+    (poi_id;key;value).
+
+    Navitia POIs arrive PRE-TYPED, so the output carries a resolved
+    ``poi_type`` struct and operators/places.pois_pipeline skips the F2
+    OSM rule engine for it. Properties become the ``tags`` map (the
+    name/addr:postcode fallbacks read from it, poi.rs:214-223)."""
+    from pathlib import Path
+
+    poi = spark.read.options(sep=";", header=True, mode="DROPMALFORMED").csv(
+        f"{path}/poi.txt"
+    )
+    types = spark.read.options(sep=";", header=True, mode="DROPMALFORMED").csv(
+        f"{path}/poi_type.txt"
+    ).select(
+        F.col("poi_type_id"),
+        F.col("poi_type_name"),
+    )
+    out = (
+        poi.join(F.broadcast(types), "poi_type_id", "left")
+        .select(
+            F.col("poi_id").alias("osm_id"),
+            F.lit("navitia").alias("kind"),
+            F.col("poi_name").alias("poi_name"),
+            F.col("poi_lon").try_cast("double").alias("lon"),
+            F.col("poi_lat").try_cast("double").alias("lat"),
+            F.struct(
+                F.coalesce(F.col("poi_type_id"), F.lit("")).alias("id"),
+                F.coalesce(F.col("poi_type_name"), F.lit("")).alias("name"),
+            ).alias("poi_type"),
+        )
+        .filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
+    )
+    props_path = Path(path) / "poi_properties.txt"
+    if props_path.exists():
+        props = (
+            spark.read.options(sep=";", header=True, mode="DROPMALFORMED")
+            .csv(str(props_path))
+            .groupBy("poi_id")
+            .agg(F.map_from_entries(F.collect_list(F.struct("key", "value"))).alias("props"))
+            .withColumnRenamed("poi_id", "osm_id")
+        )
+        out = out.join(props, "osm_id", "left")
+    else:
+        out = out.withColumn("props", F.lit(None).cast("map<string,string>"))
+    # tags = properties overlaid with the poi name (name fallback source)
+    return out.withColumn(
+        "tags",
+        F.map_concat(
+            F.coalesce(F.col("props"), F.expr("map()")),
+            F.create_map(F.lit("name"), F.col("poi_name")),
+        ),
+    ).drop("props", "poi_name")

@@ -291,3 +291,104 @@ def s2_cell_pandas_udf(level: int = 16):
         return pd.Series(s2_cell_np(lon.to_numpy(), lat.to_numpy(), level))
 
     return _s2
+
+
+# ---------------------------------------------------------------------------
+# Grid-backend seam: true-H3 adapters behind one facade
+# ---------------------------------------------------------------------------
+# The engine's Catalyst/SQL cell paths (grid_cell_col / grid_cell_sql and
+# the oracle gates) are quadtree-by-design: the encoding must be
+# expressible identically in Spark SQL and DuckDB SQL, which real H3 is
+# not. The *python-side* consumers (AdminGeoFinder cover + candidate
+# lookup — the whole broadcast-PIP cell logic — and ad-hoc tooling) go
+# through `get_cell_ops()`, so a cluster that has the `h3` wheel
+# (genuinely absent from this image: `import h3` fails) gets true H3
+# hexagons for those paths with no code change — set
+# SPARK_GRAFT_GRID_BACKEND=h3, or leave the default "auto".
+
+
+def _import_h3():
+    try:
+        import h3  # noqa: F401  (not in this image; present on real clusters)
+
+        return h3
+    except ImportError:
+        return None
+
+
+def detect_grid_backend() -> str:
+    import os
+
+    want = os.environ.get("SPARK_GRAFT_GRID_BACKEND", "auto")
+    if want == "quadtree":
+        return "quadtree"
+    h3 = _import_h3()
+    if h3 is None:
+        if want == "h3":
+            raise ImportError("SPARK_GRAFT_GRID_BACKEND=h3 but the h3 wheel is not installed")
+        return "quadtree"
+    return "h3"
+
+
+def h3_cell_np(lon, lat, res: int, h3mod=None) -> np.ndarray:
+    """lon/lat → real H3 cell ids (int64 bit-cast). Per-point loop: the
+    core h3 wheel exposes no vectorized API; its C kernel is fast enough
+    that the loop is not the bottleneck of a batch."""
+    h3 = h3mod or _import_h3()
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    out = np.empty(len(lon), dtype=np.uint64)
+    for n, (lo, la) in enumerate(zip(lon, lat)):
+        out[n] = int(h3.str_to_int(h3.latlng_to_cell(float(la), float(lo), res)))
+    return out.view(np.int64)
+
+
+def h3_parent_np(cells, parent_res: int, h3mod=None) -> np.ndarray:
+    h3 = h3mod or _import_h3()
+    cells = np.asarray(cells, dtype=np.int64).view(np.uint64)
+    out = np.empty(len(cells), dtype=np.uint64)
+    for n, c in enumerate(cells):
+        out[n] = int(h3.str_to_int(h3.cell_to_parent(h3.int_to_str(int(c)), parent_res)))
+    return out.view(np.int64)
+
+
+def h3_disk(cell: int, k: int, h3mod=None) -> list[int]:
+    h3 = h3mod or _import_h3()
+    c = h3.int_to_str(int(np.uint64(np.int64(cell))))
+    return sorted(int(h3.str_to_int(x)) for x in h3.grid_disk(c, k))
+
+
+def h3_cells_for_radius(lon: float, lat: float, radius_m: float, res: int, h3mod=None) -> list[int]:
+    """Metric-radius disk in true H3: ring count from the published mean
+    hex edge lengths per res (meters), +1 safety ring."""
+    h3 = h3mod or _import_h3()
+    edge_m = h3.average_hexagon_edge_length(res, unit="m")
+    k = int(radius_m / (edge_m * 1.5)) + 2  # hex apothem ≈ 1.5*edge per ring step
+    return h3_disk(h3.str_to_int(h3.latlng_to_cell(lat, lon, res)), k, h3mod=h3)
+
+
+class _CellOps:
+    """Backend facade: cell_np/parent_np/disk/cells_for_radius."""
+
+    def __init__(self, backend: str, h3mod=None):
+        self.backend = backend
+        if backend == "h3":
+            h3 = h3mod or _import_h3()
+            self.cell_np = lambda lon, lat, res: h3_cell_np(lon, lat, res, h3mod=h3)
+            self.parent_np = lambda cells, res: h3_parent_np(cells, res, h3mod=h3)
+            self.disk = lambda cell, k: h3_disk(cell, k, h3mod=h3)
+            self.cells_for_radius = (
+                lambda lon, lat, r, res: h3_cells_for_radius(lon, lat, r, res, h3mod=h3)
+            )
+        else:
+            self.cell_np = grid_cell_np
+            self.parent_np = grid_parent_np
+            self.disk = grid_disk
+            self.cells_for_radius = grid_cells_for_radius
+
+
+def get_cell_ops(backend: str | None = None, h3mod=None) -> _CellOps:
+    return _CellOps(backend or detect_grid_backend(), h3mod=h3mod)
+
+
+GRID_BACKEND = detect_grid_backend()

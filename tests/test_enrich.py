@@ -135,3 +135,23 @@ def test_dedup_streets_and_unique_ids(spark):
     ids_b = sorted(r["street_id"] for r in by_name["Rue B"])
     assert ids_b == ["street:osm:way:77-0", "street:osm:way:77-1"]
     assert by_name["Rue C"][0]["street_id"] == "street:osm:way:99"
+
+
+def test_admin_id_retrocompat_and_oa_precision(spark):
+    # admin.rs:140-147 + openaddresses.rs:101-117
+    df = spark.createDataFrame(
+        [("123", "75056", 2.3757351, 48.8456801, "10 Bis")],
+        "osm string, insee string, lon double, lat double, hn string",
+    )
+    got = df.select(
+        E.admin_id("osm").alias("plain"),
+        E.admin_id("osm", "insee", french_id_retrocompatibility=True).alias("retro"),
+        E.admin_id("osm", F.lit(None).cast("string"), french_id_retrocompatibility=True).alias("noinsee"),
+        E.addr_id("lon", "lat", "hn").alias("full"),
+        E.addr_id("lon", "lat", "hn", id_precision=5).alias("trimmed"),
+    ).collect()[0]
+    assert got["plain"] == "admin:osm:123"
+    assert got["retro"] == "admin:fr:75056"
+    assert got["noinsee"] == "admin:osm:123"
+    assert got["full"] == "addr:2.3757351;48.8456801:10Bis"
+    assert got["trimmed"] == "addr:2.37574;48.84568:10Bis"

@@ -125,3 +125,183 @@ def test_get_by_id(limousin_places):
         F.col("id").isin(["poi:osm:node:6923972478"])
     ).collect()
     assert len(hit) == 1 and hit[0]["name"] == "Parking"
+
+
+# ---------------------------------------------------------------------------
+# round-2 depth: T3 multi-field, T4 minimum_should_match, T7 importance
+# (features/idf/baseline.feature + the dsl.rs:284-301 fuzzy cases that
+# could not pass with the round-1 single-label scorer)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def idf_places(spark):
+    rows = [
+        # admins with i18n labels + importance weights (baseline.feature:20-24;
+        # labels.{lang} is copy_to'd into full_label so it participates in
+        # the matching condition — mimir-dynamic-mappings.json i18n_labels)
+        ("admin:osm:relation:7444", "admin", "Paris", None, None, "Paris",
+         {"ru": "Париж", "es": "París"}, 0.9, 2.35, 48.85),
+        ("admin:osm:relation:8649", "admin", "Île-de-France", None, None, "Île-de-France",
+         {}, 0.7, 2.5, 48.7),
+        ("admin:osm:relation:87922", "admin", "Saint-Denis", None, None, "Saint-Denis",
+         {}, 0.3, 2.36, 48.94),
+        # two same-named streets in different cities; one carries an
+        # alt_name that repeats the query tokens (T3 ranking signal)
+        ("street:osm:way:paix-a", "street", "Rue de la Paix", "rue paix royale", None,
+         "Rue de la Paix (Paris)", {}, 0.2, 2.331, 48.869),
+        ("street:osm:way:paix-b", "street", "Rue de la Paix", None, None,
+         "Rue de la Paix (Pantin)", {}, 0.2, 2.41, 48.89),
+        # street with a loc_name
+        ("street:osm:way:champs", "street", "Avenue des Champs-Élysées", None,
+         "les Champs", "Avenue des Champs-Élysées (Paris)", {}, 0.5, 2.307, 48.87),
+        # addr (baseline.feature:34-35)
+        ("addr:2.37715;48.846781:20", "addr", "20 Rue Hector Malot",
+         None, None, "20 Rue Hector Malot (Paris)", {}, 0.1, 2.37715, 48.846781),
+        # the dsl.rs:291-292 misspelt-one-word case target
+        ("admin:osm:relation:vaureal", "admin", "Vauréal", None, None, "Vauréal",
+         {}, 0.2, 2.03, 49.03),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id string, type string, name string, alt_name string, loc_name string, "
+        "label string, labels map<string,string>, weight double, lon double, lat double",
+    )
+    return df.cache()
+
+
+@pytest.mark.parametrize(
+    "query,expected",
+    [
+        ("paris", "admin:osm:relation:7444"),
+        ("ile-de-france", "admin:osm:relation:8649"),
+        ("saint-denis", "admin:osm:relation:87922"),
+    ],
+)
+def test_idf_admin_exact_match(idf_places, query, expected):
+    # baseline.feature "Admins exact match": first result
+    from mimirsbrunn_spark.functions.geocode import autocomplete
+
+    df, _ = autocomplete(idf_places, query, k=1, types=["admin"])
+    assert [r["id"] for r in df.collect()] == [expected], query
+
+
+def test_idf_addr_exact_match(idf_places):
+    from mimirsbrunn_spark.functions.geocode import autocomplete
+
+    df, mode = autocomplete(idf_places, "20 rue Hector Malot", k=1, types=["addr"])
+    assert mode == "prefix"
+    assert df.collect()[0]["id"] == "addr:2.37715;48.846781:20"
+
+
+def test_alt_name_boosts_ranking(idf_places):
+    # T3 (dsl.rs:86-91): alt_name participates in SCORING (boost 1.8) but
+    # never in the matching condition (full_label is label+labels+zips
+    # only). Two identically-labeled streets: the one whose alt_name
+    # repeats the query tokens must rank first.
+    from mimirsbrunn_spark.functions.geocode import autocomplete
+
+    df, mode = autocomplete(idf_places, "rue de la paix", k=3, types=["street"])
+    got = [r["id"] for r in df.collect()]
+    assert mode == "prefix"
+    assert got[0] == "street:osm:way:paix-a", got
+    assert "street:osm:way:paix-b" in got
+
+
+def test_loc_name_boosts_ranking(idf_places):
+    # T3 (dsl.rs:92-97): loc_name "les Champs" adds score for its tokens
+    from mimirsbrunn_spark.functions.geocode import forward_geocode
+
+    df = forward_geocode(idf_places, "avenue des champs", k=3, types=["street"])
+    got = [r["id"] for r in df.collect()]
+    assert got[:1] == ["street:osm:way:champs"], got
+
+
+def test_lang_labels_match(idf_places):
+    # labels.{lang} is part of full_label (matching) AND of the
+    # multi_match label group when lang is set (dsl.rs:98-101): the
+    # russian label of Paris matches a russian query
+    from mimirsbrunn_spark.functions.geocode import autocomplete
+
+    df, _mode = autocomplete(idf_places, "Париж", k=1, types=["admin"], lang="ru")
+    got = [r["id"] for r in df.collect()]
+    assert got == ["admin:osm:relation:7444"], got
+
+
+def test_fuzzy_misspelt_one_word(idf_places):
+    # dsl.rs:284-301: a misspelt one-word request ("Vaureaal" for Vauréal)
+    # is caught by the ngram minimum_should_match pass: 6 query 3-grams →
+    # 4 required, 4 present in the label's gram set.
+    from mimirsbrunn_spark.functions.geocode import autocomplete
+
+    df, mode = autocomplete(idf_places, "Vaureaal", k=1, types=["admin"])
+    assert mode == "fuzzy"
+    assert [r["id"] for r in df.collect()] == ["admin:osm:relation:vaureal"]
+
+
+def test_fuzzy_very_long_query(idf_places):
+    # dsl.rs:293-295: "very long requests" — lots of extra tokens, the
+    # 20<25% msm tier still matches the address
+    from mimirsbrunn_spark.functions.geocode import autocomplete
+
+    q = "Caisse Primaire Assurance Maladie 20 Rue Hector Malot 75012 Paris France"
+    df, mode = autocomplete(idf_places, q, k=3, types=["addr"])
+    got = [r["id"] for r in df.collect()]
+    assert "addr:2.37715;48.846781:20" in got, (mode, got)
+
+
+def test_minimum_should_match_tiers():
+    # dsl.rs:284-301 "1<-1 3<-2 9<-4 20<25%" and :302-309 "4<-1 7<-25%"
+    from mimirsbrunn_spark.functions.geocode import _msm_fuzzy, _msm_search
+
+    assert [_msm_fuzzy(n) for n in (1, 2, 3, 4, 9, 10, 20, 21, 40)] == [
+        1, 1, 2, 2, 7, 6, 16, 5, 10]
+    assert [_msm_search(n) for n in (1, 4, 5, 7, 8, 12)] == [1, 4, 4, 6, 2, 3]
+
+
+def test_importance_radius_interpolation():
+    # dsl.rs:188-217: no coord → max-radius weights; with coord → weights
+    # pulled toward the min-radius prefix set
+    from mimirsbrunn_spark.functions.geocode import _zoom_weights
+
+    no_coord = _zoom_weights("prefix", None)
+    assert abs(no_coord["admin"] - 0.03) < 1e-9 and abs(no_coord["factor"] - 0.75) < 1e-9
+    with_coord = _zoom_weights("prefix", (2.3, 48.8))
+    assert 0.03 < with_coord["admin"] <= 0.12
+    assert 0.4 <= with_coord["factor"] < 0.75
+    fuzzy = _zoom_weights("fuzzy", (2.3, 48.8))
+    assert fuzzy["admin"] <= with_coord["admin"]
+
+
+def test_search_query_type(idf_places):
+    # the /search shape (dsl.rs:302-309): fuzziness auto:4,8 + "4<-1 7<-25%"
+    from mimirsbrunn_spark.functions.geocode import forward_geocode
+
+    df = forward_geocode(idf_places, "20 rue hektor malot paris", k=3,
+                         types=["addr"], query_type="search")
+    got = [r["id"] for r in df.collect()]
+    assert got[:1] == ["addr:2.37715;48.846781:20"], got
+
+
+def test_shape_filter_scoped_passthrough(spark):
+    # G14 (dsl.rs:425-471): scoped types must intersect the shape,
+    # unlisted types pass through; boundary points count as intersecting.
+    import numpy as np
+
+    from mimirsbrunn_spark.functions.geocode import shape_filter
+
+    square = [[np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])]]
+    places = spark.createDataFrame(
+        [
+            ("poi:in", "poi", 0.5, 0.5),
+            ("poi:out", "poi", 2.0, 2.0),
+            ("poi:edge", "poi", 0.5, 1.0),     # exactly on the top edge
+            ("admin:out", "admin", 2.0, 2.0),  # unlisted type → passes
+            ("addr:out", "addr", 5.0, 5.0),
+        ],
+        "id string, type string, lon double, lat double",
+    )
+    got = sorted(
+        r["id"] for r in shape_filter(places, square, ["poi", "addr"]).collect()
+    )
+    assert got == ["admin:out", "poi:edge", "poi:in"]

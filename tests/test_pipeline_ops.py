@@ -211,3 +211,164 @@ def test_merge_update_partial_schema_inserts(spark):
     bad = spark.createDataFrame([(2, "B")], "id int, nosuch string")
     with _pytest.raises(ValueError):
         merge_update(target, bad, "id")
+
+
+def _write_ntfs_fixture(root):
+    root.mkdir(parents=True, exist_ok=True)
+    (root / "stops.txt").write_text(
+        "stop_id,stop_name,stop_lat,stop_lon,location_type,parent_station\n"
+        "SA:1,Gare Centrale,45.25,1.47,1,\n"
+        "SA:2,Place Nord,45.30,1.50,1,\n"
+        "SP:1,Quai A,45.2501,1.4701,0,SA:1\n"
+        "SP:2,Quai B,45.2502,1.4702,0,SA:1\n"
+        "SP:3,Quai C,45.3001,1.5001,0,SA:2\n"
+        "SP:orphan,Isole,44.0,1.0,0,\n"
+    )
+    (root / "stop_times.txt").write_text(
+        "trip_id,stop_id,arrival_time\n"
+        "T:1,SP:1,08:00:00\nT:1,SP:2,08:05:00\nT:2,SP:2,09:00:00\nT:3,SP:3,10:00:00\n"
+    )
+    (root / "trips.txt").write_text(
+        "trip_id,route_id,physical_mode_id\nT:1,R:1,PM:metro\nT:2,R:2,PM:bus\nT:3,R:3,PM:bus\n"
+    )
+    (root / "physical_modes.txt").write_text(
+        "physical_mode_id,physical_mode_name\nPM:metro,Metro\nPM:bus,Bus\n"
+    )
+
+
+def test_ntfs_reader_through_stops_pipeline(spark, tmp_path):
+    """S5: a synthetic NTFS CSV set drives stops_pipeline to the same
+    result as the directly-built stops table (stops.rs:266-300)."""
+    from mimirsbrunn_spark.operators.places import stops_pipeline
+    from mimirsbrunn_spark.sources import read_ntfs_stops
+
+    _write_ntfs_fixture(tmp_path / "ntfs")
+    stops = read_ntfs_stops(spark, str(tmp_path / "ntfs"))
+    got = {r["stop_area_id"]: r for r in stops.collect()}
+    assert set(got) == {"SA:1", "SA:2"}
+    assert got["SA:1"]["stop_point_ids"] == ["SP:1", "SP:2"]
+    assert got["SA:1"]["physical_modes"] == ["Bus", "Metro"]  # via SP:2's trips
+    assert got["SA:2"]["physical_modes"] == ["Bus"]
+
+    direct = spark.createDataFrame(
+        [
+            ("SA:1", "Gare Centrale", 1.47, 45.25, ["SP:1", "SP:2"], ["Bus", "Metro"]),
+            ("SA:2", "Place Nord", 1.50, 45.30, ["SP:3"], ["Bus"]),
+        ],
+        "stop_area_id string, name string, lon double, lat double, "
+        "stop_point_ids array<string>, physical_modes array<string>",
+    )
+    from mimirsbrunn_spark.gate import rect_admins_df
+
+    admins = rect_admins_df(spark)
+    cols = ["stop_area_id", "name", "n_stop_points", "mode_weight", "weight", "label"]
+    a = stops_pipeline(stops, admins).select(*cols).orderBy("stop_area_id").collect()
+    b = stops_pipeline(direct, admins).select(*cols).orderBy("stop_area_id").collect()
+    assert a == b
+
+
+def test_navitia_poi_reader_through_pois_pipeline(spark, tmp_path):
+    """S6: a navitia .poi file set (';'-separated) flows through
+    pois_pipeline pre-typed — no F2 rule engine, name/postcode fallbacks
+    from the properties map (pois.rs:110-125, poi.rs:214-223)."""
+    from mimirsbrunn_spark.gate import rect_admins_df
+    from mimirsbrunn_spark.operators.places import pois_pipeline
+    from mimirsbrunn_spark.sources import read_navitia_pois
+
+    root = tmp_path / "poi"
+    root.mkdir()
+    (root / "poi.txt").write_text(
+        "poi_id;poi_type_id;poi_name;poi_lat;poi_lon\n"
+        "P:1;amenity:townhall;Mairie;45.25;1.47\n"
+        "P:2;leisure:park;;45.30;1.50\n"          # empty name → type-name fallback
+        "P:bad;amenity:parking;Nowhere;;\n"        # unparsable coords dropped
+    )
+    (root / "poi_type.txt").write_text(
+        "poi_type_id;poi_type_name\namenity:townhall;town hall\nleisure:park;park\n"
+    )
+    (root / "poi_properties.txt").write_text(
+        "poi_id;key;value\nP:1;addr:postcode;19240\nP:1;wheelchair;yes\n"
+    )
+    pois = read_navitia_pois(spark, str(root))
+    assert pois.count() == 2
+    out = {r["osm_id"]: r for r in pois_pipeline(pois, rect_admins_df(spark)).collect()}
+    assert out["P:1"]["name"] == "Mairie"
+    assert out["P:1"]["zip_codes"] == ["19240"]           # property override
+    assert out["P:1"]["poi_id"] == "poi:navitia:P:1"
+    assert out["P:2"]["name"] == "park"                   # poi_type name fallback
+    assert out["P:2"]["poi_type"]["id"] == "leisure:park"
+
+
+def test_apply_dotted_updates(spark):
+    """update.rs:45-75 semantics: dotted Set ops merge into nested docs,
+    missing intermediate objects are created, other rows untouched."""
+    import pytest as _pytest
+
+    from mimirsbrunn_spark.sources.lifecycle import apply_dotted_updates
+
+    target = spark.createDataFrame(
+        [
+            ("d1", {"city": {"postcode": None, "name": None}, "street": "rue A"}, "x"),
+            ("d2", None, "y"),
+            ("d3", {"city": {"postcode": "00000", "name": "Old"}, "street": "rue C"}, "z"),
+        ],
+        "id string, address struct<city:struct<postcode:string,name:string>,street:string>, v string",
+    )
+    ops = spark.createDataFrame(
+        [
+            ("d1", "address.city.postcode", "95600"),
+            ("d1", "address.city.name", "Eaubonne"),
+            ("d2", "address.city.name", "Nowhere"),  # null root struct → created
+            ("d2", "v", "Y2"),                        # top-level column set
+        ],
+        "id string, ident string, value string",
+    )
+    got = {r["id"]: r for r in apply_dotted_updates(target, ops, "id").collect()}
+    assert got["d1"]["address"]["city"]["postcode"] == "95600"
+    assert got["d1"]["address"]["city"]["name"] == "Eaubonne"
+    assert got["d1"]["address"]["street"] == "rue A"       # sibling preserved
+    assert got["d2"]["address"]["city"]["name"] == "Nowhere"
+    assert got["d2"]["address"]["street"] is None
+    assert got["d2"]["v"] == "Y2"
+    assert got["d3"]["address"]["city"]["name"] == "Old"   # untouched row
+    assert got["d3"]["v"] == "z"
+
+    bad = spark.createDataFrame([("d1", "address.nosuch.x", "1")], "id string, ident string, value string")
+    with _pytest.raises(ValueError):
+        apply_dotted_updates(target, bad, "id")
+
+
+def test_geocodejson_assembly(spark):
+    """C10 (geocoding.rs:10-131): place rows → GeoJSON Point features with
+    a geocoding property block; driver envelope is a FeatureCollection."""
+    import json
+
+    from mimirsbrunn_spark.functions import geocodejson_response, to_geocodejson
+
+    admins_t = ("array<struct<id:string,name:string,level:int,zone_type:string,"
+                "zip_codes:array<string>,weight:double>>")
+    df = spark.createDataFrame(
+        [
+            ("addr:2.37;48.84:20", "addr", "20 rue hector malot (Paris)", "20 rue hector malot",
+             "20", "rue hector malot", ["75012"], "75112",
+             [{"id": "admin:fr:75056", "name": "Paris", "level": 8, "zone_type": "city",
+               "zip_codes": ["75012"], "weight": 0.3}],
+             2.375735, 48.84568),
+        ],
+        f"id string, type string, label string, name string, house_number string, "
+        f"street string, zip_codes array<string>, insee string, admins {admins_t}, "
+        f"lon double, lat double",
+    )
+    feats = [r["feature"] for r in to_geocodejson(df).collect()]
+    f = json.loads(feats[0])
+    assert f["type"] == "Feature"
+    assert f["geometry"] == {"type": "Point", "coordinates": [2.375735, 48.84568]}
+    g = f["properties"]["geocoding"]
+    assert g["id"] == "addr:2.37;48.84:20"
+    assert g["housenumber"] == "20" and g["street"] == "rue hector malot"
+    assert g["postcode"] == "75012" and g["city"] == "Paris" and g["citycode"] == "75112"
+    assert g["administrative_regions"][0]["id"] == "admin:fr:75056"
+    resp = json.loads(geocodejson_response(feats, q="20 rue hector malot"))
+    assert resp["type"] == "FeatureCollection"
+    assert resp["geocoding"] == {"version": "0.1.0", "query": "20 rue hector malot"}
+    assert len(resp["features"]) == 1

@@ -175,3 +175,143 @@ def test_radius_disk_never_drops_in_radius_points():
                     assert grid_cell(lon2, lat2, res) in disk, (
                         lat0, lon0, radius, res, bearing_deg,
                     )
+
+
+# ---------------------------------------------------------------------------
+# S2 exactness pinned by an INDEPENDENT scalar implementation
+# ---------------------------------------------------------------------------
+
+_S2_POS_TO_IJ = [[0, 1, 3, 2], [0, 2, 3, 1], [3, 2, 0, 1], [3, 1, 0, 2]]
+_S2_POS_TO_ORIENT = [1, 0, 0, 3]  # swap, none, none, invert|swap
+
+
+def _s2_scalar(lon_deg: float, lat_deg: float, level: int) -> int:
+    """Published S2 algorithm, scalar python ints, NO lookup tables —
+    a deliberately different code path (per-level Hilbert iteration, as in
+    the s2geometry reference docs) to cross-check tiles.s2_cell_np's
+    vectorized table-driven encoder."""
+    import math
+
+    lon, lat = math.radians(lon_deg), math.radians(lat_deg)
+    x = math.cos(lat) * math.cos(lon)
+    y = math.cos(lat) * math.sin(lon)
+    z = math.sin(lat)
+    ax, ay, az = abs(x), abs(y), abs(z)
+    if ax >= ay and ax >= az:
+        face = 0 if x >= 0 else 3
+    elif ay >= az:
+        face = 1 if y >= 0 else 4
+    else:
+        face = 2 if z >= 0 else 5
+    if face == 0:
+        u, v = y / x, z / x
+    elif face == 1:
+        u, v = -x / y, z / y
+    elif face == 2:
+        u, v = -x / z, -y / z
+    elif face == 3:
+        u, v = z / x, y / x
+    elif face == 4:
+        u, v = z / y, -x / y
+    else:
+        u, v = -y / z, -x / z
+
+    def st(w):
+        return 0.5 * math.sqrt(1 + 3 * w) if w >= 0 else 1 - 0.5 * math.sqrt(1 - 3 * w)
+
+    def ij(s):
+        return max(0, min((1 << 30) - 1, int(math.floor(s * (1 << 30)))))
+
+    i, j = ij(st(u)), ij(st(v))
+    # bit-by-bit Hilbert: orientation starts as face & 1 (swap mask)
+    pos = 0
+    orientation = face & 1
+    for k in range(29, -1, -1):
+        bi = (i >> k) & 1
+        bj = (j >> k) & 1
+        ijb = bi * 2 + bj
+        quad = _S2_POS_TO_IJ[orientation].index(ijb)
+        pos = pos * 4 + quad
+        orientation ^= _S2_POS_TO_ORIENT[quad]
+    cell = ((face << 60) + pos) * 2 + 1  # leaf id (61-bit pos incl. trailing 1)
+    if level < 30:
+        lsb = 1 << (2 * (30 - level))
+        cell = (cell & ~(lsb - 1)) | lsb
+    return cell - (1 << 64) if cell >= (1 << 63) else cell
+
+
+def test_s2_cross_implementation_exactness():
+    import numpy as np
+
+    from mimirsbrunn_spark.tiles import s2_cell_np
+
+    rng = np.random.RandomState(7)
+    lons = np.concatenate([rng.uniform(-180, 180, 200),
+                           [0.0, 90.0, -90.0, 179.99, -179.99, 45.0, 0.0, 0.0]])
+    lats = np.concatenate([rng.uniform(-89.9, 89.9, 200),
+                           [0.0, 0.0, 0.0, 0.0, 0.0, 35.26, 89.9, -89.9]])
+    for level in (4, 10, 16, 30):
+        got = s2_cell_np(lons, lats, level)
+        for lo, la, g in zip(lons, lats, got):
+            assert int(g) == _s2_scalar(float(lo), float(la), level), (lo, la, level)
+
+
+def test_s2_face_bits_cardinals():
+    """Exact face assignment for the 6 cardinal directions (the top 3 bits
+    of the uint64 id — hand-derivable from the published cube layout)."""
+    import numpy as np
+
+    from mimirsbrunn_spark.tiles import s2_cell_np
+
+    cases = [((0.0, 0.0), 0), ((90.0, 0.0), 1), ((0.0, 90.0), 2),
+             ((180.0, 0.0), 3), ((-90.0, 0.0), 4), ((0.0, -90.0), 5)]
+    for (lon, lat), face in cases:
+        cell = np.uint64(s2_cell_np(np.array([lon]), np.array([lat]), 30).view(np.uint64)[0])
+        assert int(cell) >> 61 == face, (lon, lat, face)
+
+
+def test_h3_backend_seam_dispatch():
+    """The grid-backend facade: default = quadtree (wheel absent in this
+    image); with an h3-shaped module injected, the adapters drive its API
+    (latlng_to_cell/cell_to_parent/grid_disk) — so a cluster that has the
+    real wheel gets true H3 through the same entry points."""
+    import numpy as np
+
+    from mimirsbrunn_spark.tiles import GRID_BACKEND, get_cell_ops, grid_cell
+
+    assert GRID_BACKEND == "quadtree"
+    ops = get_cell_ops()
+    assert ops.backend == "quadtree"
+    assert int(ops.cell_np(np.array([2.35]), np.array([48.85]), 7)[0]) == grid_cell(2.35, 48.85, 7)
+
+    class FakeH3:
+        """Minimal h3-4.x-shaped API: str tokens <-> ints, fake cells."""
+
+        def latlng_to_cell(self, lat, lng, res):
+            return f"{int((lng + 180) * 100)}_{int((lat + 90) * 100)}_{res}"
+
+        def str_to_int(self, s):
+            a, b, r = s.split("_")
+            return (int(a) << 24) + (int(b) << 4) + int(r)
+
+        def int_to_str(self, i):
+            return f"{i >> 24}_{(i >> 4) & 0xFFFFF}_{i & 0xF}"
+
+        def cell_to_parent(self, s, parent_res):
+            a, b, _ = s.split("_")
+            return f"{a}_{b}_{parent_res}"
+
+        def grid_disk(self, s, k):
+            a, b, r = s.split("_")
+            return [f"{int(a) + d}_{b}_{r}" for d in range(-k, k + 1)]
+
+    fake = FakeH3()
+    ops = get_cell_ops("h3", h3mod=fake)
+    assert ops.backend == "h3"
+    cells = ops.cell_np(np.array([2.35, 3.0]), np.array([48.85, 49.0]), 9)
+    assert list(cells) == [fake.str_to_int(fake.latlng_to_cell(48.85, 2.35, 9)),
+                           fake.str_to_int(fake.latlng_to_cell(49.0, 3.0, 9))]
+    parents = ops.parent_np(cells, 7)
+    assert all(int(p) & 0xF == 7 for p in parents)
+    disk = ops.disk(int(cells[0]), 1)
+    assert len(disk) == 3
