@@ -163,6 +163,17 @@ def main() -> None:
 
     timed("q6_minhash_lsh", q6)
 
+    # q7 — the partitioned (beyond-broadcast-budget) PIP strategy on the
+    # same flagship points: tracks the shuffle path's gap to q1 per round
+    def q7():
+        pts = with_grid_cells(extract_geo_points(docs), "lon", "lat").select(
+            F.concat_ws("#", "doc_id", "span_offset").alias("point_uid"), "lon", "lat"
+        )
+        att = attach_admins(pts, admins, strategy="partitioned")
+        return att.select(F.size("admin_ids")).groupBy().sum().collect()
+
+    timed("q7_pip_partitioned", q7)
+
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["q1_pipeline_full"], 1)
     print(

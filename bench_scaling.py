@@ -109,7 +109,7 @@ def main() -> None:
 
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    md = f"""# BENCH/BASELINE — scaling-efficiency evidence (N vs 4N)
+    header_and_scaling = f"""# BENCH/BASELINE — scaling-efficiency evidence (N vs 4N)
 
 Per the north rule, the two-cluster-size criterion is evidenced in this
 sandbox by running the identical flagship job on the identical input at
@@ -138,8 +138,17 @@ Arrow-vectorized refine). Work is embarrassingly parallel over input
 splits, so wall time tracks 1/cores until input splits or the Python
 worker pool run out.
 """
-    (bench_dir / "BASELINE.md").write_text(md)
-    print(f"wrote {bench_dir / 'BASELINE.md'}")
+    # regenerate ONLY the header + scaling section; keep every other
+    # section (skew report, why-N, strategy comparison) intact
+    target = bench_dir / "BASELINE.md"
+    if target.exists():
+        old = target.read_text()
+        cut = old.find("\n## ")
+        rest = old[cut:] if cut >= 0 else ""
+        target.write_text(header_and_scaling.rstrip() + "\n" + rest)
+    else:
+        target.write_text(header_and_scaling)
+    print(f"wrote {target}")
 
 
 if __name__ == "__main__":

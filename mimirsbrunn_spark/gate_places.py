@@ -221,6 +221,20 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_vec", "neighbor_vec", "cosine", F.col("rank").cast("int").alias("rank"))
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer + probed exact re-rank). The
+    quantizer is iteratively trained, hence not SQL-expressible — this
+    gate is rows-only by design; recall vs brute force is pinned by
+    pytest test_ivf_topk_recall_vs_bruteforce (0.7 @ 4/16 probes, exact
+    at full probing)."""
+    from .operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=3, n_centroids=16, n_probe=4, iters=3
+    ).select("query_vec", "neighbor_vec", "cosine", F.col("rank").cast("int").alias("rank"))
+
+
 def _duck_hp(t: int, b: int) -> str:
     x = f"({t} * 1009 + {b} * 101 + i)"
     return f"(((1103515245::BIGINT * {x} + 12345) % 2147483647) / 2147483647.0 - 0.5)"
@@ -443,6 +457,7 @@ PLACES_QUERIES = {
     "streets_dedup": (q_streets_dedup, STREETS_DEDUP_SQL),
     "stop_weights": (q_stop_weights, STOP_WEIGHTS_SQL),
     "ann_lsh_topk": (q_ann_lsh, _ann_sql()),
+    "ivf_ann_topk": (q_ivf_ann, None),
     "embed_neardup_pairs": (q_embed_neardup, EMBED_NEARDUP_SQL),
     "embed_neardup_lsh": (q_embed_neardup_lsh, EMBED_NEARDUP_LSH_SQL),
     "coverage_cells": (q_coverage_cells, COVERAGE_CELLS_SQL),

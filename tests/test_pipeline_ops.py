@@ -372,3 +372,110 @@ def test_geocodejson_assembly(spark):
     assert resp["type"] == "FeatureCollection"
     assert resp["geocoding"] == {"version": "0.1.0", "query": "20 rue hector malot"}
     assert len(resp["features"]) == 1
+
+
+def _split_events_by_time(spark, tmp_path, n_files=3):
+    """Split the sf0.01 events into time-ordered files so an
+    availableNow run sees multiple micro-batches and the watermark
+    advances between them."""
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet").withColumn(
+        "__us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    qs = e.approxQuantile("__us", [i / n_files for i in range(1, n_files)], 0.0)
+    bounds = [float("-inf"), *qs, float("inf")]
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    for i in range(n_files):
+        (
+            e.filter((F.col("__us") > bounds[i]) & (F.col("__us") <= bounds[i + 1]))
+            .drop("__us")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(src / f"part_{i}.parquet"))
+        )
+    # flatten: the file source wants files, not dirs — move parquet files up
+    import shutil
+
+    final = tmp_path / "events_src"
+    final.mkdir()
+    for i, d in enumerate(sorted(src.iterdir())):
+        for f in d.glob("*.parquet"):
+            shutil.copy(f, final / f"events_{i}.parquet")
+    return str(final)
+
+
+def test_streaming_windowed_counts_watermark(spark, tmp_path):
+    """§2.10: watermark + windowed agg; every emitted window row equals
+    the batch rollup of the same window (append mode emits only finalized
+    windows, so the stream output is a subset of the batch result —
+    nonempty because the watermark advances across micro-batches)."""
+    from mimirsbrunn_spark.streaming import windowed_event_counts
+
+    src = _split_events_by_time(spark, tmp_path)
+    out, ckpt = str(tmp_path / "win_out"), str(tmp_path / "win_ckpt")
+    q = windowed_event_counts(spark, src, out, ckpt, window="10 minutes",
+                              watermark="30 minutes")
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "value_sum")
+    )
+    g = {(r["window_start"], r["event_type"]): (r["n"], r["value_sum"]) for r in got.collect()}
+    b = {(r["window_start"], r["event_type"]): (r["n"], r["value_sum"]) for r in batch.collect()}
+    assert len(g) > 0, "watermark never finalized any window"
+    for k, v in g.items():
+        assert b[k] == v, k
+    # exactly-once on rerun: no new rows
+    n0 = got.count()
+    q2 = windowed_event_counts(spark, src, out, ckpt)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == n0
+
+
+def test_streaming_stateful_sessionize_matches_batch(spark, tmp_path):
+    """§2.10: applyInPandasWithState sessionization — every emitted
+    (closed or timeout-flushed) session must appear in the batch
+    operator's result with identical (n_events, duration_us)."""
+    from mimirsbrunn_spark.gate import q_sessionize
+    from mimirsbrunn_spark.streaming import stateful_sessionize_stream
+
+    src = _split_events_by_time(spark, tmp_path)
+    out, ckpt = str(tmp_path / "sess_out"), str(tmp_path / "sess_ckpt")
+    q = stateful_sessionize_stream(spark, src, out, ckpt, watermark="30 minutes")
+    q.awaitTermination(600)
+    got = spark.read.parquet(out).collect()
+    assert len(got) > 0, "no sessions emitted"
+    # batch truth keyed by (user, n_events, duration) — session_idx
+    # numbering differs (stream numbers per arrival, batch per user
+    # timeline) but the session CONTENTS must match
+    batch = q_sessionize(spark, "/root/testdata/sf0.01").collect()
+    batch_key = {}
+    for r in batch:
+        batch_key.setdefault((r["user_id"], r["n_events"], r["duration_us"]), 0)
+        batch_key[(r["user_id"], r["n_events"], r["duration_us"])] += 1
+    for r in got:
+        k = (r["user_id"], r["n_events"], r["duration_us"])
+        assert batch_key.get(k, 0) > 0, f"stream session {k} not in batch result"
+        batch_key[k] -= 1
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF ANN: deterministic k-means training + probed re-rank; recall@3
+    against exact cosine_topk must clear 0.7 at 4/16 probes and reach 1.0
+    when probing every centroid (degenerates to brute force)."""
+    from mimirsbrunn_spark.operators.similarity import cosine_topk, ivf_topk, train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 15)
+    exact = {(r["query_vec"], r["neighbor_vec"]) for r in cosine_topk(queries, emb, k=3).collect()}
+    cents = train_ivf_centroids(emb, n_centroids=16, iters=3)
+    approx = {(r["query_vec"], r["neighbor_vec"])
+              for r in ivf_topk(queries, emb, k=3, n_probe=4, centroids=cents).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, recall
+    full = {(r["query_vec"], r["neighbor_vec"])
+            for r in ivf_topk(queries, emb, k=3, n_probe=16, centroids=cents).collect()}
+    assert full == exact
