@@ -193,6 +193,12 @@ def string_query_score(
     groups.append(best([field_score(q_tokens, "label")] + lang_variant("labels")) * STRING_BOOSTS["label"])
     if "zip_codes_str" in cols:
         groups.append(field_score(q_tokens, "zip_codes_str") * STRING_BOOSTS["zip_codes"])
+    elif "zip_codes" in cols:
+        zt = F.coalesce(F.col("zip_codes"), F.array().cast("array<string>"))
+        zscore = F.lit(0.0)
+        for t in q_tokens:
+            zscore = zscore + F.array_contains(zt, t).cast("double")
+        groups.append(zscore * STRING_BOOSTS["zip_codes"])
     if "house_number" in cols:
         groups.append(field_score(q_tokens, "house_number") * STRING_BOOSTS["house_number"])
     if query_type != "search":
@@ -250,6 +256,13 @@ def full_label_tokens(df: DataFrame) -> Column:
         )
     if "zip_codes_str" in cols:
         parts.append(_tokens_of("zip_codes_str"))
+    elif "zip_codes" in cols:  # array form, as the place pipelines emit
+        parts.append(
+            F.transform(
+                F.coalesce(F.col("zip_codes"), F.array().cast("array<string>")),
+                lambda z: F.lower(z),
+            )
+        )
     out = parts[0]
     for p in parts[1:]:
         out = F.concat(out, p)

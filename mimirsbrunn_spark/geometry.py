@@ -30,6 +30,7 @@ import struct
 import numpy as np
 
 EARTH_RADIUS_M = 6371000.0
+M_PER_DEG_EQ = 2.0 * np.pi * EARTH_RADIUS_M / 360.0  # meridional meters per degree
 
 Ring = np.ndarray  # (N, 2) lon/lat
 Polygon = list  # [Ring, ...] first = exterior
@@ -225,3 +226,39 @@ def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
     return HAVERSINE_SQL_TEMPLATE.format(
         R=EARTH_RADIUS_M, lon1=lon1, lat1=lat1, lon2=lon2, lat2=lat2
     )
+
+
+def points_to_mp_distance_m(lon: np.ndarray, lat: np.ndarray, mp: MultiPolygon) -> np.ndarray:
+    """G4 — metric distance from points to a multipolygon: 0 for points
+    inside (or on the boundary), else the minimum point-to-edge distance
+    over all rings. Edges are evaluated in a local equirectangular frame
+    (lon scaled by cos of the mean latitude) and converted to meters with
+    the same R as haversine — exact enough for the reference's
+    distance-annotation role (its geo crate does the same planar
+    projection for polygon distance)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    m_per_deg = 2.0 * np.pi * EARTH_RADIUS_M / 360.0
+    best = np.full(len(lon), np.inf)
+    for poly in mp:
+        for ring in poly:
+            ax, ay = ring[:, 0], ring[:, 1]
+            bx, by = np.roll(ax, -1), np.roll(ay, -1)
+            # local x-scaling per edge (mean latitude of edge + point)
+            for px_i in range(0, len(lon), 4096):
+                sl = slice(px_i, px_i + 4096)
+                px = lon[sl][:, None]
+                py = lat[sl][:, None]
+                coslat = np.cos(np.radians((py + (ay + by) / 2.0) / 2.0))
+                axs, bxs, pxs = ax * coslat, bx * coslat, px * coslat
+                ux, uy = bxs - axs, by - ay
+                dot = (pxs - axs) * ux + (py - ay) * uy
+                len2 = ux * ux + uy * uy
+                t = np.clip(np.divide(dot, len2, out=np.zeros_like(dot), where=len2 > 0), 0.0, 1.0)
+                dx = pxs - (axs + t * ux)
+                dy = py - (ay + t * uy)
+                d = np.sqrt(dx * dx + dy * dy).min(axis=1) * m_per_deg
+                best[sl] = np.minimum(best[sl], d)
+    inside = points_in_multipolygon(lon, lat, mp) | points_on_multipolygon_boundary(lon, lat, mp)
+    best[inside] = 0.0
+    return best

@@ -4,5 +4,6 @@ from .readers import (  # noqa: F401
     read_navitia_pois,
     read_ntfs_stops,
     read_openaddresses_csv,
+    resolve_osm_dependencies,
 )
 from .lifecycle import publish_table, read_published, merge_update  # noqa: F401

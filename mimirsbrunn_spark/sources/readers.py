@@ -191,3 +191,35 @@ def read_navitia_pois(spark: SparkSession, path: str) -> DataFrame:
             F.create_map(F.lit("name"), F.col("poi_name")),
         ),
     ).drop("props", "poi_name")
+
+
+def resolve_osm_dependencies(
+    seeds: DataFrame, members: DataFrame, max_depth: int = 8
+) -> DataFrame:
+    """S2 — transitive member pull: the reference's PBF scan loads the
+    filtered objects AND everything they reference, transitively
+    (osmpbfreader's get_objs_and_deps used by the osm_reader modules —
+    relations referencing relations referencing ways referencing nodes).
+
+    ``seeds``: (osm_id) of the filtered objects; ``members``: the edge
+    table (parent_id, child_id). Returns the distinct closure including
+    the seeds. Iterative frontier expansion, one equi-join per level,
+    anti-join against the known set so each object is pulled once; OSM
+    nesting is shallow (≲8 in practice — max_depth is a cycle guard, and
+    relation cycles terminate because the anti-join empties the
+    frontier)."""
+    known = seeds.select(F.col(seeds.columns[0]).alias("osm_id")).distinct().cache()
+    frontier = known
+    for _ in range(max_depth):
+        children = (
+            frontier.join(members, frontier["osm_id"] == members["parent_id"])
+            .select(F.col("child_id").alias("osm_id"))
+            .distinct()
+            .join(known, "osm_id", "left_anti")
+            .cache()
+        )
+        if children.isEmpty():
+            break
+        known = known.unionByName(children).cache()
+        frontier = children
+    return known

@@ -479,3 +479,47 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     full = {(r["query_vec"], r["neighbor_vec"])
             for r in ivf_topk(queries, emb, k=3, n_probe=16, centroids=cents).collect()}
     assert full == exact
+
+
+def test_resolve_osm_dependencies_transitive(spark):
+    """S2: filtered object ids pull their members transitively
+    (relation -> relation -> way -> nodes), each exactly once, cycles
+    tolerated."""
+    from mimirsbrunn_spark.sources import resolve_osm_dependencies
+
+    seeds = spark.createDataFrame([("rel:1",), ("way:9",)], "osm_id string")
+    members = spark.createDataFrame(
+        [
+            ("rel:1", "rel:2"),
+            ("rel:2", "way:5"),
+            ("rel:2", "rel:1"),   # cycle back
+            ("way:5", "node:51"),
+            ("way:5", "node:52"),
+            ("way:9", "node:91"),
+            ("rel:77", "way:5"),  # unrelated parent — never pulled
+            ("way:88", "node:881"),  # unreachable
+        ],
+        "parent_id string, child_id string",
+    )
+    got = sorted(r["osm_id"] for r in resolve_osm_dependencies(seeds, members).collect())
+    assert got == ["node:51", "node:52", "node:91", "rel:1", "rel:2", "way:5", "way:9"]
+
+
+def test_geocode_zip_codes_array_matching(spark):
+    """T3/T4 with array-typed zip_codes: zips are part of full_label
+    (copy_to in the reference mapping), so "<street> <zip>" matches and
+    the zip boosts the right city's address."""
+    from mimirsbrunn_spark.functions.geocode import autocomplete
+
+    places = spark.createDataFrame(
+        [
+            ("addr:a", "addr", "25 Quai de Montebello", "25 Quai de Montebello (Paris)", ["75005"], 0.1, 2.3477, 48.8525),
+            ("addr:b", "addr", "25 Quai de Montebello", "25 Quai de Montebello (Lyon)", ["69001"], 0.1, 4.83, 45.77),
+        ],
+        "id string, type string, name string, label string, zip_codes array<string>, weight double, lon double, lat double",
+    )
+    df, mode = autocomplete(places, "25 Quai de Montebello 75005", k=2)
+    got = [r["id"] for r in df.collect()]
+    assert mode == "prefix"          # the zip matches through full_label
+    assert got[0] == "addr:a", got   # and boosts the 75005 address first
+    assert got == ["addr:a"], got    # Lyon fails the operator-and condition

@@ -315,3 +315,20 @@ def test_h3_backend_seam_dispatch():
     assert all(int(p) & 0xF == 7 for p in parents)
     disk = ops.disk(int(cells[0]), 1)
     assert len(disk) == 3
+
+
+def test_points_to_mp_distance():
+    """G4: zero inside/on-boundary; exact for axis-aligned offsets; the
+    nearest-edge (not nearest-vertex) distance for diagonal probes."""
+    from mimirsbrunn_spark.geometry import M_PER_DEG_EQ, points_to_mp_distance_m
+
+    sq = [[np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])]]
+    lon = np.array([0.5, 0.5, 0.5, 2.0, -1.0, 0.5])
+    lat = np.array([0.5, 1.0, 2.0, 0.5, 0.5, -0.25])
+    d = points_to_mp_distance_m(lon, lat, sq)
+    assert d[0] == 0.0 and d[1] == 0.0             # inside, on edge
+    m = M_PER_DEG_EQ
+    assert abs(d[2] - 1.0 * m) / m < 0.01           # 1 deg above the top edge
+    assert abs(d[3] - 1.0 * m) / m < 0.01           # 1 deg right (cos ~1 near equator)
+    assert abs(d[4] - 1.0 * m) / m < 0.01
+    assert abs(d[5] - 0.25 * m) / m < 0.01
