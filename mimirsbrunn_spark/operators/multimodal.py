@@ -147,3 +147,57 @@ def media_table_from_docs(docs: DataFrame, kind_cycle=("image", "audio", "video"
         F.sha2("media_ref", 256).cast("binary").alias("payload"),
         F.create_map(F.lit("source"), F.lit("synthetic")).alias("meta"),
     )
+
+
+def decode_audio(df: DataFrame, sample_rate: int = 16_000, seconds: float = 1.0,
+                 strict: bool = False) -> DataFrame:
+    """audio rows → (media_ref, waveform array<float>, sample_rate).
+
+    STUB codec (libsndfile/ffmpeg absent): strict=True raises at the
+    production wiring point; default emits the deterministic fake so the
+    schema/batch plumbing is exercised end to end."""
+    n = int(sample_rate * seconds)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "audio decode requires libsndfile/ffmpeg — plug the codec here"
+                )
+            waves = [
+                (_fake_decode(bytes(p) if p is not None else ref.encode(), n) * 2.0 - 1.0).tolist()
+                for p, ref in zip(pdf["payload"], pdf["media_ref"])
+            ]
+            yield pd.DataFrame(
+                {"media_ref": pdf["media_ref"], "waveform": waves, "sample_rate": sample_rate}
+            )
+
+    return df.filter(F.col("media_kind") == "audio").repartition(
+        F.col("media_ref")
+    ).mapInPandas(gen, schema="media_ref string, waveform array<float>, sample_rate int")
+
+
+def audio_features(decoded: DataFrame, n_bands: int = 8, frame: int = 512) -> DataFrame:
+    """Feature-extract stage for audio: per-frame RMS energy folded into
+    ``n_bands`` mean-pooled bands (vectorized numpy; a real mel frontend
+    slots into the same signature)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for wv in pdf["waveform"]:
+                arr = np.asarray(wv, dtype=np.float32)
+                eff = min(frame, max(len(arr), 1))  # short clips: one frame
+                n_frames = max(1, len(arr) // eff)
+                rms = np.sqrt(
+                    np.square(arr[: n_frames * eff].reshape(n_frames, eff)).mean(axis=1)
+                )
+                bands = np.array_split(rms, n_bands)
+                feats.append(
+                    np.array(
+                        [b.mean() if len(b) else 0.0 for b in bands], dtype=np.float32
+                    ).tolist()
+                )
+            yield pd.DataFrame({"media_ref": pdf["media_ref"], "embedding": feats})
+
+    return decoded.mapInPandas(gen, schema="media_ref string, embedding array<float>")

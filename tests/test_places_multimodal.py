@@ -192,3 +192,25 @@ def test_ann_lsh_matches_bruteforce_topk(spark):
         key = (r["query_vec"], r["neighbor_vec"])
         if key in ex:
             assert abs(ex[key] - r["cosine"]) < 1e-9
+
+
+def test_multimodal_audio_stub_plumbing(spark, fixtures_dir):
+    from mimirsbrunn_spark.operators.multimodal import (
+        audio_features, decode_audio, media_table_from_docs,
+    )
+
+    docs = spark.read.parquet(f"{fixtures_dir}/docs.parquet")
+    media = media_table_from_docs(docs)
+    decoded = decode_audio(media, sample_rate=4000, seconds=0.5)
+    rows = decoded.limit(5).collect()
+    assert rows and all(len(r["waveform"]) == 2000 and r["sample_rate"] == 4000 for r in rows)
+    assert all(-1.0 <= v <= 1.0 for v in rows[0]["waveform"][:50])
+    feats = audio_features(decoded.limit(5), n_bands=8).collect()
+    assert all(len(r["embedding"]) == 8 for r in feats)
+    # determinism: same media_ref → same embedding
+    again = audio_features(decode_audio(media, sample_rate=4000, seconds=0.5).limit(5), n_bands=8).collect()
+    assert {r["media_ref"]: r["embedding"] for r in feats} == {r["media_ref"]: r["embedding"] for r in again}
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decode_audio(media, strict=True).count()
