@@ -246,7 +246,7 @@ def admin_cell_cover(admins: DataFrame, spark: SparkSession | None = None) -> Da
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tmp = AdminGeoFinder()
         for pdf in batches:
-            out = {"cell": [], "id": []}
+            out = {"cell": [], "id": [], "minx": [], "miny": [], "maxx": [], "maxy": []}
             for _, r in pdf.iterrows():
                 wkb = r["boundary_wkb"]
                 if wkb is None:
@@ -257,10 +257,19 @@ def admin_cell_cover(admins: DataFrame, spark: SparkSession | None = None) -> Da
                 for c in _bbox_cells(bbox, res):
                     out["cell"].append(c)
                     out["id"].append(r["id"])
+                    out["minx"].append(bbox[0])
+                    out["miny"].append(bbox[1])
+                    out["maxx"].append(bbox[2])
+                    out["maxy"].append(bbox[3])
             if out["cell"]:
                 yield pd.DataFrame(out)
 
-    return admins.select(*ADMIN_DIM_COLS).mapInPandas(gen, schema="cell long, id string")
+    # bbox columns ride along so the G2 envelope check can run JVM-side
+    # at the pair join (callers that only need (cell, id) just ignore them)
+    return admins.select(*ADMIN_DIM_COLS).mapInPandas(
+        gen,
+        schema="cell long, id string, minx double, miny double, maxx double, maxy double",
+    )
 
 
 def attach_admins_partitioned(
@@ -361,13 +370,23 @@ def attach_admins_partitioned(
     cover_idx = (
         cover.withColumnRenamed("id", "admin_id")
         .join(F.broadcast(adm_idx_df), "admin_id")
-        .select("cell", "__aidx")
+        .select("cell", "__aidx", "minx", "miny", "maxx", "maxy")
     )
 
-    # stage 1 — candidate pairs (narrow rows: uid, lon, lat, admin idx)
-    pairs = pts.join(cover_idx, "cell").select(
-        "point_uid", "__plon", "__plat", "__aidx",
-        salted_mod_col("point_uid", n_salts).alias("__salt"),
+    # stage 1 — candidate pairs (narrow rows: uid, lon, lat, admin idx).
+    # The G2 envelope check runs HERE, JVM-side, before anything shuffles
+    # or crosses Arrow — identical candidate set to the broadcast path's
+    # _candidate_map (cell hit + bbox containment).
+    pairs = (
+        pts.join(cover_idx, "cell")
+        .filter(
+            (F.col("__plon") >= F.col("minx")) & (F.col("__plon") <= F.col("maxx"))
+            & (F.col("__plat") >= F.col("miny")) & (F.col("__plat") <= F.col("maxy"))
+        )
+        .select(
+            "point_uid", "__plon", "__plat", "__aidx",
+            salted_mod_col("point_uid", n_salts).alias("__salt"),
+        )
     )
 
     # stage 2 — geometry side: one row per (admin, salt); WKB × n_salts total

@@ -305,3 +305,70 @@ def test_shape_filter_scoped_passthrough(spark):
         r["id"] for r in shape_filter(places, square, ["poi", "addr"]).collect()
     )
     assert got == ["admin:out", "poi:edge", "poi:in"]
+
+
+# ---------------------------------------------------------------------------
+# features/idf/geocoder-addresses.feature — the three query forms per
+# address: "<hn> <street> <city>", "<hn> <street> <zip>", "<hn> <street>"
+# at a coord. Each address gets a decoy twin in another city so the city
+# token / zip / proximity boost must actually disambiguate.
+# ---------------------------------------------------------------------------
+
+_IDF_ADDRS = [
+    # (street, hn, zip, lon, lat) — from geocoder-addresses.feature
+    ("Avenue de l'Opéra", "34", "75002", 2.33337, 48.868659),
+    ("Rue des Deux Ponts", "19B", "75004", 2.356355, 48.851728),
+    ("Quai de Montebello", "25", "75005", 2.347712, 48.852487),
+    ("Rue Servandoni", "7T", "75006", 2.334795, 48.850291),
+    ("Rue de Bassano", "29", "75008", 2.298874, 48.87042),
+    ("Rue Blanche", "104", "75009", 2.332395, 48.883345),
+    ("Rue du Buisson Saint-Louis", "15", "75010", 2.3735, 48.872447),
+    ("Avenue Daumesnil", "91", "75012", 2.379139, 48.845647),
+]
+
+
+@pytest.fixture(scope="module")
+def idf_addr_places(spark):
+    rows = []
+    for i, (street, hn, zipc, lon, lat) in enumerate(_IDF_ADDRS):
+        name = f"{hn} {street}"
+        rows.append((f"addr:paris:{i}", "addr", name, f"{name} (Paris)", [zipc], 0.1, lon, lat))
+        # decoy twin: same hn+street in Meaux, different zip, ~40 km east
+        rows.append((f"addr:meaux:{i}", "addr", name, f"{name} (Meaux)", ["77100"], 0.1, lon + 0.55, lat + 0.08))
+    return spark.createDataFrame(
+        rows,
+        "id string, type string, name string, label string, zip_codes array<string>, "
+        "weight double, lon double, lat double",
+    ).cache()
+
+
+@pytest.mark.parametrize("idx", range(len(_IDF_ADDRS)))
+def test_idf_addr_city_token(idf_addr_places, idx):
+    from mimirsbrunn_spark.functions.geocode import autocomplete
+
+    street, hn, _zip, _lon, _lat = _IDF_ADDRS[idx]
+    df, mode = autocomplete(idf_addr_places, f"{hn} {street} Paris", k=1, types=["addr"])
+    got = [r["id"] for r in df.collect()]
+    assert got == [f"addr:paris:{idx}"], (mode, got)
+
+
+@pytest.mark.parametrize("idx", range(len(_IDF_ADDRS)))
+def test_idf_addr_zip_token(idf_addr_places, idx):
+    from mimirsbrunn_spark.functions.geocode import autocomplete
+
+    street, hn, zipc, _lon, _lat = _IDF_ADDRS[idx]
+    df, mode = autocomplete(idf_addr_places, f"{hn} {street} {zipc}", k=1, types=["addr"])
+    got = [r["id"] for r in df.collect()]
+    assert got == [f"addr:paris:{idx}"], (mode, got)
+
+
+@pytest.mark.parametrize("idx", [0, 2, 5, 7])
+def test_idf_addr_coord_proximity(idf_addr_places, idx):
+    # no city/zip token: both twins pass the matching condition; the
+    # T8 proximity boost around the query coord must pick the Paris one
+    from mimirsbrunn_spark.functions.geocode import autocomplete
+
+    street, hn, _zip, lon, lat = _IDF_ADDRS[idx]
+    df, _mode = autocomplete(idf_addr_places, f"{hn} {street}", k=2, coord=(lon, lat), types=["addr"])
+    got = [r["id"] for r in df.collect()]
+    assert got[0] == f"addr:paris:{idx}", got
