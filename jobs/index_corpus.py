@@ -27,6 +27,15 @@ def main(argv=None) -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--res", type=int, nargs="+", default=[7, 8, 9, 10, 11, 12])
+    ap.add_argument(
+        "--strategy", choices=["broadcast", "partitioned"], default="broadcast",
+        help="PIP join strategy: broadcast (admin dim fits executor memory) "
+             "or partitioned (beyond broadcast budget — salted cogroup refine)",
+    )
+    ap.add_argument(
+        "--geocodejson", action="store_true",
+        help="also publish the attached points as GeocodeJSON feature lines",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -56,7 +65,7 @@ def main(argv=None) -> None:
         spark, ckpt, "attach_admins", [args.docs, args.admins],
         lambda: attach_admins(
             points.withColumn("point_uid", F.concat_ws("#", "doc_id", "span_offset")),
-            admins, strategy="broadcast",
+            admins, strategy=args.strategy,
         ),
     )
 
@@ -72,6 +81,19 @@ def main(argv=None) -> None:
 
     publish_table(attached, args.out, "points_indexed")
     publish_table(cov, args.out, "coverage")
+    if args.geocodejson:
+        from mimirsbrunn_spark.functions import to_geocodejson
+
+        features = to_geocodejson(
+            attached.select(
+                F.col("point_uid").alias("id"),
+                F.lit("addr").alias("type"),
+                F.col("point_uid").alias("name"),
+                F.col("point_uid").alias("label"),
+                "lon", "lat",
+            )
+        )
+        publish_table(features, args.out, "geocodejson")
     report = {
         "points": attached.count(),
         "coverage_admins": cov.count(),
