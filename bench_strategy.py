@@ -99,7 +99,9 @@ Runs interleaved min-of-{reps}: broadcast {times['broadcast']}, partitioned
 """
     if md.exists():
         text = md.read_text()
-        pat = re.compile(r"## Strategy comparison at .*?(?=\n## |\Z)", re.S)
+        # replace only the measured table/ratio block; keep any hand-written
+        # analysis prose ("What changed ...") that follows it
+        pat = re.compile(r"## Strategy comparison at .*?(?=\n## |\nWhat changed|\Z)", re.S)
         if pat.search(text):
             text = pat.sub(section, text)
         else:

@@ -372,3 +372,29 @@ def test_idf_addr_coord_proximity(idf_addr_places, idx):
     df, _mode = autocomplete(idf_addr_places, f"{hn} {street}", k=2, coord=(lon, lat), types=["addr"])
     got = [r["id"] for r in df.collect()]
     assert got[0] == f"addr:paris:{idx}", got
+
+
+def test_stop_search_and_find_by_id(spark):
+    # features/stops/limousin.feature: "charles de gaulle" → stop_area:CDG
+    # first (stop type boost 18.0); /features find-by-id with name check
+    from mimirsbrunn_spark.functions.geocode import autocomplete
+
+    places = spark.createDataFrame(
+        [
+            ("stop_area:CDG", "stop", "Charles de Gaulle", "Charles de Gaulle (Paris)", 0.7, 2.55, 49.01),
+            ("stop_area:GDL", "stop", "Gare de Lyon", "Gare de Lyon (Paris)", 0.8, 2.373, 48.844),
+            ("street:cdg", "street", "Avenue Charles de Gaulle", "Avenue Charles de Gaulle (Neuilly)", 0.2, 2.26, 48.88),
+            ("admin:paris", "admin", "Paris", "Paris", 0.9, 2.35, 48.85),
+        ],
+        "id string, type string, name string, label string, weight double, lon double, lat double",
+    )
+    df, mode = autocomplete(places, "charles de gaulle", k=3, types=["stop"])
+    got = [r["id"] for r in df.collect()]
+    assert mode == "prefix" and got[0] == "stop_area:CDG", got
+    # unrestricted: the stop's 18.0 type boost + stop importance beats the street
+    df, _ = autocomplete(places, "charles de gaulle", k=3)
+    got = [r["id"] for r in df.collect()]
+    assert got[0] == "stop_area:CDG", got
+    # T11 find-by-id
+    hit = places.filter(F.col("id").isin(["stop_area:GDL"])).collect()
+    assert len(hit) == 1 and hit[0]["name"] == "Gare de Lyon"
