@@ -223,10 +223,55 @@ NGRAM_JACCARD_LSH_SQL = f"""
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components (min-label propagation)
+    over the MinHash-LSH candidate pair graph — the dedup DECISION stage.
+    Iterative Spark joins vs an exact DuckDB recursive-CTE closure."""
+    from .operators.dedup import neardup_components
+
+    docs = _aug_docs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(docs, id_col="pid", k=16, bands=4)
+    return neardup_components(pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+DEDUP_COMPONENTS_SQL = f"""
+    WITH RECURSIVE aug AS ({AUG_SQL}),
+    ids AS (SELECT pid, {_DUCK_TOK_IDS} AS tok_ids FROM aug),
+    sh AS (SELECT pid, {_DUCK_SHINGLES} AS shingles FROM ids),
+    sig AS (SELECT pid, [{', '.join(_duck_minhash(j) for j in range(16))}] AS mh FROM sh),
+    buckets AS (
+        SELECT pid, b.band, CASE b.band
+            WHEN 0 THEN {_duck_band(0)} WHEN 1 THEN {_duck_band(1)}
+            WHEN 2 THEN {_duck_band(2)} ELSE {_duck_band(3)} END AS bh
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.pid AS doc_a, b.pid AS doc_b
+        FROM buckets a JOIN buckets b USING (band, bh)
+        WHERE a.pid < b.pid
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cand
+        UNION SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    reach AS (
+        SELECT DISTINCT src AS doc_id, src AS r FROM edges
+        UNION
+        SELECT re.doc_id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
+    FROM reach GROUP BY doc_id
+"""
+
+
 DEDUP_QUERIES = {
     "minhash_signature": (q_minhash_sig, MINHASH_SIG_SQL),
     "minhash_lsh_pairs": (q_lsh_pairs, LSH_PAIRS_SQL),
     "simhash16": (q_simhash, SIMHASH_SQL),
     "ngram_jaccard_pairs": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "ngram_jaccard_lsh": (q_ngram_jaccard_lsh, NGRAM_JACCARD_LSH_SQL),
+    "dedup_components": (q_dedup_components, DEDUP_COMPONENTS_SQL),
 }

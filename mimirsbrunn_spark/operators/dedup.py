@@ -202,3 +202,70 @@ def ngram_jaccard_pairs(
         .filter(F.col("n_inter").cast("double") / F.col("n_union") >= threshold)
         .withColumn("jaccard", F.round(F.col("n_inter") / F.col("n_union"), 6))
     )
+
+
+def neardup_components(
+    pairs: DataFrame, doc_a: str = "doc_a", doc_b: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Near-dup pair graph → connected components: (doc_id, component),
+    component = the minimum doc id reachable through the pair graph —
+    the dedup DECISION stage after candidate generation + verification.
+
+    Min-label propagation: every vertex starts as its own label; each
+    round joins labels across the (symmetric) edge list and keeps the
+    minimum; stops when a round changes nothing. Rounds needed = graph
+    diameter — near-dup clusters are shallow (a doc and its variants),
+    so this converges in a handful of shuffles; ``max_iter`` is a
+    pathological-chain guard (raises rather than silently truncating)."""
+    edges = (
+        pairs.select(F.col(doc_a).alias("src"), F.col(doc_b).alias("dst"))
+        .unionByName(pairs.select(F.col(doc_b).alias("src"), F.col(doc_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("component").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("component"), F.coalesce("n_min", F.col("component"))).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()  # superseded generation — bound cache growth
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    raise RuntimeError(f"neardup_components did not converge in {max_iter} rounds")
+
+
+def dedup_keep_canonical(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    doc_a: str = "doc_a", doc_b: str = "doc_b",
+) -> DataFrame:
+    """The end of the dedup pipeline: keep one canonical doc per
+    near-dup component (the minimum id — deterministic), pass through
+    every doc not in any pair. Anti-join shape: only non-canonical
+    members are removed."""
+    comps = neardup_components(pairs, doc_a, doc_b)
+    losers = comps.filter(F.col(id_col) != F.col("component")).select(id_col)
+    return docs.join(losers, id_col, "left_anti")

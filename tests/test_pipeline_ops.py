@@ -523,3 +523,21 @@ def test_geocode_zip_codes_array_matching(spark):
     assert mode == "prefix"          # the zip matches through full_label
     assert got[0] == "addr:a", got   # and boosts the 75005 address first
     assert got == ["addr:a"], got    # Lyon fails the operator-and condition
+
+
+def test_neardup_components_and_canonical(spark):
+    """Components over a hand-built pair graph: chain, triangle,
+    singleton edge; canonical keep removes every non-minimum member."""
+    from mimirsbrunn_spark.operators.dedup import dedup_keep_canonical, neardup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain → comp 1
+         (10, 11), (11, 12), (10, 12),    # triangle → comp 10
+         (20, 21)],                       # pair → comp 20
+        "doc_a long, doc_b long",
+    )
+    comp = {r["doc_id"]: r["component"] for r in neardup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]], "doc_id long")
+    kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
+    assert kept == [1, 10, 20, 99]  # one canonical per component + untouched 99
