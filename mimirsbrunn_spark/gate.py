@@ -288,6 +288,31 @@ TOKEN_COUNT_SQL = r"""
 """
 
 
+# BPE-ish pretokenizer (the GPT-2 pattern's shape, lookahead-free so the
+# same regex runs under Java regex AND RE2): contraction suffixes,
+# space?+letter-run, space?+digit-run, space?+punct-run. Whitespace-only
+# runs are not tokens.
+BPE_TOKEN_RX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style token counting (the budget estimator a training
+    pipeline runs before tokenizing for real): count BPE-pretokenizer
+    matches — JVM regexp_extract_all, no Python."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RX), F.lit(0))
+    return d.select(
+        "doc_id", F.size(F.coalesce(toks, F.array())).cast("long").alias("n_bpe_tokens")
+    )
+
+
+TOKEN_COUNT_BPE_SQL = rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RX.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic doc quality: length, mean token length, punctuation ratio
     (integer counts + one rounded division — engine-exact)."""
@@ -528,6 +553,7 @@ QUERIES = {
     "reverse_knn": (q_reverse_knn, REVERSE_KNN_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
+    "token_count_bpe": (q_token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "quality_score": (q_quality_score, QUALITY_SCORE_SQL),
     "doc_fingerprint": (q_doc_fingerprint, DOC_FINGERPRINT_SQL),
     "lang_guess": (q_lang_guess, LANG_GUESS_SQL),
