@@ -313,6 +313,45 @@ TOKEN_COUNT_BPE_SQL = rf"""
 """
 
 
+# a small fixed english stopword list (quality heuristics don't need NLTK)
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this",
+]
+
+
+def q_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio quality signal (the third leg of the brief's
+    length/punct/stopword triple): fraction of lowercase whitespace
+    tokens that are stopwords — pure higher-order array SQL."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        sw.cast("long").alias("n_stopwords"),
+        F.when(n > 0, F.round(sw.cast("double") / n.cast("double"), 6)).otherwise(F.lit(0.0)).alias("stopword_ratio"),
+    )
+
+
+STOPWORD_RATIO_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> x IN ({", ".join("'" + w + "'" for w in STOPWORDS)}))) AS BIGINT) AS n_stopwords,
+           CASE WHEN len(toks) > 0
+                THEN round(len(list_filter(toks, x -> x IN ({", ".join("'" + w + "'" for w in STOPWORDS)})))::DOUBLE / len(toks), 6)
+                ELSE 0.0 END AS stopword_ratio
+    FROM t
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic doc quality: length, mean token length, punctuation ratio
     (integer counts + one rounded division — engine-exact)."""
@@ -555,6 +594,7 @@ QUERIES = {
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "token_count_bpe": (q_token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "quality_score": (q_quality_score, QUALITY_SCORE_SQL),
+    "stopword_ratio": (q_stopword_ratio, STOPWORD_RATIO_SQL),
     "doc_fingerprint": (q_doc_fingerprint, DOC_FINGERPRINT_SQL),
     "lang_guess": (q_lang_guess, LANG_GUESS_SQL),
     "embed_cosine_topk": (q_embed_cosine_topk, EMBED_COSINE_SQL),

@@ -201,3 +201,34 @@ def audio_features(decoded: DataFrame, n_bands: int = 8, frame: int = 512) -> Da
             yield pd.DataFrame({"media_ref": pdf["media_ref"], "embedding": feats})
 
     return decoded.mapInPandas(gen, schema="media_ref string, embedding array<float>")
+
+
+def resize_image(decoded: DataFrame, out_width: int = 8, out_height: int = 8) -> DataFrame:
+    """Resize stage over decoded pixel rows: block-mean downsample (real
+    numpy math — unlike the codec, resizing needs no external library).
+    Requires out dims to divide the input dims (the common power-of-two
+    thumbnail path); (media_ref, pixels, width, height) in and out."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for px, w, h in zip(pdf["pixels"], pdf["width"], pdf["height"]):
+                w, h = int(w), int(h)
+                if w % out_width or h % out_height:
+                    raise ValueError(f"resize {w}x{h} -> {out_width}x{out_height}: non-integer block")
+                arr = np.asarray(px, dtype=np.float32).reshape(h, w)
+                bh, bw = h // out_height, w // out_width
+                small = arr.reshape(out_height, bh, out_width, bw).mean(axis=(1, 3))
+                out.append(small.ravel().astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "pixels": out,
+                    "width": out_width,
+                    "height": out_height,
+                }
+            )
+
+    return decoded.mapInPandas(
+        gen, schema="media_ref string, pixels array<float>, width int, height int"
+    )

@@ -214,3 +214,24 @@ def test_multimodal_audio_stub_plumbing(spark, fixtures_dir):
 
     with _pytest.raises(Exception):
         decode_audio(media, strict=True).count()
+
+
+def test_resize_image_block_mean(spark, fixtures_dir):
+    from mimirsbrunn_spark.operators.multimodal import (
+        decode_image, media_table_from_docs, resize_image,
+    )
+    import numpy as np
+
+    docs = spark.read.parquet(f"{fixtures_dir}/docs.parquet")
+    media = media_table_from_docs(docs)
+    decoded = decode_image(media, width=16, height=16)
+    small = resize_image(decoded, out_width=4, out_height=4)
+    a = {r["media_ref"]: r for r in decoded.limit(3).collect()}
+    b = {r["media_ref"]: r for r in small.filter(
+        small["media_ref"].isin(list(a))).collect()}
+    for ref, row in a.items():
+        big = np.array(row["pixels"], dtype=np.float32).reshape(16, 16)
+        want = big.reshape(4, 4, 4, 4).mean(axis=(1, 3)).ravel()
+        got = np.array(b[ref]["pixels"], dtype=np.float32)
+        assert b[ref]["width"] == 4 and b[ref]["height"] == 4
+        assert np.allclose(got, want, atol=1e-6)
