@@ -488,9 +488,12 @@ def attach_admins(
     lat_col: str = "lat",
     strategy: str = "broadcast",
     point_id_col: str = "point_uid",
+    n_salts: int = 8,
 ) -> DataFrame:
     if strategy == "broadcast":
         return attach_admins_broadcast(points, admins, lon_col, lat_col)
     if strategy == "partitioned":
-        return attach_admins_partitioned(points, admins, lon_col, lat_col, point_id_col)
+        return attach_admins_partitioned(
+            points, admins, lon_col, lat_col, point_id_col, n_salts=n_salts
+        )
     raise ValueError(f"unknown strategy {strategy!r}")
