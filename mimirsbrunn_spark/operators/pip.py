@@ -14,13 +14,17 @@ the join is map-side, scaling linearly with point count. Geometry tests
 are vectorized per (admin × batch-subset); only the final dedup loop is
 per-point Python over a handful of pre-tested candidates.
 
-**partitioned strategy** (polygon side too big to broadcast): both sides
-shuffle on covering-cell id and meet in a cogrouped ``applyInPandas``
-refine — the classic distributed spatial join. Geometry stays inside the
-cogroup; only the tiny admin *skeleton* (id, zone_type, parent_id — no
-boundary) is broadcast for the hierarchy-memo replay, which is exact
-because memoization in the reference only short-circuits boundary tests,
-never changes observable results.
+**partitioned strategy** (polygon side too big to broadcast): a
+three-stage shuffle plan — (1) points equi-join a slim
+(cell, admin-idx, bbox) cover with the envelope check inside the
+Catalyst join; (2) candidate pairs cogroup with the geometry table on
+(admin, salt) so each polygon's WKB crosses the wire exactly
+``n_salts`` times and a giant polygon's candidates spread across
+reducers; (3) int-encoded flags gather per point and the dedup/memo
+loop replays against the broadcast admin *skeleton* (id, zone_type,
+parent_id — no boundary), which is exact because memoization in the
+reference only short-circuits boundary tests, never changes observable
+results.
 
 Output: input point columns + ``admin_ids array<string>`` in the
 reference's result order (zone_type rank, id tie-break).

@@ -10,9 +10,13 @@
   Hyperplanes are generated from a seeded integer recurrence, so the
   oracle can reproduce them exactly in SQL. Bucket join = shuffle on
   (table, signature) — Catalyst/AQE territory, no Python.
-- An IVF variant (k-means coarse quantizer) would need iterative
-  training; LSH gives the same bucket-join plan shape without training
-  state, which is why it's the scale path here.
+- ``lsh_neardup_pairs``: the threshold (dedup-decision) counterpart of
+  the top-k path — same bucket self-join, exact cosine >= t inside.
+- ``ivf_topk`` / ``train_ivf_centroids``: the trained alternative —
+  distributed Lloyd k-means coarse quantizer + probed exact re-rank.
+  LSH needs no training state (oracle-exact in SQL); IVF trades a few
+  training passes for tighter candidate lists on clustered corpora, so
+  its gate is rows-only and its recall is pinned in pytest instead.
 """
 
 from __future__ import annotations
