@@ -573,6 +573,45 @@ SESSIONIZE_SQL = """
 """
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join over the events table: every click matched to the
+    latest view at-or-before it per user (operators/temporal.asof_join —
+    one window, zero join nodes) vs DuckDB's native ASOF LEFT JOIN."""
+    from .operators.temporal import asof_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "us")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "event_id", "us")
+    out = asof_join(clicks, views, key="user_id", time_col="us", right_id="event_id")
+    return out.select(
+        "user_id",
+        F.col("event_id").cast("long").alias("click_id"),
+        F.col("event_id_asof").cast("long").alias("view_id"),
+        (F.col("us") - F.col("us_asof")).cast("long").alias("gap_us"),
+    )
+
+
+EVENTS_ASOF_SQL = """
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    clicks AS (SELECT user_id, event_id, us FROM ev WHERE event_type = 'click'),
+    views_d AS (
+        SELECT user_id, us, max(event_id) AS vid
+        FROM ev WHERE event_type = 'view' GROUP BY user_id, us
+    )
+    SELECT c.user_id,
+           CAST(c.event_id AS BIGINT) AS click_id,
+           CAST(v.vid AS BIGINT) AS view_id,
+           CAST(c.us - v.us AS BIGINT) AS gap_us
+    FROM clicks c ASOF LEFT JOIN views_d v
+      ON c.user_id = v.user_id AND c.us >= v.us
+"""
+
+
 def q_s2_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 cell assignment (pandas UDF) — no SQL oracle (Hilbert curve is
     not SQL-expressible); driver records the weaker rows-only check,
@@ -600,6 +639,7 @@ QUERIES = {
     "embed_cosine_topk": (q_embed_cosine_topk, EMBED_COSINE_SQL),
     "s2_tiles": (q_s2_tiles, None),  # rows-only: Hilbert not SQL-expressible
     "sessionize_events": (q_sessionize, SESSIONIZE_SQL),
+    "events_asof": (q_events_asof, EVENTS_ASOF_SQL),
 }
 
 from .gate_dedup import DEDUP_QUERIES  # noqa: E402

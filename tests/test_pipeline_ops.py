@@ -541,3 +541,27 @@ def test_neardup_components_and_canonical(spark):
     docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]], "doc_id long")
     kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
     assert kept == [1, 10, 20, 99]  # one canonical per component + untouched 99
+
+
+def test_asof_join_semantics(spark):
+    """AS-OF join unit vectors: inclusive same-timestamp match, no-match
+    null, greatest-id tie rule, per-key isolation, right attrs carried."""
+    from mimirsbrunn_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 100, "L1"), ("u1", 205, "L2"), ("u1", 50, "L0"), ("u2", 100, "L3")],
+        "user string, t long, lbl string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 100, 7, "a"), ("u1", 100, 9, "b"),   # tie at t=100 → id 9 wins
+         ("u1", 200, 11, "c"), ("u2", 150, 13, "d")],
+        "user string, t long, rid long, val string",
+    )
+    out = {r["lbl"]: r for r in asof_join(
+        left, right, key="user", time_col="t", right_id="rid", right_cols=["val"]
+    ).collect()}
+    assert out["L1"]["rid_asof"] == 9 and out["L1"]["t_asof"] == 100  # inclusive + tie
+    assert out["L1"]["val_asof"] == "b"
+    assert out["L2"]["rid_asof"] == 11 and out["L2"]["val_asof"] == "c"
+    assert out["L0"]["rid_asof"] is None and out["L0"]["t_asof"] is None
+    assert out["L3"]["rid_asof"] is None  # u2's only view is later
