@@ -594,6 +594,37 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: events matched to the value intervals they
+    fall in, via bucketized pruning (operators/temporal.range_join) vs a
+    plain inequality join in DuckDB."""
+    from .operators.temporal import range_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "value")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").alias("interval_id"),
+        (F.col("n_nationkey").cast("double") * 3.0).alias("lo"),
+        (F.col("n_nationkey").cast("double") * 3.0 + 5.0).alias("hi"),
+    )
+    out = range_join(e, n, value_col="value", bucket_width=4.0)
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("interval_id").cast("long").alias("interval_id"),
+    )
+
+
+EVENTS_RANGE_JOIN_SQL = """
+    WITH iv AS (
+        SELECT n_nationkey AS interval_id,
+               n_nationkey * 3.0 AS lo, n_nationkey * 3.0 + 5.0 AS hi
+        FROM nation
+    )
+    SELECT CAST(e.event_id AS BIGINT) AS event_id,
+           CAST(iv.interval_id AS BIGINT) AS interval_id
+    FROM events e JOIN iv ON e.value >= iv.lo AND e.value < iv.hi
+"""
+
+
 EVENTS_ASOF_SQL = """
     WITH ev AS (
         SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
@@ -640,6 +671,7 @@ QUERIES = {
     "s2_tiles": (q_s2_tiles, None),  # rows-only: Hilbert not SQL-expressible
     "sessionize_events": (q_sessionize, SESSIONIZE_SQL),
     "events_asof": (q_events_asof, EVENTS_ASOF_SQL),
+    "events_range_join": (q_events_range_join, EVENTS_RANGE_JOIN_SQL),
 }
 
 from .gate_dedup import DEDUP_QUERIES  # noqa: E402

@@ -98,3 +98,39 @@ def asof_join(
         *[F.col(f"__m_{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
     return out
+
+
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Interval (range) join without the naive cross product: each
+    interval explodes to the fixed-width buckets it overlaps, the left
+    side lands in exactly ONE bucket, and the match is a bucket equi-join
+    + exact half-open filter ``lo <= value < hi``.
+
+    Pairs are unique by construction (one bucket per left row), so no
+    dedup shuffle; cost is |left| + |intervals| x (span/bucket_width)
+    instead of |left| x |intervals|. Pick ``bucket_width`` near the
+    median interval span; AQE skew-splits hot buckets."""
+    b_left = left.withColumn(
+        "__b", F.floor(F.col(value_col) / F.lit(float(bucket_width))).cast("long")
+    )
+    b_int = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(float(bucket_width))).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(float(bucket_width))).cast("long"),
+            )
+        ),
+    )
+    return (
+        b_left.join(b_int, "__b")
+        .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
+        .drop("__b")
+    )

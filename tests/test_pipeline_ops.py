@@ -565,3 +565,27 @@ def test_asof_join_semantics(spark):
     assert out["L2"]["rid_asof"] == 11 and out["L2"]["val_asof"] == "c"
     assert out["L0"]["rid_asof"] is None and out["L0"]["t_asof"] is None
     assert out["L3"]["rid_asof"] is None  # u2's only view is later
+
+
+def test_range_join_bucketized(spark):
+    """Range join unit vectors: overlapping intervals, half-open bounds,
+    values outside every interval; result equals the naive inequality
+    join regardless of bucket width."""
+    from mimirsbrunn_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0), (2, 2.5), (3, 5.0), (4, 9.99), (5, 100.0)], "id long, value double"
+    )
+    iv = spark.createDataFrame(
+        [(10, 0.0, 5.0), (11, 2.0, 10.0), (12, 5.0, 6.0)], "iid long, lo double, hi double"
+    )
+    naive = {
+        (r["id"], r["iid"])
+        for r in left.join(iv, (left["value"] >= iv["lo"]) & (left["value"] < iv["hi"])).collect()
+    }
+    for w in (0.5, 3.0, 50.0):
+        got = {(r["id"], r["iid"]) for r in range_join(left, iv, "value", bucket_width=w).collect()}
+        assert got == naive, (w, got ^ naive)
+    assert (1, 10) in naive and (3, 12) in naive and (3, 11) in naive
+    assert all(i != 5 for i, _ in naive)          # 100.0 matches nothing
+    assert (3, 10) not in naive                   # hi is exclusive
