@@ -343,8 +343,14 @@ def matching_condition(q_tokens: list[str], query_type: str, toks: Column) -> Co
 def _zoom_weights(query_type: str, coord, proximity_scale_offset=None) -> dict:
     """Linear interpolation of (admin, factor, missing) between the
     min-radius and max-radius weight sets on ln1p(radius)
-    (build_weight_depending_on_radius, dsl.rs:188-217)."""
-    min_w = MIN_RADIUS_FUZZY if query_type == "fuzzy" else MIN_RADIUS_PREFIX
+    (build_weight_depending_on_radius, dsl.rs:188-217).
+
+    Reference parity (ADVICE r02): dsl.rs:195 always interpolates from
+    ``min_radius_prefix`` — the config's ``min_radius_fuzzy`` block is
+    never read by build_weight_depending_on_radius — so fuzzy queries use
+    MIN_RADIUS_PREFIX here too. MIN_RADIUS_FUZZY is kept as the parsed
+    config value only (config/query/default.toml parity)."""
+    min_w = MIN_RADIUS_PREFIX
     if coord is None:
         ratio = 1.0
     else:

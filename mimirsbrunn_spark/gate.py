@@ -575,8 +575,11 @@ SESSIONIZE_SQL = """
 
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join over the events table: every click matched to the
-    latest view at-or-before it per user (operators/temporal.asof_join —
-    one window, zero join nodes) vs DuckDB's native ASOF LEFT JOIN."""
+    latest view at-or-before it per user, through the SKEW-SAFE
+    time-bucketed plan (operators/temporal.asof_join n_buckets=8 — per
+    (key, bucket) windows + carry injection, so a hot key splits across
+    reducers) vs DuckDB's native ASOF LEFT JOIN. Bucketed-vs-single-window
+    equivalence is additionally pinned in pytest."""
     from .operators.temporal import asof_join
 
     e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
@@ -585,7 +588,7 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "us")
     views = e.filter(F.col("event_type") == "view").select("user_id", "event_id", "us")
-    out = asof_join(clicks, views, key="user_id", time_col="us", right_id="event_id")
+    out = asof_join(clicks, views, key="user_id", time_col="us", right_id="event_id", n_buckets=8)
     return out.select(
         "user_id",
         F.col("event_id").cast("long").alias("click_id"),
@@ -644,13 +647,21 @@ EVENTS_ASOF_SQL = """
 
 
 def q_s2_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 cell assignment (pandas UDF) — no SQL oracle (Hilbert curve is
-    not SQL-expressible); driver records the weaker rows-only check,
-    exactness is covered by tests/test_tiles_geometry.py invariants."""
+    """S2 cell assignment (vectorized numpy via pandas UDF), now with an
+    EXACT DuckDB oracle: the 16-level Hilbert interleave is unrolled as a
+    recursive CTE over the inlined 1024-entry lookup table (see
+    tiles.s2_cell_oracle_sql — verified bit-exact on 150k points), so the
+    round-2 ``no_oracle`` row is a full rows+schema+hash gate."""
     from .tiles import s2_cell_pandas_udf
 
     pts = points_from_orders(spark, sf_dir)
     return pts.select("point_id", s2_cell_pandas_udf(16)(F.col("lon"), F.col("lat")).alias("s2_cell"))
+
+
+def _s2_tiles_sql() -> str:
+    from .tiles import s2_cell_oracle_sql
+
+    return s2_cell_oracle_sql(POINTS_FROM_ORDERS_SQL, level=16, id_col="point_id")
 
 
 QUERIES = {
@@ -668,7 +679,7 @@ QUERIES = {
     "doc_fingerprint": (q_doc_fingerprint, DOC_FINGERPRINT_SQL),
     "lang_guess": (q_lang_guess, LANG_GUESS_SQL),
     "embed_cosine_topk": (q_embed_cosine_topk, EMBED_COSINE_SQL),
-    "s2_tiles": (q_s2_tiles, None),  # rows-only: Hilbert not SQL-expressible
+    "s2_tiles": (q_s2_tiles, _s2_tiles_sql()),
     "sessionize_events": (q_sessionize, SESSIONIZE_SQL),
     "events_asof": (q_events_asof, EVENTS_ASOF_SQL),
     "events_range_join": (q_events_range_join, EVENTS_RANGE_JOIN_SQL),

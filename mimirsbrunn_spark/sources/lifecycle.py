@@ -129,7 +129,13 @@ def apply_dotted_updates(target: DataFrame, updates: DataFrame, key: str) -> Dat
     each path is applied with withField rebuilds, creating null
     intermediate structs as the reference creates empty JSON objects.
     Paths outside the target schema raise (typed storage, not ES
-    schemaless). Top-level (undotted) idents update plain columns."""
+    schemaless). Top-level (undotted) idents update plain columns.
+
+    Ordering (ADVICE r02): the reference applies Set ops in sequence, so
+    the LAST write must win deterministically. If ``updates`` carries a
+    ``seq`` column, the pivot keeps max_by(value, seq); without one,
+    multiple ops on the same (key, ident) are rejected up front rather
+    than resolved by a nondeterministic first()."""
     idents = [r["ident"] for r in updates.select("ident").distinct().collect()]
     for ident in idents:
         path = ident.split(".")
@@ -137,7 +143,18 @@ def apply_dotted_updates(target: DataFrame, updates: DataFrame, key: str) -> Dat
         if len(path) > 1:
             _ = _set_path(F.coalesce(F.col(path[0]), _null_struct(dtype)), dtype, path[1:], F.lit("probe"))  # schema check
 
-    pivoted = updates.groupBy(key).pivot("ident", idents).agg(F.first("value"))
+    if "seq" in updates.columns:
+        agg = F.max_by("value", "seq")
+    else:
+        dup = updates.groupBy(key, "ident").count().filter(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise ValueError(
+                "multiple updates target the same (key, ident) "
+                f"({dup[0][0]!r}, {dup[0][1]!r}) but there is no 'seq' column to order them; "
+                "add 'seq' so last-write-wins is deterministic"
+            )
+        agg = F.first("value")
+    pivoted = updates.groupBy(key).pivot("ident", idents).agg(agg)
     pivoted = pivoted.select(
         F.col(key), *[F.col(f"`{i}`").alias(f"__upd_{n}") for n, i in enumerate(idents)]
     )

@@ -63,6 +63,17 @@ def read_cosmogony_jsonl(spark: SparkSession, path: str, schema=None) -> DataFra
     return reader.option("mode", "DROPMALFORMED").json(path)
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Storage-agnostic existence probe via the Hadoop FileSystem API.
+    Driver-local ``pathlib.Path.exists()`` always reports missing for
+    hdfs:// / s3a:// / other non-local URIs, silently dropping optional
+    inputs on exactly the distributed-storage deployments this engine
+    targets (ADVICE r02)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
 def read_ntfs_stops(spark: SparkSession, path: str) -> DataFrame:
     """S5 — NTFS directory → stops table (the transit-model read in
     /root/reference/src/stops.rs:266-272 + build_stop_area_weight
@@ -77,8 +88,6 @@ def read_ntfs_stops(spark: SparkSession, path: str) -> DataFrame:
     (stop_area_id, name, lon, lat, stop_point_ids, physical_modes).
     Mode files are optional — absent, areas get an empty mode list (the
     reference computes weight 0 for unknown modes the same way)."""
-    from pathlib import Path
-
     stops = spark.read.csv(f"{path}/stops.txt", header=True, mode="DROPMALFORMED")
     areas = stops.filter(F.col("location_type") == "1").select(
         F.col("stop_id").alias("stop_area_id"),
@@ -94,7 +103,7 @@ def read_ntfs_stops(spark: SparkSession, path: str) -> DataFrame:
     ).agg(F.array_sort(F.collect_set("stop_id")).alias("stop_point_ids"))
 
     have_modes = all(
-        (Path(path) / f).exists()
+        _fs_exists(spark, f"{path}/{f}")
         for f in ("stop_times.txt", "trips.txt", "physical_modes.txt")
     )
     if have_modes:
@@ -145,8 +154,6 @@ def read_navitia_pois(spark: SparkSession, path: str) -> DataFrame:
     ``poi_type`` struct and operators/places.pois_pipeline skips the F2
     OSM rule engine for it. Properties become the ``tags`` map (the
     name/addr:postcode fallbacks read from it, poi.rs:214-223)."""
-    from pathlib import Path
-
     poi = spark.read.options(sep=";", header=True, mode="DROPMALFORMED").csv(
         f"{path}/poi.txt"
     )
@@ -171,11 +178,11 @@ def read_navitia_pois(spark: SparkSession, path: str) -> DataFrame:
         )
         .filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
     )
-    props_path = Path(path) / "poi_properties.txt"
-    if props_path.exists():
+    props_path = f"{path}/poi_properties.txt"
+    if _fs_exists(spark, props_path):
         props = (
             spark.read.options(sep=";", header=True, mode="DROPMALFORMED")
-            .csv(str(props_path))
+            .csv(props_path)
             .groupBy("poi_id")
             .agg(F.map_from_entries(F.collect_list(F.struct("key", "value"))).alias("props"))
             .withColumnRenamed("poi_id", "osm_id")
@@ -210,16 +217,30 @@ def resolve_osm_dependencies(
     frontier)."""
     known = seeds.select(F.col(seeds.columns[0]).alias("osm_id")).distinct().cache()
     frontier = known
-    for _ in range(max_depth):
-        children = (
-            frontier.join(members, frontier["osm_id"] == members["parent_id"])
+
+    def _expand(fr):
+        return (
+            fr.join(members, fr["osm_id"] == members["parent_id"])
             .select(F.col("child_id").alias("osm_id"))
             .distinct()
             .join(known, "osm_id", "left_anti")
             .cache()
         )
+
+    for _ in range(max_depth):
+        children = _expand(frontier)
         if children.isEmpty():
             break
         known = known.unionByName(children).cache()
         frontier = children
+    else:
+        # max_depth exhausted without an empty frontier — a truncated
+        # closure would silently drop members the reference pulls
+        # (get_objs_and_deps is fully transitive), so refuse (ADVICE r02;
+        # same non-convergence contract as dedup.neardup_components).
+        if not _expand(frontier).isEmpty():
+            raise ValueError(
+                f"OSM dependency closure did not converge within max_depth={max_depth}; "
+                "raise max_depth (deep relation nesting) instead of using a truncated set"
+            )
     return known

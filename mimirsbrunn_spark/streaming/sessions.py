@@ -15,11 +15,16 @@ continuously:
   session per user lives in state and is flushed by event-time timeout
   once the watermark passes its gap horizon.
 
-Parity contract: with a watermark delay of W, the stream's emitted
-sessions equal the batch operator's sessions whenever events arrive at
-most W late (per-batch sorting handles intra-batch disorder; later
-arrivals than W are a documented divergence — same as any watermarked
-system).
+Parity contract (narrowed per ADVICE r02): with a watermark delay of W,
+the stream's emitted sessions equal the batch operator's sessions when
+each user's events are in order ACROSS micro-batches and at most W late.
+Disorder WITHIN a micro-batch is fully handled (all Arrow chunks of the
+group are concatenated and globally sorted before replay). An event that
+arrives in a LATER micro-batch behind the open session's head but still
+inside the watermark is clamped into the open session — counted, never
+moving session time backwards (durations stay non-negative) — which is a
+documented divergence from batch for cross-batch disorder. Arrivals
+later than W are dropped, as in any watermarked system.
 """
 
 from __future__ import annotations
@@ -115,17 +120,25 @@ def _sessionize_user(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
     # stateful ops, so the kernel enforces it; such rows would otherwise
     # time-travel an open session backwards)
     wm_us = state.getCurrentWatermarkMs() * 1000
-    for pdf in pdf_iter:
-        if len(pdf) == 0:
-            continue
-        pdf = pdf.sort_values(["us", "event_id"])
-        for us in pdf["us"].to_numpy():
+    # A group's micro-batch rows can span several Arrow chunks in arbitrary
+    # order (maxRecordsPerBatch, multi-partition input) — concatenate and
+    # sort ONCE so intra-batch disorder never corrupts sessions (ADVICE r02).
+    frames = [pdf for pdf in pdf_iter if len(pdf)]
+    if frames:
+        batch = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        for us in batch.sort_values(["us", "event_id"])["us"].to_numpy():
             us = int(us)
             if us < wm_us:
                 continue
             if last_us < 0:
                 session_idx += 1
                 start_us, last_us, n_events = us, us, 1
+            elif us < last_us:
+                # cross-batch late-but-within-watermark arrival behind the
+                # open session's head: clamp into the open session (count
+                # it, never move session time backwards — durations stay
+                # non-negative; see the module parity contract)
+                n_events += 1
             elif us - last_us > SESSION_GAP_US:
                 closed.append((session_idx, n_events, last_us - start_us))
                 session_idx += 1

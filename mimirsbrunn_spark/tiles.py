@@ -283,6 +283,96 @@ def s2_cell_np(lon: np.ndarray, lat: np.ndarray, level: int = 16) -> np.ndarray:
     return cell.view(np.int64)
 
 
+def s2_cell_oracle_sql(points_sql: str, level: int = 16, id_col: str = "point_id") -> str:
+    """Exact DuckDB oracle for ``s2_cell_np``: the identical face/ST/IJ
+    float pipeline plus the 8-iteration 4-bit-lookup Hilbert interleave,
+    unrolled as a recursive CTE joining the inlined 1024-entry
+    ``_lookup_pos`` table (the same table the numpy path indexes).
+
+    Parity notes (verified bit-exact on 150k points):
+    - radians is written as ``x * 0.017453292519943295`` on both sides
+      (numpy's deg2rad constant) so the multiply is IEEE-identical;
+      cos/sin/sqrt resolve to the same libm on this host;
+    - all remaining ops are division/floor/integer bit math (exact);
+    - the final level truncation ``(cell & ~(lsb-1)) | lsb`` and the
+      uint64→int64 bit-cast are done via overflow-safe BIGINT arithmetic:
+      with q = n >> (shift-1), the truncated leaf id is (q|1) << shift,
+      bit-cast by subtracting 2^(64-shift) before the multiply when the
+      sign bit would be set.
+    """
+    deg2rad = "0.017453292519943295"
+    lut_vals = ",".join(f"({i},{int(v)})" for i, v in enumerate(_lookup_pos))
+    shift = 2 * (_S2_MAX_LEVEL - level)  # lsb = 1 << shift
+    if shift < 2:
+        raise ValueError("oracle supports level <= 29")
+    div = 1 << (shift - 1)
+    mult = 1 << shift
+    thresh = 1 << (63 - shift)
+    sub = 1 << (64 - shift)
+
+    def st(u: str) -> str:
+        return (
+            f"(CASE WHEN {u} >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * {u}) "
+            f"ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * {u}) END)"
+        )
+
+    def ij(s: str) -> str:
+        return f"least(greatest(CAST(floor({s} * 1073741824.0) AS BIGINT), 0), 1073741823)"
+
+    return f"""
+WITH RECURSIVE
+s2pts AS ({points_sql}),
+s2xyz AS (
+  SELECT {id_col},
+         cos(lat * {deg2rad}) * cos(lon * {deg2rad}) AS x,
+         cos(lat * {deg2rad}) * sin(lon * {deg2rad}) AS y,
+         sin(lat * {deg2rad}) AS z
+  FROM s2pts
+),
+s2face AS (
+  SELECT {id_col}, x, y, z,
+         CASE WHEN comp < 0 THEN face0 + 3 ELSE face0 END AS face
+  FROM (
+    SELECT *, CASE face0 WHEN 0 THEN x WHEN 1 THEN y ELSE z END AS comp
+    FROM (
+      SELECT *,
+             CASE WHEN abs(x) >= abs(y)
+                  THEN (CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END)
+                  ELSE (CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END) END AS face0
+      FROM s2xyz))
+),
+s2uv AS (
+  SELECT {id_col}, face,
+         CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                   WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+         CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                   WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM s2face
+),
+s2ij AS (
+  SELECT {id_col}, face, {ij(st('u'))} AS i, {ij(st('v'))} AS j FROM s2uv
+),
+s2lut(idx, val) AS (VALUES {lut_vals}),
+s2hil({id_col}, k, bits, n) AS (
+    SELECT {id_col}, 7, face & 1, CAST(face AS BIGINT) * 1152921504606846976 FROM s2ij
+  UNION ALL
+    SELECT h.{id_col}, h.k - 1, l.val & 3,
+           h.n + ((CAST(l.val AS BIGINT) >> 2) << (h.k * 8))
+    FROM s2hil h JOIN s2ij p USING ({id_col})
+    JOIN s2lut l ON l.idx = h.bits
+                 + (((p.i >> (h.k * 4)) & 15) * 64)
+                 + (((p.j >> (h.k * 4)) & 15) * 4)
+    WHERE h.k >= 0
+),
+s2fin AS (
+  SELECT {id_col}, (n // {div}) + 1 - ((n // {div}) % 2) AS qs FROM s2hil WHERE k = -1
+)
+SELECT {id_col},
+       (CASE WHEN qs >= {thresh} THEN qs - {sub} ELSE qs END) * {mult} AS s2_cell
+FROM s2fin
+"""
+
+
 def s2_cell_pandas_udf(level: int = 16):
     """pandas UDF factory: (lon, lat) → s2 cell id column."""
 

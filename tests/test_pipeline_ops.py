@@ -589,3 +589,172 @@ def test_range_join_bucketized(spark):
     assert (1, 10) in naive and (3, 12) in naive and (3, 11) in naive
     assert all(i != 5 for i, _ in naive)          # 100.0 matches nothing
     assert (3, 10) not in naive                   # hi is exclusive
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for driving _sessionize_user directly."""
+
+    def __init__(self, value=None, wm_ms=0):
+        self._v = value
+        self._wm = wm_ms
+        self.hasTimedOut = False
+        self.timeout = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout = ts
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+
+def test_sessionize_kernel_sorts_across_arrow_chunks():
+    """ADVICE r02 (medium): a group's micro-batch can arrive as several
+    Arrow chunks in arbitrary order; the kernel must sort GLOBALLY, not
+    per chunk. Chunk 1 carries the LATER burst, chunk 2 the earlier one —
+    per-chunk sorting would fold all 4 events into one session with
+    time moving backwards; global sorting closes the early session."""
+    import pandas as pd
+
+    from mimirsbrunn_spark.streaming.sessions import SESSION_GAP_US, _sessionize_user
+
+    t0 = 1_700_000_000_000_000  # us
+    late_burst = pd.DataFrame({"us": [t0 + 2 * SESSION_GAP_US, t0 + 2 * SESSION_GAP_US + 60_000_000],
+                               "event_id": [3, 4]})
+    early_burst = pd.DataFrame({"us": [t0, t0 + 60_000_000], "event_id": [1, 2]})
+    st = _FakeGroupState(wm_ms=0)
+    out = list(_sessionize_user((7,), iter([late_burst, early_burst]), st))
+    closed = pd.concat(out) if out else pd.DataFrame()
+    assert len(closed) == 1, "early session must close when the gap is crossed"
+    assert closed.iloc[0]["n_events"] == 2
+    assert closed.iloc[0]["duration_us"] == 60_000_000
+    last_us, start_us, n_events, _ = st.get  # open session = the late burst
+    assert n_events == 2 and last_us - start_us == 60_000_000
+    assert last_us == t0 + 2 * SESSION_GAP_US + 60_000_000
+
+
+def test_sessionize_kernel_clamps_cross_batch_stragglers():
+    """Cross-batch late-but-within-watermark arrival behind the open
+    session's head: counted into the open session, session time never
+    moves backwards (no negative durations)."""
+    import pandas as pd
+
+    from mimirsbrunn_spark.streaming.sessions import _sessionize_user
+
+    t0 = 1_700_000_000_000_000
+    st = _FakeGroupState(value=(t0 + 600_000_000, t0, 3, 1), wm_ms=0)
+    straggler = pd.DataFrame({"us": [t0 + 300_000_000], "event_id": [9]})
+    out = list(_sessionize_user((7,), iter([straggler]), st))
+    assert out == []  # nothing closes
+    last_us, start_us, n_events, session_idx = st.get
+    assert (last_us, start_us, session_idx) == (t0 + 600_000_000, t0, 1)
+    assert n_events == 4  # straggler counted, head not moved
+
+
+def test_apply_dotted_updates_ordering(spark):
+    """ADVICE r02: duplicate ops on one (key, ident) must be last-write-
+    wins via an explicit 'seq' column — and must REFUSE (not pick an
+    arbitrary row) when no ordering column exists."""
+    import pytest
+
+    from mimirsbrunn_spark.sources.lifecycle import apply_dotted_updates
+
+    target = spark.createDataFrame([(1, "old")], "id long, name string")
+    dup = spark.createDataFrame(
+        [(1, "name", "second"), (1, "name", "first")], "id long, ident string, value string"
+    )
+    with pytest.raises(ValueError, match="seq"):
+        apply_dotted_updates(target, dup, "id")
+    seq = spark.createDataFrame(
+        [(1, "name", "mid", 2), (1, "name", "last", 3), (1, "name", "first", 1)],
+        "id long, ident string, value string, seq long",
+    )
+    got = apply_dotted_updates(target, seq, "id").collect()
+    assert got[0]["name"] == "last"
+
+
+def test_resolve_osm_dependencies_nonconvergence_raises(spark):
+    """ADVICE r02: a frontier still expanding at max_depth must raise,
+    never return a silently truncated closure."""
+    import pytest
+
+    from mimirsbrunn_spark.sources import resolve_osm_dependencies
+
+    seeds = spark.createDataFrame([(1,)], "osm_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "parent_id long, child_id long"
+    )
+    with pytest.raises(ValueError, match="converge"):
+        resolve_osm_dependencies(seeds, chain, max_depth=3)
+    full = sorted(
+        r["osm_id"] for r in resolve_osm_dependencies(seeds, chain, max_depth=8).collect()
+    )
+    assert full == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_asof_join_bucketed_matches_single_window(spark):
+    """VERDICT r02 #5: the time-bucketed skew-safe plan must equal the
+    single-window plan exactly — including a 90%-hot key and carries
+    across empty buckets — for several bucket counts."""
+    import random
+
+    from mimirsbrunn_spark.operators.temporal import asof_join
+
+    rng = random.Random(42)
+    # key 1 holds ~90% of rows; times cluster early so most buckets are
+    # right-empty and the carry has to cross them
+    lrows = [(1 if rng.random() < 0.9 else rng.randint(2, 5),
+              rng.randint(0, 10_000), i) for i in range(800)]
+    rrows = [(1 if rng.random() < 0.9 else rng.randint(2, 5),
+              rng.randint(0, 3_000), 1000 + i) for i in range(300)]
+    left = spark.createDataFrame(lrows, "k long, t long, lid long")
+    right = spark.createDataFrame(rrows, "k long, t long, rid long")
+    base = {
+        (r["k"], r["t"], r["lid"]): (r["rid_asof"], r["t_asof"])
+        for r in asof_join(left, right, "k", "t", "rid").collect()
+    }
+    for nb in (2, 7, 64):
+        got = {
+            (r["k"], r["t"], r["lid"]): (r["rid_asof"], r["t_asof"])
+            for r in asof_join(left, right, "k", "t", "rid", n_buckets=nb).collect()
+        }
+        assert got == base, f"n_buckets={nb}: {dict(set(got.items()) ^ set(base.items()))}"
+
+
+def test_range_join_span_guard(spark):
+    """VERDICT r02 #4: a whole-domain degenerate interval must refuse at
+    a small bucket_width (raise) or widen (rebucket) — never explode."""
+    import pytest
+
+    from mimirsbrunn_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame([(1, 5.0), (2, 1e6)], "id long, value double")
+    iv = spark.createDataFrame(
+        [(10, 0.0, 2e6), (11, 4.0, 6.0)], "iid long, lo double, hi double"
+    )
+    with pytest.raises(ValueError, match="bucket"):
+        range_join(left, iv, "value", bucket_width=1.0)
+    got = {
+        (r["id"], r["iid"])
+        for r in range_join(left, iv, "value", bucket_width=1.0, on_wide="rebucket").collect()
+    }
+    assert got == {(1, 10), (1, 11), (2, 10)}
+    # percentile-derived width (bucket_width=None) on sane spans just works
+    sane = spark.createDataFrame(
+        [(10, 0.0, 5.0), (11, 4.0, 10.0)], "iid long, lo double, hi double"
+    )
+    got2 = {(r["id"], r["iid"]) for r in range_join(left, sane, "value", bucket_width=None).collect()}
+    assert got2 == {(1, 11)}  # 5.0 is outside [0, 5) — hi exclusive
