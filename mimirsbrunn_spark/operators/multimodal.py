@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real — schemas, Arrow batch shapes, partition
-strategy, UDF signatures — while the codec step is stubbed: the image /
-audio libraries are not in this container, so each decoder is either a
-clearly-marked NotImplementedError (``strict=True``) or a deterministic
-fake derived from the bytes (default), letting pipelines and tests
-exercise every seam except the codec itself.
+strategy, UDF signatures — and the codec step is a backend SEAM (the
+tiles.get_cell_ops pattern): each decoder probes the real wheel on the
+worker (PIL / soundfile / PyAV — absent from this container, present on
+real clusters) and falls back to a deterministic fake derived from the
+bytes, so pipelines and tests exercise every stage here while a cluster
+with the wheels gets real decodes with no code change. ``strict=True``
+(== backend "real") refuses to silently fake. The real paths are
+unit-tested via injected stand-in modules.
 
 Partitioning note for 100 TB: media blobs dominate row size, so the
 operators below repartition by a size-aware key before the UDF to bound
@@ -50,24 +53,146 @@ def _fake_decode(payload: bytes, n: int) -> np.ndarray:
     return out
 
 
-def decode_image(df: DataFrame, width: int = 32, height: int = 32, strict: bool = False) -> DataFrame:
+# ---------------------------------------------------------------------------
+# Codec backend seam (VERDICT r02 #6): the import-time selection pattern of
+# tiles.get_cell_ops applied to media decode. Each *_decoder factory probes
+# the real wheel (PIL / soundfile / PyAV) and falls back to the deterministic
+# fake; a cluster WITH the wheels gets real decodes with no code change.
+# Selection runs WORKER-side (inside the mapInPandas generator), so the
+# closure ships no module object; factories accept an injected module so the
+# real path is unit-testable where the wheels are absent.
+# ---------------------------------------------------------------------------
+
+
+def _import_pil():
+    try:
+        from PIL import Image  # noqa: F401  (absent from this image; present on real clusters)
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _import_soundfile():
+    try:
+        import soundfile  # noqa: F401
+
+        return soundfile
+    except ImportError:
+        return None
+
+
+def _import_av():
+    try:
+        import av  # noqa: F401  (PyAV / ffmpeg)
+
+        return av
+    except ImportError:
+        return None
+
+
+def _pick(backend: str, mod, kind: str, wheel: str):
+    """Shared selection rule: auto → real iff importable; real → raise if
+    not; fake → always the deterministic stand-in."""
+    if backend == "fake":
+        return None
+    if mod is None:
+        if backend == "real":
+            raise NotImplementedError(
+                f"{kind} decode requested backend='real' but {wheel} is not installed"
+            )
+        return None
+    return mod
+
+
+def image_decoder(width: int, height: int, backend: str = "auto", image_mod=None):
+    """blob → flat grayscale [0,1] pixel list of width*height. Real path:
+    PIL open→convert("L")→resize; fake path: _fake_decode."""
+    mod = _pick(backend, image_mod if image_mod is not None else _import_pil(),
+                "image", "PIL")
+    n = width * height
+    if mod is None:
+        return lambda blob: _fake_decode(blob, n).tolist()
+
+    def real(blob: bytes) -> list:
+        import io
+
+        img = mod.open(io.BytesIO(blob)).convert("L").resize((width, height))
+        return (np.asarray(img, dtype=np.float32) / 255.0).ravel().tolist()
+
+    return real
+
+
+def audio_decoder(sample_rate: int, n: int, backend: str = "auto", audio_mod=None):
+    """blob → n-sample mono waveform in [-1, 1] at sample_rate. Real path:
+    soundfile read → mono mean → linear-interp resample → pad/trim."""
+    mod = _pick(backend, audio_mod if audio_mod is not None else _import_soundfile(),
+                "audio", "soundfile")
+    if mod is None:
+        return lambda blob: (_fake_decode(blob, n) * 2.0 - 1.0).tolist()
+
+    def real(blob: bytes) -> list:
+        import io
+
+        data, sr = mod.read(io.BytesIO(blob))
+        wav = np.asarray(data, dtype=np.float32)
+        if wav.ndim == 2:
+            wav = wav.mean(axis=1)
+        if sr != sample_rate and len(wav) > 1:
+            t_out = np.linspace(0.0, len(wav) - 1.0, int(len(wav) * sample_rate / sr))
+            wav = np.interp(t_out, np.arange(len(wav)), wav).astype(np.float32)
+        out = np.zeros(n, dtype=np.float32)
+        out[: min(n, len(wav))] = wav[:n]
+        return out.tolist()
+
+    return real
+
+
+def video_frame_sampler(every_n: int, backend: str = "auto", video_mod=None):
+    """blob → list of (frame_idx, frame_bytes) for every every_n-th frame.
+    Real path: PyAV demux/decode, frames as raw rgb24 bytes; fake path:
+    sha256-derived frames sized from the blob."""
+    mod = _pick(backend, video_mod if video_mod is not None else _import_av(),
+                "video", "av (PyAV)")
+    if mod is None:
+
+        def fake(blob: bytes) -> list:
+            n_frames = max(1, (len(blob) // 4096) // every_n + 1)
+            return [
+                (k * every_n, hashlib.sha256(blob + k.to_bytes(4, "little")).digest())
+                for k in range(n_frames)
+            ]
+
+        return fake
+
+    def real(blob: bytes) -> list:
+        import io
+
+        out = []
+        with mod.open(io.BytesIO(blob)) as container:
+            for idx, frame in enumerate(container.decode(video=0)):
+                if idx % every_n == 0:
+                    out.append((idx, frame.to_ndarray(format="rgb24").tobytes()))
+        return out
+
+    return real
+
+
+def decode_image(df: DataFrame, width: int = 32, height: int = 32, strict: bool = False,
+                 backend: str = "auto") -> DataFrame:
     """media rows → (media_ref, pixels array<float>, width, height).
 
-    STUB: real decode needs PIL/libjpeg (absent here). strict=True raises
-    NotImplementedError inside the UDF (the production wiring point);
-    default emits the deterministic fake so downstream plumbing is
-    testable."""
+    Backend seam: ``auto`` uses PIL when importable on the worker, else
+    the deterministic fake; ``real`` raises where PIL is absent;
+    ``strict=True`` is shorthand for never-silently-fake (== real)."""
     n = width * height
+    eff_backend = "real" if strict else backend
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = image_decoder(width, height, backend=eff_backend)  # worker-side probe
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "image decode requires PIL/libjpeg — not present in this container; "
-                    "plug the codec here"
-                )
             pixels = [
-                _fake_decode(bytes(p) if p is not None else ref.encode(), n).tolist()
+                dec(bytes(p) if p is not None else ref.encode())
                 for p, ref in zip(pdf["payload"], pdf["media_ref"])
             ]
             yield pd.DataFrame(
@@ -103,23 +228,25 @@ def image_features(decoded: DataFrame, dim: int = 16) -> DataFrame:
     return decoded.mapInPandas(gen, schema="media_ref string, embedding array<float>")
 
 
-def sample_video_frames(df: DataFrame, every_n: int = 10, strict: bool = False) -> DataFrame:
-    """video rows → (media_ref, frame_idx, frame binary). STUB codec: the
-    deterministic fake emits ceil(len(payload)/4096 / every_n) frames so
-    batch-shape math (one input row → many output rows) is exercised."""
+def sample_video_frames(df: DataFrame, every_n: int = 10, strict: bool = False,
+                        backend: str = "auto") -> DataFrame:
+    """video rows → (media_ref, frame_idx, frame binary). Backend seam:
+    ``auto`` uses PyAV when importable on the worker (raw rgb24 frames),
+    else the deterministic fake (sha256-derived, frame count sized from
+    the blob so one-row→many-rows batch-shape math is exercised);
+    ``strict=True`` == backend "real" (never silently fake)."""
+    eff_backend = "real" if strict else backend
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sampler = video_frame_sampler(every_n, backend=eff_backend)  # worker-side probe
         for pdf in batches:
-            if strict:
-                raise NotImplementedError("video frame sampling requires ffmpeg — plug here")
             refs, idxs, frames = [], [], []
             for p, ref in zip(pdf["payload"], pdf["media_ref"]):
                 blob = bytes(p) if p is not None else ref.encode()
-                n_frames = max(1, (len(blob) // 4096) // every_n + 1)
-                for k in range(n_frames):
+                for idx, frame in sampler(blob):
                     refs.append(ref)
-                    idxs.append(k * every_n)
-                    frames.append(hashlib.sha256(blob + k.to_bytes(4, "little")).digest())
+                    idxs.append(idx)
+                    frames.append(frame)
             yield pd.DataFrame({"media_ref": refs, "frame_idx": idxs, "frame": frames})
 
     return df.filter(F.col("media_kind") == "video").mapInPandas(
@@ -150,22 +277,21 @@ def media_table_from_docs(docs: DataFrame, kind_cycle=("image", "audio", "video"
 
 
 def decode_audio(df: DataFrame, sample_rate: int = 16_000, seconds: float = 1.0,
-                 strict: bool = False) -> DataFrame:
+                 strict: bool = False, backend: str = "auto") -> DataFrame:
     """audio rows → (media_ref, waveform array<float>, sample_rate).
 
-    STUB codec (libsndfile/ffmpeg absent): strict=True raises at the
-    production wiring point; default emits the deterministic fake so the
-    schema/batch plumbing is exercised end to end."""
+    Backend seam: ``auto`` uses soundfile when importable on the worker
+    (mono-ized, resampled, padded/trimmed to the clip length), else the
+    deterministic fake; ``strict=True`` == backend "real" (never
+    silently fake)."""
     n = int(sample_rate * seconds)
+    eff_backend = "real" if strict else backend
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = audio_decoder(sample_rate, n, backend=eff_backend)  # worker-side probe
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "audio decode requires libsndfile/ffmpeg — plug the codec here"
-                )
             waves = [
-                (_fake_decode(bytes(p) if p is not None else ref.encode(), n) * 2.0 - 1.0).tolist()
+                dec(bytes(p) if p is not None else ref.encode())
                 for p, ref in zip(pdf["payload"], pdf["media_ref"])
             ]
             yield pd.DataFrame(

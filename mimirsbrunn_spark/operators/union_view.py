@@ -48,11 +48,21 @@ def places_view(
     pois: DataFrame | None = None,
     stops: DataFrame | None = None,
     types: list[str] | None = None,
+    visibility: dict[str, str] | None = None,
 ) -> DataFrame:
     """Union of the requested place types in the shared projection.
 
     Passing ``types`` prunes entire tables from the plan (the J8 index
-    narrowing) — not just a filter Catalyst must push."""
+    narrowing) — not just a filter Catalyst must push.
+
+    ``visibility`` maps type → "public" (default) | "private", the S9
+    ContainerVisibility (configuration.rs:23-27). The reference publishes
+    every container under its own ``munin_{type}_{dataset}`` alias but
+    adds only PUBLIC ones to the type-wide and global ``munin`` aliases
+    (storage.rs:180-198) — so here a private table is excluded from the
+    implicit all-types view and joins the union only when its type is
+    explicitly requested in ``types`` (the "address the container
+    directly" path)."""
     candidates = {
         "addr": (addrs, {"id": "addr_id"}),
         "street": (streets, {"id": "street_id"}),
@@ -60,12 +70,18 @@ def places_view(
         "poi": (pois, {"id": "poi_id"}),
         "stop": (stops, {"id": "stop_id"}),
     }
+    visibility = visibility or {}
+    unknown = set(visibility) - set(candidates)
+    if unknown:
+        raise ValueError(f"visibility for unknown types: {sorted(unknown)}")
     parts = []
     for t, (df, mapping) in candidates.items():
         if df is None:
             continue
         if types is not None and t not in types:
             continue
+        if visibility.get(t, "public") == "private" and types is None:
+            continue  # private: only reachable by explicit request
         if t == "admin" and "lon" not in df.columns and "coord" in df.columns:
             df = df.withColumn("lon", F.col("coord.lon")).withColumn("lat", F.col("coord.lat"))
         parts.append(_project(df, t, mapping))

@@ -235,3 +235,91 @@ def test_resize_image_block_mean(spark, fixtures_dir):
         got = np.array(b[ref]["pixels"], dtype=np.float32)
         assert b[ref]["width"] == 4 and b[ref]["height"] == 4
         assert np.allclose(got, want, atol=1e-6)
+
+
+def test_codec_backend_selection_with_injected_modules():
+    """VERDICT r02 #6: the decoder factories must pick the REAL codec when
+    the wheel is importable and the deterministic fake otherwise — proven
+    with injected stand-in modules (no Spark, no wheels needed)."""
+    import io
+
+    import numpy as np
+    import pytest
+
+    from mimirsbrunn_spark.operators.multimodal import (
+        audio_decoder, image_decoder, video_frame_sampler,
+    )
+
+    class _FakeImg:
+        def __init__(self, px):
+            self._px = px
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, wh):
+            self._wh = wh
+            return self
+
+        def __array__(self, dtype=None):
+            w, h = self._wh
+            return np.full((h, w), self._px, dtype=dtype or np.uint8)
+
+    class _FakePIL:
+        @staticmethod
+        def open(fh):
+            return _FakeImg(fh.read()[0])  # first byte = gray level
+
+    dec = image_decoder(4, 2, backend="auto", image_mod=_FakePIL())
+    px = dec(bytes([51, 0, 0]))
+    assert len(px) == 8 and all(abs(v - 51 / 255.0) < 1e-6 for v in px)
+
+    class _FakeSoundfile:
+        @staticmethod
+        def read(fh):
+            n = len(fh.read())
+            return np.linspace(-1.0, 1.0, 2 * n, dtype=np.float32), 8000
+
+    adec = audio_decoder(sample_rate=4000, n=16, backend="auto", audio_mod=_FakeSoundfile())
+    wav = adec(b"x" * 32)  # 64 samples @8k -> 32 @4k -> trimmed to 16
+    assert len(wav) == 16 and wav[0] == pytest.approx(-1.0, abs=1e-6)
+
+    class _FakeFrame:
+        def __init__(self, i):
+            self._i = i
+
+        def to_ndarray(self, format):
+            assert format == "rgb24"
+            return np.full((1, 1, 3), self._i, dtype=np.uint8)
+
+    class _FakeContainer:
+        def decode(self, video):
+            return (_FakeFrame(i) for i in range(7))
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _FakeAV:
+        @staticmethod
+        def open(fh):
+            return _FakeContainer()
+
+    vs = video_frame_sampler(every_n=3, backend="auto", video_mod=_FakeAV())
+    frames = vs(b"blob")
+    assert [i for i, _ in frames] == [0, 3, 6]
+    assert frames[1][1] == bytes([3, 3, 3])
+
+    # wheel absent (mod=None injected is not possible — None means "probe";
+    # this container genuinely lacks PIL) -> auto falls back to the fake,
+    # real refuses
+    fallback = image_decoder(4, 2, backend="auto")
+    assert len(fallback(b"abc")) == 8
+    with pytest.raises(NotImplementedError, match="PIL"):
+        image_decoder(4, 2, backend="real")
+    # forced fake even WITH a wheel available
+    forced = image_decoder(4, 2, backend="fake", image_mod=_FakePIL())
+    assert forced(b"abc") == fallback(b"abc")

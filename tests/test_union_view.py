@@ -52,3 +52,28 @@ def test_partitioned_attach_still_matches_broadcast(spark, fixtures_dir):
     )
     assert mism == 0
     assert b.count() == p.count()
+
+
+def test_places_view_visibility(spark):
+    """S9 ContainerVisibility (configuration.rs:23-27, storage.rs:180-198):
+    a private table is left out of the implicit all-types view and joins
+    the union only when its type is explicitly requested."""
+    import pytest
+
+    from mimirsbrunn_spark.operators.union_view import places_view
+
+    addrs = spark.createDataFrame(
+        [("a1", "x", "x (c)", 0.1, 1.0, 2.0)],
+        "addr_id string, name string, label string, weight double, lon double, lat double",
+    )
+    pois = spark.createDataFrame(
+        [("p1", "y", "y (c)", 0.2, 3.0, 4.0)],
+        "poi_id string, name string, label string, weight double, lon double, lat double",
+    )
+    vis = {"poi": "private"}
+    all_types = places_view(spark, addrs=addrs, pois=pois, visibility=vis)
+    assert {r["type"] for r in all_types.collect()} == {"addr"}
+    explicit = places_view(spark, addrs=addrs, pois=pois, types=["poi"], visibility=vis)
+    assert {r["type"] for r in explicit.collect()} == {"poi"}
+    with pytest.raises(ValueError, match="unknown types"):
+        places_view(spark, addrs=addrs, visibility={"bogus": "private"})
