@@ -91,14 +91,21 @@ def main() -> None:
     spark.range(cpus * 2).repartition(cpus * 2).mapInPandas(_warm, "id long").count()
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
 
-    def timed(name: str, fn, runs: int = 2):
-        best = float("inf")
+    def timed(name: str, fn, runs: int = 3):
+        # best = the engine's capability on this shared host; median = the
+        # robust cross-round comparator (co-tenant noise is bursty and can
+        # double a single rep — see BENCH/BASELINE.md)
+        obs = []
         for _ in range(runs):
             t0 = time.perf_counter()
             fn()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            obs.append(time.perf_counter() - t0)
+        obs.sort()
+        timings[name] = round(obs[0], 3)
+        medians[name] = round(obs[len(obs) // 2] if runs % 2 else
+                              (obs[runs // 2 - 1] + obs[runs // 2]) / 2, 3)
 
     # q1 — flagship: extract → tiles(7..12) → broadcast PIP → rollup.
     # Columns are projected down to what the join needs *before* the UDF
@@ -113,7 +120,7 @@ def main() -> None:
             .count()
         )
 
-    timed("q1_pipeline_full", q1)
+    timed("q1_pipeline_full", q1, runs=5)
 
     # q2 — extraction + tile encoding only (JVM path ceiling)
     timed(
@@ -161,7 +168,7 @@ def main() -> None:
         )
         return lsh_candidate_pairs(aug, id_col="pid").count()
 
-    timed("q6_minhash_lsh", q6)
+    timed("q6_minhash_lsh", q6, runs=5)
 
     # q7 — the partitioned (beyond-broadcast-budget) PIP strategy on the
     # same flagship points: tracks the shuffle path's gap to q1 per round
@@ -174,9 +181,31 @@ def main() -> None:
 
     timed("q7_pip_partitioned", q7)
 
+    # q8 — skew-safe as-of join with one key holding ~90% of events
+    # (VERDICT r02 #5): clicks matched to the latest view per user through
+    # the time-bucketed plan; user ids are collapsed so ~90% share key 0
+    def q8():
+        from mimirsbrunn_spark.operators.temporal import asof_join
+
+        e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            F.when(F.pmod("user_id", F.lit(10)) < 9, F.lit(0))
+            .otherwise(F.col("user_id")).alias("user_id"),
+            "event_id", "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "us")
+        views = e.filter(F.col("event_type") == "view").select("user_id", "event_id", "us")
+        return asof_join(
+            clicks, views, key="user_id", time_col="us", right_id="event_id", n_buckets=32
+        ).count()
+
+    timed("q8_asof_skew", q8)
+
     # headline value stays the q1-q6 suite (comparable across rounds);
-    # q7 (new in r2) is reported alongside, not folded into the total
-    total = round(sum(v for k, v in timings.items() if k != "q7_pip_partitioned"), 3)
+    # q7 (new in r2) / q8 (new in r3) are reported alongside, not folded
+    # into the total
+    extra = ("q7_pip_partitioned", "q8_asof_skew")
+    total = round(sum(v for k, v in timings.items() if k not in extra), 3)
     docs_per_sec = round(n_docs / timings["q1_pipeline_full"], 1)
     print(
         json.dumps(
@@ -185,6 +214,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
                 "sf": sf,
                 "n_docs": n_docs,
                 "docs_per_sec_q1": docs_per_sec,

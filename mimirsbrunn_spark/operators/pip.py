@@ -38,6 +38,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..geofinder import AdminGeoFinder, AdminRec, zone_rank
 from ..geometry import points_in_multipolygon, wkb_to_mp
@@ -283,6 +284,7 @@ def attach_admins_partitioned(
     lat_col: str = "lat",
     point_id_col: str = "point_uid",
     n_salts: int = 8,
+    refine: str = "jvm",
 ) -> DataFrame:
     """Shuffle spatial join for polygon sets beyond broadcast budget —
     the 100-TB-regime path. Three stages, each a standard Spark shape:
@@ -293,22 +295,35 @@ def attach_admins_partitioned(
        broadcast-plans the cover when it fits, skew-splits hot city cells
        otherwise. Pairs are unique by construction (one cover res per
        admin), so no dedup shuffle.
-    2. **Exact refine** (G3): pairs cogroup with the geometry table on
-       (admin_id, salt) — each admin's WKB crosses the wire exactly
-       ``n_salts`` times TOTAL (not once per covering cell), and the salt
-       (deterministic hash of the point uid, operators/skew.salted_mod_col)
-       splits a giant polygon's candidate set across reducers. bbox
-       pre-filter + vectorized even-odd ray cast inside the cogroup;
-       pairs failing the bbox are dropped (same candidate set as the
-       broadcast path's _candidate_map).
+    2. **Exact refine** (G3), two backends:
+       - ``refine="jvm"`` (default, r3): geometry travels as nested
+         closed-edge arrays and the even-odd ray cast runs as a Catalyst
+         higher-order-function predicate INSIDE the pair join
+         (geometry.edge_polys_inside_sql — bit-identical to the numpy
+         kernel). No Arrow trip, no cogroup, no salting: each admin's
+         geometry crosses the wire once and AQE's skew-join split is the
+         giant-polygon defense. Best for typical admin vertex counts.
+       - ``refine="arrow"``: the r2 cogroup on (admin, salt) with the
+         vectorized numpy ray cast — each admin's WKB crosses the wire
+         exactly ``n_salts`` times, candidates of a giant polygon spread
+         across reducers by the deterministic uid-hash salt. Wins when
+         polygons carry 10^5+ vertices (coastline regime): numpy's
+         C-speed vectorization beats per-row interpreted HOF evaluation
+         there, and is worth the Arrow round trip.
     3. **Replay** (G5): candidates gather per point (map-side partial
        collect_list) and the dedup/memo loop replays against the
        broadcast admin *skeleton* (id/zone_type/parent_id — no geometry),
-       exactly as admin_geofinder.rs:220-269.
+       exactly as admin_geofinder.rs:220-269. The point payload is
+       CARRIED THROUGH the gather (null-padded on flag rows, first()
+       on the gather) instead of joined back afterwards — r3 deletes the
+       uid join-back exchange flagged by the round-2 profile. Requires
+       unique point ids (duplicates would merge candidate sets — true of
+       the join-back design too).
 
     Identical results to the broadcast path — gate `pip_admins_partitioned`
     is hash-checked against the same closed-form oracle.
     """
+    from ..geometry import EDGE_POLYS_TYPE, edge_polys_inside_sql, mp_to_edge_polys
     from ..geometry import mp_bbox as _bb
     from .skew import salted_mod_col
 
@@ -381,59 +396,119 @@ def attach_admins_partitioned(
     # The G2 envelope check runs HERE, JVM-side, before anything shuffles
     # or crosses Arrow — identical candidate set to the broadcast path's
     # _candidate_map (cell hit + bbox containment).
+    pair_cols = ["point_uid", "__plon", "__plat", "__aidx"]
+    if refine == "arrow":
+        pair_cols.append(salted_mod_col("point_uid", n_salts).alias("__salt"))
     pairs = (
         pts.join(cover_idx, "cell")
         .filter(
             (F.col("__plon") >= F.col("minx")) & (F.col("__plon") <= F.col("maxx"))
             & (F.col("__plat") >= F.col("miny")) & (F.col("__plat") <= F.col("maxy"))
         )
-        .select(
-            "point_uid", "__plon", "__plat", "__aidx",
-            salted_mod_col("point_uid", n_salts).alias("__salt"),
-        )
+        .select(*pair_cols)
     )
 
-    # stage 2 — geometry side: one row per (admin, salt); WKB × n_salts total
-    geom = (
+    geom_base = (
         admins.select(F.col("id").alias("admin_id"), "boundary_wkb")
         .filter(F.col("boundary_wkb").isNotNull())
         .join(F.broadcast(_adm_idx_df()), "admin_id")
         .select("__aidx", "boundary_wkb")
-        .withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     )
 
-    def refine(key, pairs_pdf: pd.DataFrame, geom_pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"point_uid": pd.Series(dtype=object), "cand": pd.Series(dtype="int32")})
-        if geom_pdf.empty or pairs_pdf.empty:
-            return empty
-        aidx = int(key[0])
-        mp = wkb_to_mp(bytes(geom_pdf["boundary_wkb"].iloc[0]))
-        bb = _bb(mp)
-        lon = pairs_pdf["__plon"].to_numpy(dtype=np.float64)
-        lat = pairs_pdf["__plat"].to_numpy(dtype=np.float64)
-        m = (lon >= bb[0]) & (lon <= bb[2]) & (lat >= bb[1]) & (lat <= bb[3])
-        if not m.any():
-            return empty
-        lon, lat = lon[m], lat[m]
-        uids = pairs_pdf["point_uid"].to_numpy()[m]
-        inside = points_in_multipolygon(lon, lat, mp)
-        if aidx not in bc_skel.value[1]:  # not an ancestor: False rows are inert
-            uids = uids[inside]
-            inside = inside[inside]
-            if not len(uids):
-                return empty
-        return pd.DataFrame(
-            {"point_uid": uids, "cand": (aidx * 2 + inside.astype(np.int32)).astype(np.int32)}
+    if refine == "jvm":
+        # stage 2a — pure-Catalyst refine: geometry as closed-edge arrays,
+        # the ray cast as a HOF predicate inside the pair equi-join.
+        anc = frozenset(int(i) for i in ancestor_idx)
+
+        def to_edges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "__aidx": pdf["__aidx"],
+                        "__is_anc": [int(a) in anc for a in pdf["__aidx"]],
+                        "polys": [
+                            mp_to_edge_polys(wkb_to_mp(bytes(b)))
+                            for b in pdf["boundary_wkb"]
+                        ],
+                    }
+                )
+
+        geom_e = geom_base.mapInPandas(
+            to_edges, schema=f"__aidx int, __is_anc boolean, polys {EDGE_POLYS_TYPE}"
+        )
+        flags = (
+            pairs.join(geom_e, "__aidx")
+            .withColumn(
+                "__in", F.expr(edge_polys_inside_sql("polys", "__plon", "__plat"))
+            )
+            # non-ancestors' contains=False rows are inert in the replay
+            .filter(F.col("__in") | F.col("__is_anc"))
+            .select(
+                "point_uid",
+                (F.col("__aidx") * 2 + F.col("__in").cast("int")).cast("int").alias("cand"),
+            )
+        )
+    elif refine == "arrow":
+        # stage 2b — cogroup on (admin, salt): WKB × n_salts total, numpy
+        # vectorized ray cast (the 10^5+-vertex-polygon regime)
+        geom = geom_base.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
         )
 
-    flags = (
-        pairs.groupBy("__aidx", "__salt")
-        .cogroup(geom.groupBy("__aidx", "__salt"))
-        .applyInPandas(refine, schema="point_uid string, cand int")
-    )
+        def arrow_refine(key, pairs_pdf: pd.DataFrame, geom_pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"point_uid": pd.Series(dtype=object), "cand": pd.Series(dtype="int32")})
+            if geom_pdf.empty or pairs_pdf.empty:
+                return empty
+            aidx = int(key[0])
+            mp = wkb_to_mp(bytes(geom_pdf["boundary_wkb"].iloc[0]))
+            bb = _bb(mp)
+            lon = pairs_pdf["__plon"].to_numpy(dtype=np.float64)
+            lat = pairs_pdf["__plat"].to_numpy(dtype=np.float64)
+            m = (lon >= bb[0]) & (lon <= bb[2]) & (lat >= bb[1]) & (lat <= bb[3])
+            if not m.any():
+                return empty
+            lon, lat = lon[m], lat[m]
+            uids = pairs_pdf["point_uid"].to_numpy()[m]
+            inside = points_in_multipolygon(lon, lat, mp)
+            if aidx not in bc_skel.value[1]:  # not an ancestor: False rows are inert
+                uids = uids[inside]
+                inside = inside[inside]
+                if not len(uids):
+                    return empty
+            return pd.DataFrame(
+                {"point_uid": uids, "cand": (aidx * 2 + inside.astype(np.int32)).astype(np.int32)}
+            )
 
-    # stage 3 — gather per point (partial agg map-side) + batch replay
-    gathered = flags.groupBy("point_uid").agg(F.collect_list("cand").alias("cands"))
+        flags = (
+            pairs.groupBy("__aidx", "__salt")
+            .cogroup(geom.groupBy("__aidx", "__salt"))
+            .applyInPandas(arrow_refine, schema="point_uid string, cand int")
+        )
+    else:
+        raise ValueError(f"unknown refine {refine!r} (jvm|arrow)")
+
+    # stage 3 — gather per point (partial agg map-side) + batch replay.
+    # The point payload rides the SAME exchange as the flags (null-padded
+    # flag rows + first(ignorenulls) on the gather) — no join-back.
+    payload = [c for c in points.columns if c != point_id_col]
+    base = points.select(
+        F.col(point_id_col).alias("point_uid"),
+        *payload,
+        F.lit(None).cast("int").alias("cand"),
+    )
+    flags_padded = flags.select(
+        "point_uid",
+        *[F.lit(None).cast(points.schema[c].dataType).alias(c) for c in payload],
+        "cand",
+    )
+    gathered = (
+        base.unionByName(flags_padded)
+        .groupBy("point_uid")
+        .agg(
+            *[F.first(c, ignorenulls=True).alias(c) for c in payload],
+            F.collect_list("cand").alias("cands"),  # collect_list skips nulls
+        )
+    )
 
     def replay(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         skel, _ = bc_skel.value
@@ -475,13 +550,17 @@ def attach_admins_partitioned(
                             res.append(aid)
                     memo[key] = res
                 out.append(res)
-            yield pd.DataFrame({"point_uid": pdf["point_uid"], "admin_ids": out})
+            res_pdf = pdf.drop(columns=["cands"]).rename(columns={"point_uid": point_id_col})
+            res_pdf["admin_ids"] = out
+            yield res_pdf
 
-    attached = gathered.mapInPandas(replay, schema="point_uid string, admin_ids array<string>")
-    return points.join(
-        attached.withColumnRenamed("point_uid", point_id_col), point_id_col, "left"
-    ).withColumn(
-        "admin_ids", F.coalesce("admin_ids", F.array().cast("array<string>"))
+    out_schema = T.StructType(
+        [T.StructField(point_id_col, points.schema[point_id_col].dataType)]
+        + [T.StructField(c, points.schema[c].dataType) for c in payload]
+        + [T.StructField("admin_ids", T.ArrayType(T.StringType()))]
+    )
+    return gathered.mapInPandas(replay, schema=out_schema).select(
+        *points.columns, "admin_ids"
     )
 
 
@@ -493,11 +572,12 @@ def attach_admins(
     strategy: str = "broadcast",
     point_id_col: str = "point_uid",
     n_salts: int = 8,
+    refine: str = "jvm",
 ) -> DataFrame:
     if strategy == "broadcast":
         return attach_admins_broadcast(points, admins, lon_col, lat_col)
     if strategy == "partitioned":
         return attach_admins_partitioned(
-            points, admins, lon_col, lat_col, point_id_col, n_salts=n_salts
+            points, admins, lon_col, lat_col, point_id_col, n_salts=n_salts, refine=refine
         )
     raise ValueError(f"unknown strategy {strategy!r}")

@@ -315,25 +315,42 @@ def test_shape_filter_scoped_passthrough(spark):
 # ---------------------------------------------------------------------------
 
 _IDF_ADDRS = [
-    # (street, hn, zip, lon, lat) — from geocoder-addresses.feature
-    ("Avenue de l'Opéra", "34", "75002", 2.33337, 48.868659),
-    ("Rue des Deux Ponts", "19B", "75004", 2.356355, 48.851728),
-    ("Quai de Montebello", "25", "75005", 2.347712, 48.852487),
-    ("Rue Servandoni", "7T", "75006", 2.334795, 48.850291),
-    ("Rue de Bassano", "29", "75008", 2.298874, 48.87042),
-    ("Rue Blanche", "104", "75009", 2.332395, 48.883345),
-    ("Rue du Buisson Saint-Louis", "15", "75010", 2.3735, 48.872447),
-    ("Avenue Daumesnil", "91", "75012", 2.379139, 48.845647),
+    # (street, hn, zip, city, lon, lat) — from geocoder-addresses.feature
+    ("Avenue de l'Opéra", "34", "75002", "Paris", 2.33337, 48.868659),
+    ("Rue des Deux Ponts", "19B", "75004", "Paris", 2.356355, 48.851728),
+    ("Quai de Montebello", "25", "75005", "Paris", 2.347712, 48.852487),
+    ("Rue Servandoni", "7T", "75006", "Paris", 2.334795, 48.850291),
+    ("Rue de Bassano", "29", "75008", "Paris", 2.298874, 48.87042),
+    ("Rue Blanche", "104", "75009", "Paris", 2.332395, 48.883345),
+    ("Rue du Buisson Saint-Louis", "15", "75010", "Paris", 2.3735, 48.872447),
+    ("Avenue Daumesnil", "91", "75012", "Paris", 2.379139, 48.845647),
+    # r3 additions — more geocoder-addresses.feature rows, including
+    # non-Paris cities (the city token is then NOT "Paris") and
+    # accents/apostrophes exercising the analyzer
+    ("Avenue des Terroirs de France", "54", "75012", "Paris", 2.389139, 48.832148),
+    ("Rue de la Santé", "64", "75014", "Paris", 2.341136, 48.830622),
+    ("Place Léon Deubel", "3", "75016", "Paris", 2.259248, 48.837899),
+    ("Rue Gustave Doré", "7", "75017", "Paris", 2.302565, 48.88648),
+    ("Rue de la Goutte d'Or", "57", "75018", "Paris", 2.350989, 48.885028),
+    ("Avenue de Saint-Ouen", "80", "75018", "Paris", 2.327333, 48.892222),
+    ("Rue du Général Brunet", "10", "75019", "Paris", 2.390874, 48.880406),
+    ("Rue des Haies", "100", "75020", "Paris", 2.404295, 48.855644),
+    ("Rue du Repos", "4", "75020", "Paris", 2.391937, 48.85815),
+    ("Rue de la Belle Marie", "28", "77630", "Barbizon", 2.601323, 48.439768),
+    ("Rue du Centre", "3", "77169", "Boissy-le-Châtel", 3.136898, 48.821008),
+    ("Rue de la Grenouillère", "11", "77170", "Brie-Comte-Robert", 2.611226, 48.690539),
+    ("Rue des Épis d'Or", "58", "77320", "Cerneux", 3.351117, 48.698393),
+    ("Rue Jean Moulin", "16", "77420", "Champs-sur-Marne", 2.607726, 48.850439),
 ]
 
 
 @pytest.fixture(scope="module")
 def idf_addr_places(spark):
     rows = []
-    for i, (street, hn, zipc, lon, lat) in enumerate(_IDF_ADDRS):
+    for i, (street, hn, zipc, city, lon, lat) in enumerate(_IDF_ADDRS):
         name = f"{hn} {street}"
-        rows.append((f"addr:paris:{i}", "addr", name, f"{name} (Paris)", [zipc], 0.1, lon, lat))
-        # decoy twin: same hn+street in Meaux, different zip, ~40 km east
+        rows.append((f"addr:main:{i}", "addr", name, f"{name} ({city})", [zipc], 0.1, lon, lat))
+        # decoy twin: same hn+street in Meaux, different zip, ~40 km away
         rows.append((f"addr:meaux:{i}", "addr", name, f"{name} (Meaux)", ["77100"], 0.1, lon + 0.55, lat + 0.08))
     return spark.createDataFrame(
         rows,
@@ -346,32 +363,86 @@ def idf_addr_places(spark):
 def test_idf_addr_city_token(idf_addr_places, idx):
     from mimirsbrunn_spark.functions.geocode import autocomplete
 
-    street, hn, _zip, _lon, _lat = _IDF_ADDRS[idx]
-    df, mode = autocomplete(idf_addr_places, f"{hn} {street} Paris", k=1, types=["addr"])
+    street, hn, _zip, city, _lon, _lat = _IDF_ADDRS[idx]
+    df, mode = autocomplete(idf_addr_places, f"{hn} {street} {city}", k=1, types=["addr"])
     got = [r["id"] for r in df.collect()]
-    assert got == [f"addr:paris:{idx}"], (mode, got)
+    assert got == [f"addr:main:{idx}"], (mode, got)
 
 
 @pytest.mark.parametrize("idx", range(len(_IDF_ADDRS)))
 def test_idf_addr_zip_token(idf_addr_places, idx):
     from mimirsbrunn_spark.functions.geocode import autocomplete
 
-    street, hn, zipc, _lon, _lat = _IDF_ADDRS[idx]
+    street, hn, zipc, _city, _lon, _lat = _IDF_ADDRS[idx]
     df, mode = autocomplete(idf_addr_places, f"{hn} {street} {zipc}", k=1, types=["addr"])
     got = [r["id"] for r in df.collect()]
-    assert got == [f"addr:paris:{idx}"], (mode, got)
+    assert got == [f"addr:main:{idx}"], (mode, got)
 
 
-@pytest.mark.parametrize("idx", [0, 2, 5, 7])
+@pytest.mark.parametrize("idx", [0, 2, 5, 7, 12, 21])
 def test_idf_addr_coord_proximity(idf_addr_places, idx):
     # no city/zip token: both twins pass the matching condition; the
-    # T8 proximity boost around the query coord must pick the Paris one
+    # T8 proximity boost around the query coord must pick the right one
     from mimirsbrunn_spark.functions.geocode import autocomplete
 
-    street, hn, _zip, lon, lat = _IDF_ADDRS[idx]
+    street, hn, _zip, _city, lon, lat = _IDF_ADDRS[idx]
     df, _mode = autocomplete(idf_addr_places, f"{hn} {street}", k=2, coord=(lon, lat), types=["addr"])
     got = [r["id"] for r in df.collect()]
-    assert got[0] == f"addr:paris:{idx}", got
+    assert got[0] == f"addr:main:{idx}", got
+
+
+def test_idf_addr_unaccented_query_matches_accented_name(idf_addr_places):
+    # geocoder-addresses.feature row "58 Rue des Epis d'Or" — the query
+    # is typed WITHOUT the accent, the indexed name carries "Épis": the
+    # analyzer's fold must bridge them (T1)
+    from mimirsbrunn_spark.functions.geocode import autocomplete
+
+    idx = next(i for i, a in enumerate(_IDF_ADDRS) if "Épis" in a[0])
+    df, _mode = autocomplete(idf_addr_places, "58 Rue des Epis d'Or 77320", k=1, types=["addr"])
+    got = [r["id"] for r in df.collect()]
+    assert got == [f"addr:main:{idx}"], got
+
+
+# ---------------------------------------------------------------------------
+# features/acceptance.feature — the remaining scenario outlines: simple
+# street search, INCOMPLETE search ("rue hect", "rue hect mal") and
+# abbreviation synonyms ("bd diderot", "av beaumarchais")
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def acceptance_streets(spark):
+    rows = [
+        ("id3234", "street", "Rue Hector Malot", "Rue Hector Malot (Paris)", 0.3, 2.376, 48.847),
+        ("id_bd_diderot", "street", "Boulevard Diderot", "Boulevard Diderot (Paris)", 0.3, 2.373, 48.845),
+        ("id_av_beaumarchais", "street", "Avenue Beaumarchais", "Avenue Beaumarchais (Montreuil)", 0.3, 2.44, 48.86),
+        # decoys sharing tokens
+        ("id_bd_voltaire", "street", "Boulevard Voltaire", "Boulevard Voltaire (Paris)", 0.3, 2.38, 48.86),
+        ("id_rue_hector_b", "street", "Rue Hector Berlioz", "Rue Hector Berlioz (Paris)", 0.3, 2.39, 48.89),
+        ("id_rue_malte", "street", "Rue de Malte", "Rue de Malte (Paris)", 0.3, 2.366, 48.866),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id string, type string, name string, label string, weight double, lon double, lat double",
+    ).cache()
+
+
+@pytest.mark.parametrize(
+    "query,expected,limit",
+    [
+        ("rue hector malot", "id3234", 3),       # simple street search
+        ("rue hect", "id3234", 3),               # incomplete search
+        ("rue hect mal", "id3234", 3),           # incomplete, two prefixes
+        ("bd diderot", "id_bd_diderot", 3),      # abbreviation bd→boulevard
+        ("av beaumarchais", "id_av_beaumarchais", 3),  # av→avenue
+    ],
+)
+def test_acceptance_street_examples(acceptance_streets, query, expected, limit):
+    from mimirsbrunn_spark.functions.geocode import autocomplete
+
+    df, _mode = autocomplete(acceptance_streets, query, k=limit, types=["street"])
+    got = [r["id"] for r in df.collect()]
+    assert expected in got[:limit], f"{query!r} -> {got}"
 
 
 def test_stop_search_and_find_by_id(spark):
