@@ -12,19 +12,24 @@ flow through ``mapInPandas`` where a lazily-built per-executor
 AdminGeoFinder (multi-res cell index) answers batches. No shuffle at all:
 the join is map-side, scaling linearly with point count. Geometry tests
 are vectorized per (admin × batch-subset); only the final dedup loop is
-per-point Python over a handful of pre-tested candidates.
+per-point Python over a handful of pre-tested candidates. For dims too
+big to pickle through the driver, ``dim_path`` stages the dim as parquet
+once and executors build the finder from the file (stage_admin_dim).
 
 **partitioned strategy** (polygon side too big to broadcast): a
 three-stage shuffle plan — (1) points equi-join a slim
 (cell, admin-idx, bbox) cover with the envelope check inside the
-Catalyst join; (2) candidate pairs cogroup with the geometry table on
-(admin, salt) so each polygon's WKB crosses the wire exactly
-``n_salts`` times and a giant polygon's candidates spread across
-reducers; (3) int-encoded flags gather per point and the dedup/memo
-loop replays against the broadcast admin *skeleton* (id, zone_type,
-parent_id — no boundary), which is exact because memoization in the
-reference only short-circuits boundary tests, never changes observable
-results.
+Catalyst join; (2) exact refine, either the (admin, salt) cogroup with
+the vectorized numpy ray cast (default — WKB crosses the wire exactly
+``n_salts`` times, a giant polygon's candidates spread across reducers)
+or a pure-Catalyst higher-order-function predicate over closed-edge
+arrays (``refine="jvm"``); (3) int-encoded flags gather per point
+(map-side partial collect_list), the dedup/memo loop replays against
+the broadcast admin *skeleton* (id, zone_type, parent_id — no
+boundary; exact because memoization in the reference only
+short-circuits boundary tests), and the narrow result joins back to
+the points. Carry-the-payload-through-the-gather variants were
+measured slower in r3 (see BENCH/BASELINE.md).
 
 Output: input point columns + ``admin_ids array<string>`` in the
 reference's result order (zone_type rank, id tie-break).
@@ -194,12 +199,46 @@ def broadcast_admin_dim(spark: SparkSession, admins: DataFrame):
     return spark.sparkContext.broadcast((_dim_token(rows), rows))
 
 
-def finder_for_broadcast(bc_value: tuple[str, list[tuple]]) -> AdminGeoFinder:
-    """Per-worker finder cache lookup by content token (bounded)."""
-    token, rows = bc_value
+def stage_admin_dim(spark: SparkSession, admins: DataFrame, dim_path: str) -> str:
+    """File-distributed alternative to driver pickle (VERDICT r02 #8):
+    persist the admin dim as parquet on worker-visible storage ONCE and
+    let each executor build its finder from the file — the driver never
+    collects a WKB byte, so a world-scale (multi-GB) dim no longer rides
+    the pickle/broadcast channel. The content token is computed
+    distributed (order-insensitive xxhash sum) and doubles as the write
+    marker, so re-staging an unchanged dim is a no-op. Returns the token."""
+    from ..sources.readers import _fs_exists
+
+    tok_row = admins.select(
+        F.sum(F.xxhash64("id", "zone_type", "parent_id", "boundary_wkb").cast("decimal(38,0)")).alias("h"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    token = f"{int(tok_row['h'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}_{tok_row['n']}"
+    marker = f"{dim_path}/_TOKEN_{token}"
+    if not _fs_exists(spark, marker):
+        admins.select(*ADMIN_DIM_COLS).write.mode("overwrite").parquet(dim_path)
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(marker)
+        p.getFileSystem(spark._jsc.hadoopConfiguration()).createNewFile(p)
+    return token
+
+
+def _finder_from_parquet(path: str) -> AdminGeoFinder:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=ADMIN_DIM_COLS)
+    cols = [t.column(c).to_pylist() for c in ADMIN_DIM_COLS]
+    return _finder_from_rows(list(zip(*cols)))
+
+
+def finder_for_broadcast(bc_value: tuple) -> AdminGeoFinder:
+    """Per-worker finder cache lookup by content token (bounded).
+    ``bc_value`` is (token, rows) — inline dim — or (token, None, path):
+    build from the staged parquet instead."""
+    token, rows = bc_value[0], bc_value[1]
     finder = _FINDER_CACHE.get(token)
     if finder is None:
-        finder = _finder_from_rows(rows)
+        finder = _finder_from_rows(rows) if rows is not None else _finder_from_parquet(bc_value[2])
         if len(_FINDER_CACHE) >= _FINDER_CACHE_MAX:
             _FINDER_CACHE.pop(next(iter(_FINDER_CACHE)))
         _FINDER_CACHE[token] = finder
@@ -207,11 +246,23 @@ def finder_for_broadcast(bc_value: tuple[str, list[tuple]]) -> AdminGeoFinder:
 
 
 def attach_admins_broadcast(
-    points: DataFrame, admins: DataFrame, lon_col: str = "lon", lat_col: str = "lat"
+    points: DataFrame,
+    admins: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    dim_path: str | None = None,
 ) -> DataFrame:
-    """Map-side spatial join: broadcast admin dim, mapInPandas refine."""
+    """Map-side spatial join: broadcast admin dim, mapInPandas refine.
+    With ``dim_path``, only (token, path) is broadcast and executors read
+    the staged dim parquet directly (see stage_admin_dim) — the driver
+    pickle ceiling on dim size is gone; the path must be worker-visible
+    (shared storage on a real cluster, any local path on local[N])."""
     spark = SparkSession.getActiveSession()
-    bc = broadcast_admin_dim(spark, admins)
+    if dim_path is not None:
+        token = stage_admin_dim(spark, admins, dim_path)
+        bc = spark.sparkContext.broadcast((token, None, dim_path))
+    else:
+        bc = broadcast_admin_dim(spark, admins)
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
@@ -284,7 +335,7 @@ def attach_admins_partitioned(
     lat_col: str = "lat",
     point_id_col: str = "point_uid",
     n_salts: int = 8,
-    refine: str = "jvm",
+    refine: str = "arrow",
 ) -> DataFrame:
     """Shuffle spatial join for polygon sets beyond broadcast budget —
     the 100-TB-regime path. Three stages, each a standard Spark shape:
@@ -296,29 +347,29 @@ def attach_admins_partitioned(
        otherwise. Pairs are unique by construction (one cover res per
        admin), so no dedup shuffle.
     2. **Exact refine** (G3), two backends:
-       - ``refine="jvm"`` (default, r3): geometry travels as nested
-         closed-edge arrays and the even-odd ray cast runs as a Catalyst
-         higher-order-function predicate INSIDE the pair join
-         (geometry.edge_polys_inside_sql — bit-identical to the numpy
-         kernel). No Arrow trip, no cogroup, no salting: each admin's
-         geometry crosses the wire once and AQE's skew-join split is the
-         giant-polygon defense. Best for typical admin vertex counts.
-       - ``refine="arrow"``: the r2 cogroup on (admin, salt) with the
+       - ``refine="arrow"`` (default): cogroup on (admin, salt) with the
          vectorized numpy ray cast — each admin's WKB crosses the wire
          exactly ``n_salts`` times, candidates of a giant polygon spread
-         across reducers by the deterministic uid-hash salt. Wins when
-         polygons carry 10^5+ vertices (coastline regime): numpy's
-         C-speed vectorization beats per-row interpreted HOF evaluation
-         there, and is worth the Arrow round trip.
+         across reducers by the deterministic uid-hash salt.
+       - ``refine="jvm"``: geometry travels as nested closed-edge arrays
+         and the even-odd ray cast runs as a Catalyst higher-order-
+         function predicate INSIDE the pair join (shuffled hash, no
+         sort; geometry.edge_polys_inside_sql — bit-identical to the
+         numpy kernel). No Arrow trip, no cogroup, no salting — but HOFs
+         are interpreted per element, and the r3 A/B at 36M points /
+         ~10^8 pairs measured 104 s vs arrow's 50.6 s (2×): Arrow's
+         serialization cost is smaller than numpy's vectorization win at
+         any realistic pair volume, so this backend is an option (and an
+         independent cross-check of the kernel), not the default.
     3. **Replay** (G5): candidates gather per point (map-side partial
        collect_list) and the dedup/memo loop replays against the
        broadcast admin *skeleton* (id/zone_type/parent_id — no geometry),
-       exactly as admin_geofinder.rs:220-269. The point payload is
-       CARRIED THROUGH the gather (null-padded on flag rows, first()
-       on the gather) instead of joined back afterwards — r3 deletes the
-       uid join-back exchange flagged by the round-2 profile. Requires
-       unique point ids (duplicates would merge candidate sets — true of
-       the join-back design too).
+       exactly as admin_geofinder.rs:220-269; the narrow (uid, admin_ids)
+       result joins back to the points. The r2-flagged join-back
+       exchange was attacked in r3 with two carry-through designs and
+       both measured SLOWER than this plan (interleaved A/B, same flags
+       input) — the payload-padded union exchange costs more than the
+       agg + narrow join it replaces.
 
     Identical results to the broadcast path — gate `pip_admins_partitioned`
     is hash-checked against the same closed-form oracle.
@@ -436,8 +487,12 @@ def attach_admins_partitioned(
         geom_e = geom_base.mapInPandas(
             to_edges, schema=f"__aidx int, __is_anc boolean, polys {EDGE_POLYS_TYPE}"
         )
+        # SHUFFLE_HASH: the pair side is huge and the join key (__aidx) is
+        # low-cardinality — a sort-merge join would SORT all pairs for no
+        # benefit; a shuffled hash join builds on the (small-per-partition)
+        # geometry side and streams pairs. AQE's skew split applies to SHJ.
         flags = (
-            pairs.join(geom_e, "__aidx")
+            pairs.join(geom_e.hint("SHUFFLE_HASH"), "__aidx")
             .withColumn(
                 "__in", F.expr(edge_polys_inside_sql("polys", "__plon", "__plat"))
             )
@@ -487,28 +542,16 @@ def attach_admins_partitioned(
     else:
         raise ValueError(f"unknown refine {refine!r} (jvm|arrow)")
 
-    # stage 3 — gather per point (partial agg map-side) + batch replay.
-    # The point payload rides the SAME exchange as the flags (null-padded
-    # flag rows + first(ignorenulls) on the gather) — no join-back.
-    payload = [c for c in points.columns if c != point_id_col]
-    base = points.select(
-        F.col(point_id_col).alias("point_uid"),
-        *payload,
-        F.lit(None).cast("int").alias("cand"),
-    )
-    flags_padded = flags.select(
-        "point_uid",
-        *[F.lit(None).cast(points.schema[c].dataType).alias(c) for c in payload],
-        "cand",
-    )
-    gathered = (
-        base.unionByName(flags_padded)
-        .groupBy("point_uid")
-        .agg(
-            *[F.first(c, ignorenulls=True).alias(c) for c in payload],
-            F.collect_list("cand").alias("cands"),  # collect_list skips nulls
-        )
-    )
+    # stage 3 — gather per point (map-side partial collect_list) + batch
+    # replay + uid join-back. Two carry-the-payload-through-the-gather
+    # redesigns were built and MEASURED AGAINST this in r3 (interleaved,
+    # same flags input, 36M points / 82M flags): a string-keyed pandas
+    # gather (64.7 s) and a 128-bit-numeric-key variant (the same union
+    # exchange with a TRIVIAL kernel already costs 34 s) — both lose to
+    # this plan's 28 s because pushing 118M payload-padded rows through
+    # one Arrow repartition costs more than the JVM agg plus the narrow
+    # join-back. Negative result recorded in BENCH/BASELINE.md.
+    gathered = flags.groupBy("point_uid").agg(F.collect_list("cand").alias("cands"))
 
     def replay(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         skel, _ = bc_skel.value
@@ -525,7 +568,6 @@ def attach_admins_partitioned(
                     decoded = sorted(
                         ((c >> 1, bool(c & 1)) for c in key), key=lambda p: order_key[p[0]]
                     )
-                    contains = dict(decoded)
                     tested: set[int] = set()
                     added: set[str] = set()
                     res = []
@@ -550,17 +592,13 @@ def attach_admins_partitioned(
                             res.append(aid)
                     memo[key] = res
                 out.append(res)
-            res_pdf = pdf.drop(columns=["cands"]).rename(columns={"point_uid": point_id_col})
-            res_pdf["admin_ids"] = out
-            yield res_pdf
+            yield pd.DataFrame({"point_uid": pdf["point_uid"], "admin_ids": out})
 
-    out_schema = T.StructType(
-        [T.StructField(point_id_col, points.schema[point_id_col].dataType)]
-        + [T.StructField(c, points.schema[c].dataType) for c in payload]
-        + [T.StructField("admin_ids", T.ArrayType(T.StringType()))]
-    )
-    return gathered.mapInPandas(replay, schema=out_schema).select(
-        *points.columns, "admin_ids"
+    attached = gathered.mapInPandas(replay, schema="point_uid string, admin_ids array<string>")
+    return points.join(
+        attached.withColumnRenamed("point_uid", point_id_col), point_id_col, "left"
+    ).withColumn(
+        "admin_ids", F.coalesce("admin_ids", F.array().cast("array<string>"))
     )
 
 
@@ -572,10 +610,11 @@ def attach_admins(
     strategy: str = "broadcast",
     point_id_col: str = "point_uid",
     n_salts: int = 8,
-    refine: str = "jvm",
+    refine: str = "arrow",
+    dim_path: str | None = None,
 ) -> DataFrame:
     if strategy == "broadcast":
-        return attach_admins_broadcast(points, admins, lon_col, lat_col)
+        return attach_admins_broadcast(points, admins, lon_col, lat_col, dim_path=dim_path)
     if strategy == "partitioned":
         return attach_admins_partitioned(
             points, admins, lon_col, lat_col, point_id_col, n_salts=n_salts, refine=refine

@@ -78,3 +78,33 @@ def test_places_view_visibility(spark):
     assert {r["type"] for r in explicit.collect()} == {"poi"}
     with pytest.raises(ValueError, match="unknown types"):
         places_view(spark, addrs=addrs, visibility={"bogus": "private"})
+
+
+def test_broadcast_attach_from_staged_dim_file(spark, fixtures_dir, tmp_path):
+    """VERDICT r02 #8: dim_path stages the admin dim as parquet and
+    executors build the finder from the FILE — results identical to the
+    driver-pickle broadcast, and re-staging an unchanged dim is a no-op
+    (token marker)."""
+    from mimirsbrunn_spark.operators.pip import attach_admins, stage_admin_dim
+    from mimirsbrunn_spark.operators.spans import extract_geo_points
+
+    docs = spark.read.parquet(f"{fixtures_dir}/docs.parquet")
+    admins = spark.read.parquet(f"{fixtures_dir}/admins.parquet")
+    pts = extract_geo_points(docs).withColumn(
+        "point_uid", F.concat_ws("#", "doc_id", "span_offset")
+    )
+    dim = str(tmp_path / "admin_dim.parquet")
+    b = attach_admins(pts, admins, strategy="broadcast").select(
+        "point_uid", F.to_json("admin_ids").alias("a")
+    )
+    f = attach_admins(pts, admins, strategy="broadcast", dim_path=dim).select(
+        "point_uid", F.to_json("admin_ids").alias("a")
+    )
+    mism = b.alias("b").join(f.alias("f"), "point_uid").filter(F.expr("b.a <> f.a")).count()
+    assert mism == 0 and b.count() == f.count()
+    # idempotent restage: marker present, second call rewrites nothing
+    t1 = stage_admin_dim(spark, admins, dim)
+    mtime = sorted((tmp_path / "admin_dim.parquet").glob("*.parquet"))[0].stat().st_mtime
+    t2 = stage_admin_dim(spark, admins, dim)
+    assert t1 == t2
+    assert sorted((tmp_path / "admin_dim.parquet").glob("*.parquet"))[0].stat().st_mtime == mtime
