@@ -28,6 +28,11 @@ def main(argv=None) -> None:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--res", type=int, nargs="+", default=[7, 8, 9, 10, 11, 12])
     ap.add_argument(
+        "--fmt", choices=["auto", "iceberg", "parquet"], default="auto",
+        help="input table format: auto (catalog ident or parquet path), "
+             "iceberg (requires the iceberg-spark runtime), parquet",
+    )
+    ap.add_argument(
         "--strategy", choices=["broadcast", "partitioned"], default="broadcast",
         help="PIP join strategy: broadcast (admin dim fits executor memory) "
              "or partitioned (beyond broadcast budget — salted cogroup refine)",
@@ -46,12 +51,12 @@ def main(argv=None) -> None:
     from mimirsbrunn_spark.operators.spans import extract_geo_points, span_invariant_violations
     from mimirsbrunn_spark.plans import run_stage
     from mimirsbrunn_spark.session import get_spark
-    from mimirsbrunn_spark.sources import publish_table
+    from mimirsbrunn_spark.sources import publish_table, read_table
     from mimirsbrunn_spark.tiles import s2_cell_pandas_udf, with_grid_cells
 
     spark = get_spark(app_name="index_corpus", cpus=args.cpus)
-    docs = spark.read.parquet(args.docs)
-    admins = spark.read.parquet(args.admins)
+    docs = read_table(spark, args.docs, fmt=args.fmt)
+    admins = read_table(spark, args.admins, fmt=args.fmt)
     ckpt = str(Path(args.out) / "_checkpoints")
 
     points = run_stage(
@@ -75,7 +80,7 @@ def main(argv=None) -> None:
     )
 
     # invariant gate before publish (north rule: span sequence preserved)
-    violations = span_invariant_violations(docs, spark.read.parquet(args.docs))
+    violations = span_invariant_violations(docs, read_table(spark, args.docs, fmt=args.fmt))
     if violations:
         raise SystemExit(f"span-sequence invariant violated for {violations} docs; aborting publish")
 

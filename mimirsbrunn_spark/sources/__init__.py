@@ -4,6 +4,7 @@ from .readers import (  # noqa: F401
     read_navitia_pois,
     read_ntfs_stops,
     read_openaddresses_csv,
+    read_table,
     resolve_osm_dependencies,
 )
 from .lifecycle import publish_table, read_published, merge_update  # noqa: F401

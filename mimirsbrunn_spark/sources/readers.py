@@ -63,6 +63,35 @@ def read_cosmogony_jsonl(spark: SparkSession, path: str, schema=None) -> DataFra
     return reader.option("mode", "DROPMALFORMED").json(path)
 
 
+def read_table(spark: SparkSession, source: str, fmt: str = "auto") -> DataFrame:
+    """Input-table seam for the production corpus (north rule: Iceberg
+    tables of interleaved documents). Same backend-seam pattern as
+    tiles.get_cell_ops and the media codecs: this sandbox has no
+    iceberg-spark runtime jar, so the parquet branch is what tests
+    exercise; a cluster with the jar (and a configured catalog) reads the
+    same call as a real Iceberg table — snapshot isolation, hidden
+    partitioning and time travel come from the table format, the engine
+    code does not change.
+
+    - ``fmt="iceberg"``: ``spark.read.format("iceberg").load(source)``
+      (a catalog ident or a metadata path); surfaces the underlying
+      error if the runtime is absent.
+    - ``fmt="parquet"``: plain parquet file/dir read.
+    - ``fmt="auto"``: a dotted, path-separator-free source is treated as
+      a catalog identifier (``spark.read.table`` — Iceberg or any other
+      configured catalog); anything path-like reads as parquet.
+    """
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(source)
+    if fmt == "parquet":
+        return spark.read.parquet(source)
+    if fmt != "auto":
+        raise ValueError(f"unknown fmt {fmt!r} (auto|iceberg|parquet)")
+    if "/" not in source and "." in source:
+        return spark.read.table(source)
+    return spark.read.parquet(source)
+
+
 def _fs_exists(spark: SparkSession, path: str) -> bool:
     """Storage-agnostic existence probe via the Hadoop FileSystem API.
     Driver-local ``pathlib.Path.exists()`` always reports missing for

@@ -60,3 +60,27 @@ def test_autocomplete_prefix_then_fuzzy(spark):
     # a fully-unknown query returns empty fuzzy (no crash)
     df, mode = autocomplete(places, "zzz qqq", k=3)
     assert mode == "fuzzy" and df.count() == 0
+
+
+def test_read_table_seam(spark):
+    """North-rule input seam: dotted catalog idents go through
+    spark.read.table (Iceberg or any configured catalog), path-likes read
+    as parquet, and fmt="iceberg" surfaces the missing-runtime error in
+    this sandbox rather than silently falling back."""
+    import pytest
+
+    from mimirsbrunn_spark.sources import read_table
+
+    # path-like → parquet
+    df = read_table(spark, "/root/testdata/sf0.001/nation.parquet")
+    assert df.count() == 25
+    # dotted ident → catalog table (global temp view, no files involved)
+    spark.range(3).createOrReplaceGlobalTempView("rt_seam_v")
+    assert read_table(spark, "global_temp.rt_seam_v").count() == 3
+    # forced parquet
+    assert read_table(spark, "/root/testdata/sf0.001/region.parquet", fmt="parquet").count() == 5
+    # forced iceberg: the runtime jar is absent from this image
+    with pytest.raises(Exception):
+        read_table(spark, "/root/testdata/sf0.001/nation.parquet", fmt="iceberg").count()
+    with pytest.raises(ValueError, match="unknown fmt"):
+        read_table(spark, "x", fmt="bogus")
