@@ -646,6 +646,107 @@ EVENTS_ASOF_SQL = """
 """
 
 
+def q_repetition_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition: duplicate-3-gram fraction
+    (operators/textprep.repetition_ngram_stats) vs the identical
+    list-transform pipeline in DuckDB."""
+    from .operators.textprep import repetition_ngram_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_ngram_stats(d, n=3)
+
+
+REPETITION_3GRAM_SQL = r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(1, len(toks) - 3 + 2),
+                              i -> array_to_string(toks[i:i+2], ' ')) AS grams
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_ngrams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(grams) > 0
+                THEN round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6)
+                ELSE 0.0 END AS dup_fraction
+    FROM g
+"""
+
+
+def q_shared_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication across the corpus: per document, how
+    many of its distinct 8-grams appear in >= 2 documents
+    (operators/textprep.shared_ngram_doc_flags — explode + one shuffle,
+    never all-pairs)."""
+    from .operators.textprep import shared_ngram_doc_flags
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shared_ngram_doc_flags(d, n=8, min_docs=2)
+
+
+SHARED_NGRAM_DOCS_SQL = r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ),
+    pg AS (
+        SELECT doc_id, unnest(list_distinct(
+                   list_transform(range(1, len(toks) - 8 + 2),
+                                  i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+        FROM t
+    ),
+    shared AS (SELECT gram FROM pg GROUP BY gram HAVING count(*) >= 2),
+    counts AS (
+        SELECT pg.doc_id, count(*) AS n_shared_grams
+        FROM pg JOIN shared USING (gram) GROUP BY pg.doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(c.n_shared_grams, 0) AS BIGINT) AS n_shared_grams
+    FROM documents d LEFT JOIN counts c USING (doc_id)
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (operators/textprep.scrub_pii) over documents with
+    deterministically synthesized emails/phones (both engines build the
+    identical augmented text, then scrub with the identical regexes —
+    written in the Java-regex ∩ RE2 common dialect)."""
+    from .operators.textprep import scrub_pii
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1 555 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return scrub_pii(d)
+
+
+def _pii_scrub_sql() -> str:
+    from .operators.textprep import EMAIL_RX, PHONE_RX
+
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or +1 555 '
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{EMAIL_RX}', '<EMAIL>', 'g'),
+                          '{PHONE_RX}', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RX}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PHONE_RX}')) AS BIGINT) AS n_phones
+    FROM t
+    """
+
+
 def q_s2_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 cell assignment (vectorized numpy via pandas UDF), now with an
     EXACT DuckDB oracle: the 16-level Hilbert interleave is unrolled as a
@@ -680,6 +781,9 @@ QUERIES = {
     "lang_guess": (q_lang_guess, LANG_GUESS_SQL),
     "embed_cosine_topk": (q_embed_cosine_topk, EMBED_COSINE_SQL),
     "s2_tiles": (q_s2_tiles, _s2_tiles_sql()),
+    "repetition_3gram": (q_repetition_3gram, REPETITION_3GRAM_SQL),
+    "shared_ngram_docs": (q_shared_ngram_docs, SHARED_NGRAM_DOCS_SQL),
+    "pii_scrub": (q_pii_scrub, _pii_scrub_sql()),
     "sessionize_events": (q_sessionize, SESSIONIZE_SQL),
     "events_asof": (q_events_asof, EVENTS_ASOF_SQL),
     "events_range_join": (q_events_range_join, EVENTS_RANGE_JOIN_SQL),

@@ -1,0 +1,141 @@
+"""Corpus text-preparation operators: repetition filtering, exact-substring
+duplicate flagging, PII scrubbing.
+
+Three more staples of a large-scale training-data pipeline (alongside
+operators/dedup.py's MinHash/SimHash/Jaccard family and gate.py's
+language-ID/quality/token gates):
+
+- ``repetition_ngram_stats`` — the Gopher-style within-document
+  repetition signal: the fraction of a document's n-grams that are
+  duplicates. High values mark boilerplate/spam for filtering.
+- ``shared_ngram_doc_flags`` — the exact-substring-duplication family
+  (C4 line dedup / "exact substring dedup"): documents sharing a long
+  n-gram with other documents, found by exploding per-document DISTINCT
+  shingles and counting documents per shingle. One shuffle on the
+  shingle key, linear in corpus size — never all-pairs.
+- ``scrub_pii`` — email/phone masking with counts, as vectorized JVM
+  regex (regexp_replace / regexp_count); patterns are written in the
+  common Java-regex ∩ RE2 dialect so the DuckDB oracle runs them
+  verbatim.
+
+All three are pure Catalyst (no Python in the plan) and have exact
+DuckDB oracles in the driver gate.
+
+Scale notes: shingles travel as strings here so the oracle is
+engine-exact; at 100 TB pass ``hash_shingles=True`` to shuffle 8-byte
+xxhash64 keys instead (collision over 10^12 distinct shingles is
+possible but only inflates the shared-count by 1 — flagging tolerance,
+not correctness of dedup decisions, and the gate keeps the exact
+string path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RX = r"\+[0-9]{1,3} [0-9]{3} [0-9]{4}"
+
+
+def _tokens(text_col):
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def repetition_ngram_stats(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document duplicate-n-gram fraction (Gopher repetition filter):
+    (id, n_ngrams, n_distinct, dup_fraction). dup_fraction = 1 −
+    distinct/total over whitespace-token n-grams; 0 for docs shorter
+    than n tokens."""
+    toks = _tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.expr(
+            f"transform(sequence(1, size(split(trim({text_col}), '\\\\s+')) - {n} + 1),"
+            f" i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = docs.select(F.col(id_col), grams.alias("__grams"))
+    total = F.size("__grams")
+    distinct = F.size(F.array_distinct("__grams"))
+    return d.select(
+        id_col,
+        total.cast("long").alias("n_ngrams"),
+        distinct.cast("long").alias("n_distinct"),
+        F.when(
+            total > 0,
+            F.round(F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
+    )
+
+
+def shared_ngram_doc_flags(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Exact-substring duplication across the corpus: for each document,
+    the number of its distinct n-grams that also appear in at least
+    ``min_docs - 1`` OTHER documents. (id, n_shared_grams) for every
+    document (0 = clean). Plan: per-doc distinct shingles (map-side) →
+    one shuffle keyed by shingle → doc-count per shingle → semi-join
+    back — linear, never all-pairs."""
+    toks_sql = f"split(trim({text_col}), '\\\\s+')"
+    grams = F.when(
+        F.size(_tokens(F.col(text_col))) >= n,
+        F.expr(
+            f"transform(sequence(1, size({toks_sql}) - {n} + 1),"
+            f" i -> concat_ws(' ', slice({toks_sql}, i, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    if hash_shingles:
+        per_doc = per_doc.select(id_col, F.xxhash64("gram").alias("gram"))
+    shared = (
+        per_doc.groupBy("gram")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    counts = (
+        per_doc.join(shared, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(counts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared_grams", F.lit(0)).cast("long").alias("n_shared_grams"),
+        )
+    )
+
+
+def scrub_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Mask emails and phone numbers: (id, scrubbed, n_emails, n_phones).
+    Pure JVM regex — regexp_count + regexp_replace over the common
+    Java-regex ∩ RE2 dialect (no lookaround), so the identical patterns
+    run in the DuckDB oracle."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.regexp_replace(
+            F.regexp_replace(t, F.lit(EMAIL_RX), F.lit("<EMAIL>")),
+            F.lit(PHONE_RX),
+            F.lit("<PHONE>"),
+        ).alias("scrubbed"),
+        F.regexp_count(t, F.lit(EMAIL_RX)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RX)).cast("long").alias("n_phones"),
+    )
