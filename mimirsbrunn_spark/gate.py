@@ -646,6 +646,27 @@ EVENTS_ASOF_SQL = """
 """
 
 
+def q_geohash6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash cell assignment (tiles.geohash_sql_expr — the cell scheme
+    behind ES's historical geo pre-filter, closed-form base32): the SAME
+    generated SQL string runs in Spark and DuckDB, the strongest parity
+    form; the scalar/numpy reimplementation cross-checks it in pytest
+    against canonical vectors."""
+    from .tiles import geohash_col
+
+    pts = points_from_orders(spark, sf_dir)
+    return pts.select("point_id", geohash_col("lon", "lat", 6))
+
+
+def _geohash6_sql() -> str:
+    from .tiles import geohash_sql_expr
+
+    return (
+        f"SELECT point_id, {geohash_sql_expr('lon', 'lat', 6)} AS geohash6 "
+        f"FROM ({POINTS_FROM_ORDERS_SQL})"
+    )
+
+
 def q_repetition_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document repetition: duplicate-3-gram fraction
     (operators/textprep.repetition_ngram_stats) vs the identical
@@ -781,6 +802,7 @@ QUERIES = {
     "lang_guess": (q_lang_guess, LANG_GUESS_SQL),
     "embed_cosine_topk": (q_embed_cosine_topk, EMBED_COSINE_SQL),
     "s2_tiles": (q_s2_tiles, _s2_tiles_sql()),
+    "geohash6": (q_geohash6, _geohash6_sql()),
     "repetition_3gram": (q_repetition_3gram, REPETITION_3GRAM_SQL),
     "shared_ngram_docs": (q_shared_ngram_docs, SHARED_NGRAM_DOCS_SQL),
     "pii_scrub": (q_pii_scrub, _pii_scrub_sql()),

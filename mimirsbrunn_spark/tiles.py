@@ -373,6 +373,82 @@ FROM s2fin
 """
 
 
+# ---------------------------------------------------------------------------
+# Geohash — the cell scheme Elasticsearch's geo indexing historically used
+# (the role the reference leans on implicitly through ES's geohash/BKD
+# pre-filter); public base32 algorithm, closed form (no binary-search loop):
+# quantize lon/lat to ceil/floor(5p/2) bits, interleave lon-first, base32.
+# ---------------------------------------------------------------------------
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_sql_expr(lon_expr: str, lat_expr: str, precision: int = 6) -> str:
+    """Geohash of (lon, lat) as ONE SQL string valid verbatim in BOTH
+    Spark SQL and DuckDB (the strongest oracle-parity form): only
+    +,-,*,/, floor, least/greatest, CAST, %, substr and || — shifts are
+    spelled as exact floor-divisions by powers of two (all operands
+    < 2^53, so double math is exact), sidestepping the engines'
+    different bit-operator spellings."""
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    li = (
+        f"least(greatest(CAST(floor(({lon_expr} + 180.0) / 360.0 * {float(1 << nlon)}) "
+        f"AS BIGINT), 0), {(1 << nlon) - 1})"
+    )
+    la = (
+        f"least(greatest(CAST(floor(({lat_expr} + 90.0) / 180.0 * {float(1 << nlat)}) "
+        f"AS BIGINT), 0), {(1 << nlat) - 1})"
+    )
+    terms = []
+    for k in range(nbits):  # k = position from the MSB; even → lon bit
+        src, sh = (li, nlon - 1 - k // 2) if k % 2 == 0 else (la, nlat - 1 - k // 2)
+        bit = f"(CAST(floor({src} / {float(1 << sh)}) AS BIGINT) % 2)"
+        terms.append(f"{bit} * {1 << (nbits - 1 - k)}")
+    val = "(" + " + ".join(terms) + ")"
+    chars = [
+        f"substr('{GEOHASH_BASE32}', "
+        f"CAST(CAST(floor({val} / {float(1 << (5 * (precision - 1 - c)))}) AS BIGINT) % 32 AS INT) + 1, 1)"
+        for c in range(precision)
+    ]
+    return "(" + " || ".join(chars) + ")"
+
+
+def geohash_col(lon: Column | str, lat: Column | str, precision: int = 6) -> Column:
+    """Geohash as a pure-Catalyst Column (wraps the shared SQL string)."""
+    lon_e = lon if isinstance(lon, str) else None
+    lat_e = lat if isinstance(lat, str) else None
+    if lon_e is None or lat_e is None:
+        raise ValueError("geohash_col takes column NAMES (the expr is SQL-generated)")
+    return F.expr(geohash_sql_expr(lon_e, lat_e, precision)).alias(f"geohash{precision}")
+
+
+def geohash_np(lon, lat, precision: int = 6) -> list[str]:
+    """Reference scalar/numpy implementation (independent of the SQL
+    path — the cross-check role, like the scalar S2 reimplementation)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    li = np.clip(np.floor((lon + 180.0) / 360.0 * float(1 << nlon)).astype(np.int64), 0, (1 << nlon) - 1)
+    la = np.clip(np.floor((lat + 90.0) / 180.0 * float(1 << nlat)).astype(np.int64), 0, (1 << nlat) - 1)
+    val = np.zeros(len(lon), dtype=np.int64)
+    for k in range(nbits):
+        src, sh = (li, nlon - 1 - k // 2) if k % 2 == 0 else (la, nlat - 1 - k // 2)
+        val = (val << 1) | ((src >> sh) & 1)
+    out = []
+    for v in val:
+        out.append(
+            "".join(
+                GEOHASH_BASE32[(int(v) >> (5 * (precision - 1 - c))) & 31]
+                for c in range(precision)
+            )
+        )
+    return out
+
+
 def s2_cell_pandas_udf(level: int = 16):
     """pandas UDF factory: (lon, lat) → s2 cell id column."""
 

@@ -332,3 +332,34 @@ def test_points_to_mp_distance():
     assert abs(d[3] - 1.0 * m) / m < 0.01           # 1 deg right (cos ~1 near equator)
     assert abs(d[4] - 1.0 * m) / m < 0.01
     assert abs(d[5] - 0.25 * m) / m < 0.01
+
+
+def test_geohash_canonical_vectors_and_engine_parity(spark):
+    """Geohash: canonical public vectors + the shared-SQL Catalyst path
+    equals the independent numpy reimplementation on a point sweep."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mimirsbrunn_spark.tiles import geohash_col, geohash_np, geohash_sql_expr
+
+    assert geohash_np([-5.603], [42.605], 5) == ["ezs42"]
+    assert geohash_np([2.3522], [48.8566], 6) == ["u09tvw"]
+    assert geohash_np([-0.1278], [51.5074], 6) == ["gcpvj0"]
+
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-180, 180, 400)
+    lat = rng.uniform(-90, 90, 400)
+    expect = geohash_np(lon, lat, 6)
+    df = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(lon, lat))],
+        "i long, lon double, lat double",
+    )
+    got = {r["i"]: r["geohash6"] for r in df.select("i", geohash_col("lon", "lat", 6)).collect()}
+    assert [got[i] for i in range(400)] == expect
+    # the SAME string runs in DuckDB
+    con = duckdb.connect()
+    dres = con.execute(
+        f"SELECT {geohash_sql_expr('-5.603', '42.605', 5)}"
+    ).fetchone()[0]
+    assert dres == "ezs42"
