@@ -758,3 +758,40 @@ def test_range_join_span_guard(spark):
     )
     got2 = {(r["id"], r["iid"]) for r in range_join(left, sane, "value", bucket_width=None).collect()}
     assert got2 == {(1, 11)}  # 5.0 is outside [0, 5) — hi exclusive
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """§2.10: watermarked stream-stream interval join — the emitted
+    (click, view) pairs must equal the batch inner interval join on the
+    same input exactly (in-order files, within-watermark arrivals)."""
+    from mimirsbrunn_spark.streaming import stream_click_view_join
+
+    src = _split_events_by_time(spark, tmp_path)
+    out, ckpt = str(tmp_path / "ssj_out"), str(tmp_path / "ssj_ckpt")
+    q = stream_click_view_join(spark, src, out, ckpt, max_gap_minutes=15)
+    q.awaitTermination(600)
+    got = {
+        (r["user_id"], r["click_id"], r["view_id"], r["gap_us"])
+        for r in spark.read.parquet(out).collect()
+    }
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("us").alias("cus")
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vuser"), F.col("event_id").alias("view_id"),
+        F.col("us").alias("vus"),
+    )
+    batch = {
+        (r["user_id"], r["click_id"], r["view_id"], r["cus"] - r["vus"])
+        for r in c.join(
+            v,
+            (c["user_id"] == v["vuser"]) & (v["vus"] <= c["cus"])
+            & (v["vus"] >= c["cus"] - 15 * 60 * 1_000_000),
+        ).collect()
+    }
+    assert len(batch) > 0, "fixture produced no in-gap pairs"
+    assert got == batch, f"{len(got)} stream vs {len(batch)} batch"
