@@ -1,0 +1,72 @@
+"""Bucketed-table co-location + small-file compaction.
+
+Two shuffle economics tools the 100-TB framing calls for explicitly:
+
+- **Bucketing** (`write_bucketed` / `assert_colocated_join`): persist a
+  table hash-bucketed (and optionally sorted) on its join/agg keys via
+  the catalog. Two tables bucketed identically on the join key join
+  WITHOUT any exchange — the per-bucket files are already co-located —
+  and a groupBy on the bucket key aggregates exchange-free. This is the
+  "pre-shuffle once, join many times" pattern: the repeated consumers of
+  a points table keyed by cell (PIP pairs, coverage rollups, kNN target
+  lookups) pay the partitioning cost once at write time.
+- **Compaction** (`compact_published`): rewrite the current generation of
+  a published table into ~``target_file_mb`` files (tiny-file pileup is
+  the classic long-running-pipeline failure: doubled listing costs,
+  under-packed scans). Publishes a NEW generation and swaps the pointer,
+  so readers never observe a half-compacted table.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a managed bucketed table (bucket metadata lives
+    in the catalog, hence saveAsTable). ``sort_cols`` additionally sorts
+    within buckets — sort-merge joins then skip the sort too."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def colocated_join_plan(spark: SparkSession, left: str, right: str, on: list[str]) -> str:
+    """Join two catalog tables on ``on`` and return the executed-plan
+    string (the no-Exchange property is asserted by the caller/test)."""
+    df = spark.table(left).join(spark.table(right), on)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def compact_published(
+    spark: SparkSession,
+    base_dir: str,
+    name: str,
+    target_file_mb: int = 256,
+) -> str:
+    """Rewrite the CURRENT generation of a published table into
+    ~target_file_mb files (see sources/lifecycle.publish_table for the
+    generation/pointer protocol). Returns the new generation path."""
+    from ..sources.lifecycle import publish_table, read_published
+
+    root = Path(base_dir) / name
+    import json
+
+    pointer = json.loads((root / "_CURRENT").read_text())
+    gen = root / pointer["generation"]
+    total = sum(f.stat().st_size for f in gen.rglob("*.parquet"))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = read_published(spark, base_dir, name).coalesce(n_files)
+    return publish_table(df, base_dir, name)

@@ -169,3 +169,62 @@ def test_flagship_has_single_shuffle_at_rollup(spark, fixtures_dir):
     assert "*(" in plan
     # column pruning reached the scan: only spans is read
     assert "ReadSchema: struct<spans:array" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join via bucketing (the brief's "bucketing for
+    co-located joins"): two tables bucketed identically on the cell key
+    must join AND aggregate with ZERO Exchange in the executed plan."""
+    from pyspark.sql import functions as F
+
+    from mimirsbrunn_spark.plans import colocated_join_plan, write_bucketed
+
+    pts = spark.range(5000).select(
+        F.col("id"), (F.col("id") % 97).alias("cell"), (F.col("id") * 2.0).alias("v")
+    )
+    dim = spark.range(97).select(F.col("id").alias("cell"), F.lit("z").alias("tag"))
+    spark.sql("DROP TABLE IF EXISTS b_pts")
+    spark.sql("DROP TABLE IF EXISTS b_dim")
+    write_bucketed(pts, "b_pts", ["cell"], n_buckets=8, sort_cols=["cell"])
+    write_bucketed(dim, "b_dim", ["cell"], n_buckets=8, sort_cols=["cell"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = colocated_join_plan(spark, "b_pts", "b_dim", ["cell"])
+        assert "Exchange" not in plan, plan
+        agg = spark.table("b_pts").groupBy("cell").agg(F.sum("v").alias("s"))
+        agg.collect()
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in agg_plan, agg_plan
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_pts")
+        spark.sql("DROP TABLE IF EXISTS b_dim")
+
+
+def test_compact_published_hits_target_file_count(spark, tmp_path):
+    """Compaction publishes a NEW generation with ~size/target files and
+    identical rows; readers pinned to the old generation are untouched."""
+    from pyspark.sql import functions as F
+
+    from mimirsbrunn_spark.plans import compact_published
+    from mimirsbrunn_spark.sources import publish_table, read_published
+
+    base = str(tmp_path / "tables")
+    df = spark.range(20000).select("id", (F.col("id") * 1.5).alias("v"))
+    publish_table(df.repartition(37), base, "t")  # tiny-file pileup
+    import pathlib
+
+    root = pathlib.Path(base) / "t"
+    import json
+
+    gen0 = json.loads((root / "_CURRENT").read_text())["generation"]
+    n0 = len(list((root / gen0).rglob("*.parquet")))
+    assert n0 >= 37
+    compact_published(spark, base, "t", target_file_mb=256)  # tiny data → 1 file
+    gen1 = json.loads((root / "_CURRENT").read_text())["generation"]
+    assert gen1 != gen0
+    n1 = len(list((root / gen1).rglob("*.parquet")))
+    assert n1 == 1
+    assert read_published(spark, base, "t").count() == 20000
