@@ -196,6 +196,70 @@ def wkb_to_mp(buf: bytes) -> MultiPolygon:
     return mp
 
 
+def _dp_keep_mask(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker keep-mask for an OPEN ring (closing edge implied):
+    iterative stack form of the classic recursion, perpendicular distance
+    in degrees."""
+    n = len(ring)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = True
+    # anchor a second point: the vertex farthest from ring[0] (DP needs a
+    # non-degenerate baseline on closed rings)
+    far = int(np.argmax(((ring - ring[0]) ** 2).sum(axis=1)))
+    keep[far] = True
+    stack = [(0, far), (far, n - 1)]
+    keep[n - 1] = True
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        seg = ring[a + 1 : b]
+        ax, ay = ring[a]
+        bx, by = ring[b]
+        ux, uy = bx - ax, by - ay
+        L = np.hypot(ux, uy)
+        if L == 0.0:
+            d = np.hypot(seg[:, 0] - ax, seg[:, 1] - ay)
+        else:
+            d = np.abs(ux * (ay - seg[:, 1]) - uy * (ax - seg[:, 0])) / L
+        i = int(np.argmax(d))
+        if d[i] > tol:
+            keep[a + 1 + i] = True
+            stack.append((a, a + 1 + i))
+            stack.append((a + 1 + i, b))
+    return keep
+
+
+def simplify_mp(mp: MultiPolygon, tolerance_deg: float) -> MultiPolygon:
+    """Douglas–Peucker simplification per ring (public algorithm);
+    rings collapsing below 3 distinct vertices are dropped (holes) or
+    kept as their minimal triangle (exteriors). An APPROXIMATION knob:
+    attachments can change for points within ~tolerance of a boundary —
+    the caller opts in (e.g. to shrink the WKB the partitioned PIP ships
+    ``n_salts`` times per admin), it is never applied implicitly."""
+    out = []
+    for poly in mp:
+        rings = []
+        for k, ring in enumerate(poly):
+            r = np.asarray(ring, dtype=np.float64)
+            # rings whose whole extent sits under the tolerance are noise
+            # at this resolution: holes drop, exteriors stay as-is (an
+            # admin is never deleted by simplification)
+            diag = float(np.hypot(r[:, 0].ptp(), r[:, 1].ptp()))
+            if diag < tolerance_deg:
+                if k == 0:
+                    rings.append(r)
+                continue
+            if len(r) <= 4:
+                rings.append(r)
+                continue
+            kept = r[_dp_keep_mask(r, tolerance_deg)]
+            rings.append(kept if len(kept) >= 3 else r)
+        if rings:
+            out.append(rings)
+    return out
+
+
 EDGE_POLYS_TYPE = "array<array<array<struct<x1:double,y1:double,x2:double,y2:double>>>>"
 
 

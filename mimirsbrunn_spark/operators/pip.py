@@ -602,6 +602,52 @@ def attach_admins_partitioned(
     )
 
 
+def simplify_admin_boundaries(
+    admins: DataFrame, tolerance_deg: float, wkb_col: str = "boundary_wkb"
+) -> DataFrame:
+    """Opt-in boundary simplification prep for the partitioned strategy:
+    Douglas–Peucker per ring (geometry.simplify_mp) over the admin dim,
+    shrinking the WKB each polygon ships ``n_salts`` times through the
+    refine (coastline-grade boundaries carry 10^5+ vertices; most
+    attachment workloads tolerate a ~10-100 m boundary band). Adds
+    ``n_vertices_before/after`` so the caller can log the reduction.
+    APPROXIMATION: points within ~tolerance of a boundary may attach
+    differently — never applied implicitly by attach_admins."""
+    from ..geometry import mp_to_wkb, simplify_mp
+
+    out_schema = T.StructType(
+        list(admins.schema.fields)
+        + [
+            T.StructField("n_vertices_before", T.LongType()),
+            T.StructField("n_vertices_after", T.LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            before, after, blobs = [], [], []
+            for b in pdf[wkb_col]:
+                if b is None:
+                    before.append(0)
+                    after.append(0)
+                    blobs.append(None)
+                    continue
+                mp = wkb_to_mp(bytes(b))
+                nb = sum(len(r) for poly in mp for r in poly)
+                sm = simplify_mp(mp, tolerance_deg)
+                na = sum(len(r) for poly in sm for r in poly)
+                before.append(nb)
+                after.append(na)
+                blobs.append(mp_to_wkb(sm))
+            pdf = pdf.copy()
+            pdf[wkb_col] = blobs
+            pdf["n_vertices_before"] = before
+            pdf["n_vertices_after"] = after
+            yield pdf
+
+    return admins.mapInPandas(gen, schema=out_schema)
+
+
 def attach_admins(
     points: DataFrame,
     admins: DataFrame,

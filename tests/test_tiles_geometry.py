@@ -363,3 +363,57 @@ def test_geohash_canonical_vectors_and_engine_parity(spark):
         f"SELECT {geohash_sql_expr('-5.603', '42.605', 5)}"
     ).fetchone()[0]
     assert dres == "ezs42"
+
+
+def test_simplify_mp_dp():
+    """Douglas–Peucker: a noisy circle shrinks to few vertices at coarse
+    tolerance; interior containment is preserved; fine tolerance is a
+    near-no-op; holes below 3 vertices drop, exteriors never do."""
+    import numpy as np
+
+    from mimirsbrunn_spark.geometry import (
+        points_in_multipolygon, simplify_mp,
+    )
+
+    t = np.linspace(0, 2 * np.pi, 400, endpoint=False)
+    rng = np.random.default_rng(3)
+    ring = np.stack([10 * np.cos(t) + rng.normal(0, 0.01, 400),
+                     10 * np.sin(t) + rng.normal(0, 0.01, 400)], axis=1)
+    mp = [[ring]]
+    sm = simplify_mp(mp, 0.25)
+    n_after = len(sm[0][0])
+    assert n_after < 80, n_after
+    # deep-interior and far-exterior points keep their verdicts
+    probes_in = np.array([[0.0, 0.0], [3.0, 3.0], [-5.0, 0.0]])
+    probes_out = np.array([[20.0, 0.0], [0.0, -15.0]])
+    assert points_in_multipolygon(probes_in[:, 0], probes_in[:, 1], sm).all()
+    assert not points_in_multipolygon(probes_out[:, 0], probes_out[:, 1], sm).any()
+    # near-no-op at fine tolerance
+    assert len(simplify_mp(mp, 1e-9)[0][0]) >= 395
+    # tiny hole drops at coarse tolerance, exterior survives
+    hole = np.array([(0.0, 0.0), (0.1, 0.0), (0.1, 0.1), (0.05, 0.11), (0.0, 0.1)])
+    sm2 = simplify_mp([[ring, hole]], 0.5)
+    assert len(sm2[0]) == 1  # hole gone, exterior kept
+
+
+def test_simplify_admin_boundaries_operator(spark, fixtures_dir):
+    """DataFrame wrapper: vertex counts reported, WKB round-trips, and at
+    a tiny tolerance the attachments are unchanged on the fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from mimirsbrunn_spark.operators.pip import attach_admins, simplify_admin_boundaries
+    from mimirsbrunn_spark.operators.spans import extract_geo_points
+
+    admins = spark.read.parquet(f"{fixtures_dir}/admins.parquet")
+    slim = simplify_admin_boundaries(admins, 1e-9)
+    row = slim.agg(F.sum("n_vertices_before").alias("b"), F.sum("n_vertices_after").alias("a")).collect()[0]
+    assert row["a"] == row["b"]  # octagons: nothing to remove at 1e-9
+    docs = spark.read.parquet(f"{fixtures_dir}/docs.parquet")
+    pts = extract_geo_points(docs).withColumn(
+        "point_uid", F.concat_ws("#", "doc_id", "span_offset")
+    ).limit(2000)
+    a = attach_admins(pts, admins).select("point_uid", F.to_json("admin_ids").alias("x"))
+    b = attach_admins(pts, slim.drop("n_vertices_before", "n_vertices_after")).select(
+        "point_uid", F.to_json("admin_ids").alias("x")
+    )
+    assert a.alias("a").join(b.alias("b"), "point_uid").filter(F.expr("a.x <> b.x")).count() == 0
