@@ -768,8 +768,14 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
 
     src = _split_events_by_time(spark, tmp_path)
     out, ckpt = str(tmp_path / "ssj_out"), str(tmp_path / "ssj_ckpt")
-    q = stream_click_view_join(spark, src, out, ckpt, max_gap_minutes=15)
-    q.awaitTermination(600)
+    # a generous watermark makes the equality exact regardless of the
+    # file source's modification-time ordering under load (watermark
+    # AGEING is exercised by the windowed/sessionize tests); and the
+    # query must have actually terminated before the output is read
+    q = stream_click_view_join(
+        spark, src, out, ckpt, max_gap_minutes=15, watermark="30 days"
+    )
+    assert q.awaitTermination(900), "stream query did not terminate"
     got = {
         (r["user_id"], r["click_id"], r["view_id"], r["gap_us"])
         for r in spark.read.parquet(out).collect()
