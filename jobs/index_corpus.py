@@ -38,6 +38,13 @@ def main(argv=None) -> None:
              "or partitioned (beyond broadcast budget — salted cogroup refine)",
     )
     ap.add_argument(
+        "--simplify-tolerance", type=float, default=None,
+        help="opt-in Douglas-Peucker boundary simplification (degrees) applied "
+             "to the admin dim before attachment — shrinks the WKB the "
+             "partitioned refine ships per salt; attachments may change within "
+             "~tolerance of a boundary",
+    )
+    ap.add_argument(
         "--geocodejson", action="store_true",
         help="also publish the attached points as GeocodeJSON feature lines",
     )
@@ -57,6 +64,12 @@ def main(argv=None) -> None:
     spark = get_spark(app_name="index_corpus", cpus=args.cpus)
     docs = read_table(spark, args.docs, fmt=args.fmt)
     admins = read_table(spark, args.admins, fmt=args.fmt)
+    if args.simplify_tolerance:
+        from mimirsbrunn_spark.operators.pip import simplify_admin_boundaries
+
+        admins = simplify_admin_boundaries(admins, args.simplify_tolerance).drop(
+            "n_vertices_before", "n_vertices_after"
+        )
     ckpt = str(Path(args.out) / "_checkpoints")
 
     points = run_stage(
