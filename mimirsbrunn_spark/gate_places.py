@@ -229,24 +229,37 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + window plan over the codebook, so this gate now has an EXACT
     DuckDB oracle (the codebook values are inlined as literals). In-
     session iterative training recall stays pinned by pytest
-    test_ivf_topk_recall_vs_bruteforce."""
-    from .operators.similarity import ivf_topk, load_or_train_codebook
+    test_ivf_topk_recall_vs_bruteforce.
+
+    The codebook is the COMMITTED model artifact (resources/, read-only)
+    — the same file the oracle inlines — so Spark and DuckDB are
+    structurally guaranteed to probe with identical centroids at every
+    scale factor (ADVICE r03 #1: the former per-sf_dir training made the
+    pair diverge whenever sf_dir != sf0.01). Per-corpus training remains
+    available via load_or_train_codebook (content-hash-keyed cache)."""
+    from .operators.similarity import committed_codebook_path, ivf_topk, load_or_train_codebook
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
-    cb = load_or_train_codebook(spark, sf_dir, n_centroids=16, iters=3)
+    p = committed_codebook_path(16, 3)
+    cb = (
+        spark.read.parquet(str(p))
+        if p.exists()
+        else load_or_train_codebook(spark, sf_dir, n_centroids=16, iters=3)
+    )
     return ivf_topk(
         emb.filter(F.col("vec_id") < 20), emb, k=3, n_probe=4, centroids=cb
     ).select("query_vec", "neighbor_vec", "cosine", F.col("rank").cast("int").alias("rank"))
 
 
 def _ivf_sql(n_probe: int = 4, k: int = 3):
-    """Exact DuckDB oracle for q_ivf_ann: inline the persisted sf0.01
-    codebook (repr-roundtrip double literals), mirror the assignment /
-    probe windows and the fold cosine bit-for-bit. Returns None (rows-only
-    fallback) only if the committed codebook parquet is absent."""
-    from .operators.similarity import ivf_codebook_path
+    """Exact DuckDB oracle for q_ivf_ann: inline the committed codebook
+    artifact (repr-roundtrip double literals) — the SAME file q_ivf_ann
+    serves from, at any sf_dir — mirror the assignment / probe windows
+    and the fold cosine bit-for-bit. Returns None (rows-only fallback)
+    only if the committed codebook parquet is absent."""
+    from .operators.similarity import committed_codebook_path
 
-    p = ivf_codebook_path("/root/testdata/sf0.01", 16, 3)
+    p = committed_codebook_path(16, 3)
     if not p.exists():
         return None
     import pyarrow.parquet as pq

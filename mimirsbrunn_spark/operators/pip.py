@@ -224,9 +224,20 @@ def stage_admin_dim(spark: SparkSession, admins: DataFrame, dim_path: str) -> st
 
 
 def _finder_from_parquet(path: str) -> AdminGeoFinder:
+    """Executor-side staged-dim read. pyarrow cannot open hdfs://|s3a://
+    URI strings directly (ADVICE r03 #2), so URI-schemed paths resolve
+    through pyarrow.fs.FileSystem.from_uri (s3a/s3n — Hadoop's aliases —
+    map to pyarrow's s3); bare paths stay on the fast local route."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(path, columns=ADMIN_DIM_COLS)
+    filesystem, inner = None, path
+    if "://" in path:
+        from pyarrow import fs as pafs
+
+        scheme, rest = path.split("://", 1)
+        uri = f"s3://{rest}" if scheme in ("s3a", "s3n") else path
+        filesystem, inner = pafs.FileSystem.from_uri(uri)
+    t = pq.read_table(inner, columns=ADMIN_DIM_COLS, filesystem=filesystem)
     cols = [t.column(c).to_pylist() for c in ADMIN_DIM_COLS]
     return _finder_from_rows(list(zip(*cols)))
 

@@ -250,12 +250,57 @@ def train_ivf_centroids(
     return centroids
 
 
-def ivf_codebook_path(sf_dir: str, n_centroids: int = 16, iters: int = 3):
-    """Persisted-codebook location for a given input dir (train/serve split)."""
+def embeddings_token(sf_dir: str, vec_col: str = "embedding") -> str:
+    """Content hash of the embeddings table — the codebook cache key.
+
+    Keyed by WHAT was trained on, not by the directory's basename: two
+    corpora that happen to share a dir name ('sf0.01' under different
+    roots) get distinct codebooks, and re-generated data invalidates the
+    cache automatically (ADVICE r03 #1)."""
+    import hashlib
+    from pathlib import Path
+
+    h = hashlib.sha256()
+    src = Path(sf_dir) / "embeddings.parquet"
+    if src.is_file():
+        h.update(src.read_bytes())
+    else:  # directory-style parquet: hash part files in name order
+        for part in sorted(src.glob("*.parquet")):
+            h.update(part.name.encode())
+            h.update(part.read_bytes())
+    return h.hexdigest()[:12]
+
+
+def committed_codebook_path(n_centroids: int = 16, iters: int = 3):
+    """The versioned model artifact the driver gate serves from: ONE
+    committed codebook under resources/ (read-only; trained once on the
+    sf0.01 corpus). Serving a fixed quantizer over any corpus is normal
+    IVF practice — you do not retrain the coarse quantizer per query
+    corpus — and it makes the gate/oracle pair structurally consistent at
+    every scale factor: both engines read literals from this same file."""
     from pathlib import Path
 
     root = Path(__file__).resolve().parent.parent.parent / "resources"
-    return root / f"ivf_codebook_{Path(sf_dir).name}_c{n_centroids}_i{iters}.parquet"
+    return root / f"ivf_codebook_default_c{n_centroids}_i{iters}.parquet"
+
+
+def ivf_codebook_path(sf_dir: str, n_centroids: int = 16, iters: int = 3):
+    """Writable cache location for a codebook trained on ``sf_dir``'s
+    embeddings, keyed by their content hash. Root is env-overridable
+    (MIMIRSBRUNN_SPARK_CACHE); defaults to ~/.cache/mimirsbrunn_spark so
+    a read-only install never tries to write into the source tree
+    (ADVICE r03 #5)."""
+    import os
+    from pathlib import Path
+
+    root = Path(
+        os.environ.get(
+            "MIMIRSBRUNN_SPARK_CACHE",
+            str(Path.home() / ".cache" / "mimirsbrunn_spark"),
+        )
+    )
+    tok = embeddings_token(sf_dir)
+    return root / f"ivf_codebook_{tok}_c{n_centroids}_i{iters}.parquet"
 
 
 def load_or_train_codebook(

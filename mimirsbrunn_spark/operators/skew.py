@@ -32,21 +32,33 @@ def detect_hot_cells(
     min_sample_rows: int = 50_000,
 ) -> list[int]:
     """Cells whose (sampled) point count exceeds hot_multiplier × median.
-    One cheap aggregation over a sample; returns a small driver-side list
-    (broadcastable)."""
+
+    The median threshold is computed IN-CLUSTER (percentile_approx) and
+    only the hot cells cross the driver boundary: at planetary res-7
+    occupancy the full histogram is 10^6–10^7 cells (tens of MB of driver
+    transfer) while the hot list is, by construction, a handful — so the
+    driver transfer is bounded by the answer size, not the cell count."""
     sample = points.sample(fraction=sample_fraction, seed=42)
     counts = (
         sample.select(grid_cell_col(lon_col, lat_col, res).alias("cell"))
         .groupBy("cell")
         .agg(F.count("*").alias("n"))
     )
-    rows = counts.collect()
-    if not rows:
-        return []
-    ns = sorted(r["n"] for r in rows)
-    median = ns[len(ns) // 2]
-    threshold = max(median * hot_multiplier, 1.0)
-    return sorted(r["cell"] for r in rows if r["n"] > threshold)
+    # percentile_approx(n, 0.5) with high accuracy ≈ the exact median for
+    # integer counts; greatest(.., 1.0) keeps the empty/degenerate cases safe.
+    thr = counts.agg(
+        F.greatest(
+            F.expr("percentile_approx(n, 0.5, 100000)") * F.lit(float(hot_multiplier)),
+            F.lit(1.0),
+        ).alias("thr")
+    )
+    hot = (
+        counts.join(F.broadcast(thr))
+        .where(F.col("n") > F.col("thr"))
+        .select("cell")
+        .collect()
+    )
+    return sorted(r["cell"] for r in hot)
 
 
 def salted_cell_col(

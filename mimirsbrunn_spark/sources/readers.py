@@ -79,7 +79,9 @@ def read_table(spark: SparkSession, source: str, fmt: str = "auto") -> DataFrame
     - ``fmt="parquet"``: plain parquet file/dir read.
     - ``fmt="auto"``: a dotted, path-separator-free source is treated as
       a catalog identifier (``spark.read.table`` — Iceberg or any other
-      configured catalog); anything path-like reads as parquet.
+      configured catalog) — UNLESS it names a parquet file by extension
+      or exists on disk: a relative ``docs.parquet`` is a file, not a
+      catalog ident (ADVICE r03 #3); anything path-like reads as parquet.
     """
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(source)
@@ -87,7 +89,8 @@ def read_table(spark: SparkSession, source: str, fmt: str = "auto") -> DataFrame
         return spark.read.parquet(source)
     if fmt != "auto":
         raise ValueError(f"unknown fmt {fmt!r} (auto|iceberg|parquet)")
-    if "/" not in source and "." in source:
+    looks_like_file = source.endswith((".parquet", ".parq")) or _fs_exists(spark, source)
+    if "/" not in source and "." in source and not looks_like_file:
         return spark.read.table(source)
     return spark.read.parquet(source)
 

@@ -1,0 +1,87 @@
+"""Skew toolkit: hot-cell detection (in-cluster thresholding) + salting.
+
+VERDICT r03 #7 replaced the full-histogram collect() in detect_hot_cells
+with a percentile_approx-derived threshold computed in-cluster; only the
+hot cells cross the driver boundary. These tests pin the behavior the
+old code had (same hot set) on a synthetic urban-core distribution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mimirsbrunn_spark.operators.skew import (
+    detect_hot_cells,
+    salted_cell_col,
+    split_cells_to_children,
+)
+from mimirsbrunn_spark.tiles import _RES_SHIFT, grid_cell, grid_cell_col
+
+# the res-5 cell containing Paris-ish (2.3, 48.8): lon ∈ [2.2852, 2.4609),
+# lat ∈ [48.7793, 48.8672) — the hot lattice below stays inside it while
+# spanning many res-7 subcells, and no cold lattice point lands in it
+CORE_CELL = grid_cell(2.3, 48.8, 5)
+
+
+def _skewed_points(spark, n_cold=2000, n_hot=4000):
+    """~200 cold res-5 cells with ~10 points each, one 'city core' cell
+    holding n_hot points — a >20x median spike."""
+    cold = spark.range(n_cold).select(
+        (F.col("id") % 100 * 1.7 - 85.0).alias("lat"),
+        (F.col("id") % 200 * 1.6 - 160.0).alias("lon"),
+    )
+    hot = spark.range(n_hot).select(
+        (F.lit(48.785) + (F.col("id") % 97) * 0.0008).alias("lat"),
+        (F.lit(2.29) + (F.col("id") % 89) * 0.0017).alias("lon"),
+    )
+    return cold.unionByName(hot)
+
+
+def test_detect_hot_cells_finds_the_core(spark):
+    pts = _skewed_points(spark)
+    hot = detect_hot_cells(pts, res=5, sample_fraction=1.0, hot_multiplier=20.0)
+    assert hot == [CORE_CELL]
+
+
+def test_detect_hot_cells_uniform_is_empty(spark):
+    uniform = spark.range(2000).select(
+        (F.col("id") % 100 * 1.7 - 85.0).alias("lat"),
+        (F.col("id") % 200 * 1.6 - 160.0).alias("lon"),
+    )
+    assert detect_hot_cells(uniform, res=5, sample_fraction=1.0, hot_multiplier=20.0) == []
+
+
+def test_salted_cell_spreads_hot_cell(spark):
+    pts = _skewed_points(spark)
+    hot = detect_hot_cells(pts, res=5, sample_fraction=1.0, hot_multiplier=20.0)
+    raw_max = (
+        pts.select(grid_cell_col("lon", "lat", 5).alias("cell"))
+        .groupBy("cell").count().agg(F.max("count")).collect()[0][0]
+    )
+    salted_max = (
+        pts.select(salted_cell_col("lon", "lat", 5, hot))
+        .groupBy("salted_cell").count().agg(F.max("count")).collect()[0][0]
+    )
+    # base+2 fine res = up to 16 subcells; the 97x89-point lattice spans
+    # several, so the hottest salted key must shrink substantially
+    assert salted_max < raw_max / 2
+
+
+def test_split_cells_to_children_covers_and_keys_fine_res(spark):
+    pts = _skewed_points(spark)
+    hot = detect_hot_cells(pts, res=5, sample_fraction=1.0, hot_multiplier=20.0)
+    children = split_cells_to_children(hot, levels=2)
+    assert len(children) == 16 * len(hot)
+    assert all(c // _RES_SHIFT == 7 for c in children)
+    # every salted fine key of a hot point is one of the enumerated
+    # children — the dim side can re-key itself without seeing the data
+    salted = (
+        pts.select(grid_cell_col("lon", "lat", 5), salted_cell_col("lon", "lat", 5, hot))
+        .filter(F.col("h3_5") == CORE_CELL)
+        .select("salted_cell")
+        .distinct()
+        .collect()
+    )
+    child_set = set(children)
+    assert len(salted) > 1
+    assert all(r["salted_cell"] in child_set for r in salted)
