@@ -48,6 +48,12 @@ def main(argv=None) -> None:
         "--geocodejson", action="store_true",
         help="also publish the attached points as GeocodeJSON feature lines",
     )
+    ap.add_argument(
+        "--text-prep", choices=["none", "pii"], default="none",
+        help="opt-in corpus text preparation applied before indexing: "
+             "pii = email/phone masking over text spans (span structure "
+             "is gate-checked unchanged; text is expected to differ)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -55,7 +61,11 @@ def main(argv=None) -> None:
     from mimirsbrunn_spark.operators.coverage import coverage_stats
     from mimirsbrunn_spark.operators.pip import attach_admins
     from mimirsbrunn_spark.operators.skew import skew_report
-    from mimirsbrunn_spark.operators.spans import extract_geo_points, span_invariant_violations
+    from mimirsbrunn_spark.operators.spans import (
+        extract_geo_points,
+        span_invariant_violations,
+        span_structure_violations,
+    )
     from mimirsbrunn_spark.plans import run_stage
     from mimirsbrunn_spark.session import get_spark
     from mimirsbrunn_spark.sources import publish_table, read_table
@@ -72,11 +82,26 @@ def main(argv=None) -> None:
         )
     ckpt = str(Path(args.out) / "_checkpoints")
 
+    # optional doc-REWRITING stage; everything downstream consumes its
+    # output, and the invariant gate below runs ACROSS it (VERDICT r03
+    # #2: the gate must protect a stage that emits a docs table, not
+    # compare the untouched input against itself)
+    if args.text_prep == "pii":
+        from mimirsbrunn_spark.operators.textprep import scrub_pii_spans
+
+        corpus = run_stage(
+            spark, ckpt, "text_prep_pii", [args.docs],
+            lambda: scrub_pii_spans(docs),
+        )
+    else:
+        corpus = docs
+
     points = run_stage(
         spark, ckpt, "extract_points", [args.docs],
-        lambda: with_grid_cells(extract_geo_points(docs), "lon", "lat", args.res).withColumn(
+        lambda: with_grid_cells(extract_geo_points(corpus), "lon", "lat", args.res).withColumn(
             "s2_cell", s2_cell_pandas_udf(16)(F.col("lon"), F.col("lat"))
         ),
+        version=f"v1:{args.text_prep}",
     )
 
     attached = run_stage(
@@ -89,13 +114,29 @@ def main(argv=None) -> None:
 
     cov = run_stage(
         spark, ckpt, "coverage", [args.docs, args.admins],
-        lambda: coverage_stats(docs, admins, res=args.res[0]),
+        lambda: coverage_stats(corpus, admins, res=args.res[0]),
+        version=f"v1:{args.text_prep}",
     )
 
-    # invariant gate before publish (north rule: span sequence preserved)
-    violations = span_invariant_violations(docs, read_table(spark, args.docs, fmt=args.fmt))
-    if violations:
-        raise SystemExit(f"span-sequence invariant violated for {violations} docs; aborting publish")
+    # invariant gates before publish (north rule: span sequence preserved).
+    # Structural invariant (kind, media_ref, offset, order) must hold
+    # across EVERY stage that emits a docs table — including a text-prep
+    # rewrite; the full-text fingerprint must additionally hold when no
+    # rewriting stage ran, and its diff count is the text-prep stage's
+    # EXPECTED, reported effect otherwise.
+    source_docs = read_table(spark, args.docs, fmt=args.fmt)
+    struct_violations = span_structure_violations(source_docs, corpus)
+    if struct_violations:
+        raise SystemExit(
+            f"span-STRUCTURE invariant violated for {struct_violations} docs "
+            "(span dropped/reordered/retyped); aborting publish"
+        )
+    text_changed = span_invariant_violations(source_docs, corpus)
+    if args.text_prep == "none" and text_changed:
+        raise SystemExit(
+            f"span-sequence invariant violated for {text_changed} docs; aborting publish"
+        )
+    violations = 0
 
     publish_table(attached, args.out, "points_indexed")
     publish_table(cov, args.out, "coverage")
@@ -117,6 +158,9 @@ def main(argv=None) -> None:
         "coverage_admins": cov.count(),
         "skew": skew_report(points),
         "invariant_violations": violations,
+        "structure_violations": struct_violations,
+        "text_prep": args.text_prep,
+        "docs_text_rewritten": text_changed if args.text_prep != "none" else 0,
     }
     (Path(args.out) / "run_report.json").write_text(json.dumps(report, indent=1))
     print(json.dumps(report))

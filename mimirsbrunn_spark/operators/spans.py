@@ -121,16 +121,48 @@ def span_fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", fp.alias("span_fp"))
 
 
-def span_invariant_violations(before: DataFrame, after: DataFrame) -> int:
-    """Count docs whose span sequence changed between two stages."""
-    a = span_fingerprint(before).alias("a")
-    b = span_fingerprint(after).alias("b")
-    joined = a.join(b, "doc_id", "full")
+def span_structure_fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, span_sfp): hashes the (kind, media_ref, offset, order)
+    sequence with TEXT EXCLUDED — the invariant a text-rewriting stage
+    (PII scrub, repetition filter) must still preserve: it may edit span
+    text but may never drop, reorder, retype or re-ref a span
+    (VERDICT r03 #2)."""
+    fp = F.sha2(
+        F.to_json(
+            F.transform(
+                "spans",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            )
+        ),
+        256,
+    )
+    return docs.select("doc_id", fp.alias("span_sfp"))
+
+
+def _fp_violations(a: DataFrame, b: DataFrame, col: str) -> int:
+    joined = a.alias("a").join(b.alias("b"), "doc_id", "full")
     return joined.filter(
-        F.col("a.span_fp").isNull()
-        | F.col("b.span_fp").isNull()
-        | (F.col("a.span_fp") != F.col("b.span_fp"))
+        F.col(f"a.{col}").isNull()
+        | F.col(f"b.{col}").isNull()
+        | (F.col(f"a.{col}") != F.col(f"b.{col}"))
     ).count()
+
+
+def span_invariant_violations(before: DataFrame, after: DataFrame) -> int:
+    """Count docs whose exact span sequence (text included) changed."""
+    return _fp_violations(span_fingerprint(before), span_fingerprint(after), "span_fp")
+
+
+def span_structure_violations(before: DataFrame, after: DataFrame) -> int:
+    """Count docs whose span STRUCTURE (kind, media_ref, offset, order)
+    changed — the gate for doc-rewriting stages."""
+    return _fp_violations(
+        span_structure_fingerprint(before), span_structure_fingerprint(after), "span_sfp"
+    )
 
 
 def assert_span_invariant(before: DataFrame, after: DataFrame) -> None:

@@ -139,3 +139,29 @@ def scrub_pii(
         F.regexp_count(t, F.lit(EMAIL_RX)).cast("long").alias("n_emails"),
         F.regexp_count(t, F.lit(PHONE_RX)).cast("long").alias("n_phones"),
     )
+
+
+def scrub_pii_spans(docs: DataFrame, kinds: tuple = ("text",)) -> DataFrame:
+    """PII scrub applied IN-PLACE over the interleaved spans column: the
+    text of spans whose kind is in ``kinds`` is email/phone-masked; kind,
+    media_ref and offset (and the array order) are untouched, so the
+    structural span invariant (span_structure_fingerprint) holds across
+    this stage by construction while the full text fingerprint is
+    EXPECTED to differ for scrubbed docs. Pure Catalyst (transform +
+    regexp_replace inside the lambda), schema-preserving — the output is
+    a drop-in docs table for every downstream stage."""
+
+    def rewrite(s):
+        scrubbed = F.regexp_replace(
+            F.regexp_replace(s["text"], F.lit(EMAIL_RX), F.lit("<EMAIL>")),
+            F.lit(PHONE_RX),
+            F.lit("<PHONE>"),
+        )
+        return F.struct(
+            s["kind"].alias("kind"),
+            F.when(s["kind"].isin(*kinds), scrubbed).otherwise(s["text"]).alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        )
+
+    return docs.withColumn("spans", F.transform("spans", rewrite))
