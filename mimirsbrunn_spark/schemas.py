@@ -133,3 +133,57 @@ STOPS_RAW = T.StructType(
         T.StructField("physical_modes", T.ArrayType(T.StringType()), False),
     ]
 )
+
+
+# -- Iceberg DDL (S12 template install for the north-rule table format) ------
+#
+# The reference installs its ES index templates before writing
+# (/root/reference/src/bin/mimirsbrunn/mod.rs settings/template flow);
+# on an Iceberg deployment the equivalent install step is CREATE TABLE
+# with the registry schema. The sandbox has no iceberg runtime jar, so
+# these strings are the documented, unit-covered contract a cluster-side
+# bootstrap runs verbatim via spark.sql().
+
+
+def _ddl_type(dt: T.DataType) -> str:
+    return dt.simpleString()
+
+
+def iceberg_ddl(
+    table_ident: str,
+    schema: T.StructType,
+    partition_by: list[str] | None = None,
+    table_properties: dict[str, str] | None = None,
+) -> str:
+    """CREATE TABLE ... USING iceberg for a registry schema.
+
+    ``partition_by`` entries may be bare columns or Iceberg hidden-
+    partitioning transforms (e.g. ``bucket(64, doc_id)``, ``days(ts)``)
+    — passed through verbatim, as Spark SQL accepts them in
+    PARTITIONED BY for v2 catalogs."""
+    cols = ",\n  ".join(
+        f"{f.name} {_ddl_type(f.dataType)}" + ("" if f.nullable else " NOT NULL")
+        for f in schema.fields
+    )
+    ddl = f"CREATE TABLE IF NOT EXISTS {table_ident} (\n  {cols}\n) USING iceberg"
+    if partition_by:
+        ddl += "\nPARTITIONED BY (" + ", ".join(partition_by) + ")"
+    props = {"format-version": "2", "write.parquet.compression-codec": "zstd"}
+    props.update(table_properties or {})
+    ddl += "\nTBLPROPERTIES (" + ", ".join(
+        f"'{k}' = '{v}'" for k, v in sorted(props.items())
+    ) + ")"
+    return ddl
+
+
+def corpus_install_ddl(catalog_ns: str = "corpus") -> dict[str, str]:
+    """The install set for an Iceberg deployment of the engine's input
+    and dim tables: interleaved docs bucketed by doc_id (co-locates the
+    doc-keyed joins: dedup flags, attach join-back), admins unpartitioned
+    (a dim; snapshot isolation comes from the format)."""
+    return {
+        "docs": iceberg_ddl(
+            f"{catalog_ns}.docs", DOCS, partition_by=["bucket(256, doc_id)"]
+        ),
+        "admins": iceberg_ddl(f"{catalog_ns}.admins", ADMINS),
+    }
