@@ -1,4 +1,7 @@
-from .ingest import incremental_ingest_stream  # noqa: F401
+from .ingest import (  # noqa: F401
+    deduped_event_ingest_stream,
+    incremental_ingest_stream,
+)
 from .sessions import (  # noqa: F401
     stateful_sessionize_stream,
     windowed_event_counts,

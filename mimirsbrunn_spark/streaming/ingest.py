@@ -42,3 +42,40 @@ def incremental_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def deduped_event_ingest_stream(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """At-least-once upstream → exactly-once-per-key ingest: events
+    re-delivered within ``watermark`` of their first arrival are dropped
+    by key (event_id) via dropDuplicatesWithinWatermark — the streaming
+    counterpart of the batch ``dropDuplicates`` gate, with state bounded
+    by the watermark instead of growing with the corpus (the property
+    that matters at 10^12 events: a plain streaming dropDuplicates would
+    keep every key forever). Re-deliveries later than the watermark are
+    by contract re-emitted — downstream MERGE (sources/lifecycle.py)
+    absorbs those, exactly like the reference's idempotent ES upserts."""
+    from .sessions import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

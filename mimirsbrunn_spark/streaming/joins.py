@@ -31,10 +31,21 @@ def stream_click_view_join(
     max_gap_minutes: int = 15,
     watermark: str = "30 minutes",
     max_files_per_trigger: int = 1,
+    how: str = "inner",
 ) -> StreamingQuery:
     """File-source stream → watermarked stream-stream interval join:
     (user_id, click_id, view_id, gap_us) for every view at most
-    ``max_gap_minutes`` before its click, per user."""
+    ``max_gap_minutes`` before its click, per user.
+
+    ``how="left_outer"`` additionally emits (user_id, click_id, NULL,
+    NULL) for clicks with no in-gap view — Spark only releases these
+    rows when the WATERMARK passes the click's join window (state
+    eviction), not at query termination: a run that ends while state is
+    live keeps those clicks buffered in the checkpoint for the next
+    incremental run. The left-join pytest therefore appends a far-future
+    flush event per side to advance the watermark past all real state
+    (the standard pattern for bounded replays of an outer stream join).
+    """
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -58,6 +69,8 @@ def stream_click_view_join(
         )
         .withWatermark("view_ts", watermark)
     )
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unknown how {how!r} (inner|left_outer)")
     joined = clicks.join(
         views,
         F.expr(
@@ -65,7 +78,7 @@ def stream_click_view_join(
                 AND view_ts <= click_ts
                 AND view_ts >= click_ts - INTERVAL {max_gap_minutes} MINUTES"""
         ),
-        "inner",
+        how,
     ).select(
         F.col("c_user").alias("user_id"),
         "click_id",
