@@ -59,6 +59,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    # the synthetic flagship corpus (q1/q2/q7) can scale independently of
+    # the sf_dir tables: SPARK_GRAFT_BENCH_SF=1 runs the 1.5M-doc corpus
+    # (VERDICT r03 #6 evidence) while q3-q6/q8 stay on sf_dir
+    bench_sf = float(os.environ.get("SPARK_GRAFT_BENCH_SF", sf))
 
     from pyspark.sql import functions as F
 
@@ -74,7 +78,7 @@ def main() -> None:
     from mimirsbrunn_spark.tiles import with_grid_cells
 
     spark = get_spark(app_name="mimirsbrunn_bench", cpus=cpus, shuffle_partitions=cpus)
-    docs_path, admins_path, n_docs = ensure_corpus(spark, sf, REPO / ".bench_cache")
+    docs_path, admins_path, n_docs = ensure_corpus(spark, bench_sf, REPO / ".bench_cache")
 
     docs = spark.read.parquet(docs_path)
     admins = spark.read.parquet(admins_path)
@@ -216,6 +220,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "sf": sf,
+                "bench_sf": bench_sf,
                 "n_docs": n_docs,
                 "docs_per_sec_q1": docs_per_sec,
                 "cpus": cpus,

@@ -260,6 +260,45 @@ def simplify_mp(mp: MultiPolygon, tolerance_deg: float) -> MultiPolygon:
     return out
 
 
+def points_near_ring(lon: np.ndarray, lat: np.ndarray, ring: Ring, tol: float) -> np.ndarray:
+    """Bool mask: planar (degree-space) distance from point to any ring
+    edge ≤ tol. Vectorized P×E segment-distance; chunked over points so
+    a giant candidate batch against a long ring stays in cache-sized
+    temporaries."""
+    x = np.asarray(lon, dtype=np.float64)
+    y = np.asarray(lat, dtype=np.float64)
+    ax, ay = ring[:, 0], ring[:, 1]
+    bx, by = np.roll(ax, -1), np.roll(ay, -1)
+    dx, dy = bx - ax, by - ay
+    len2 = np.maximum(dx * dx + dy * dy, 1e-300)
+    out = np.zeros(len(x), dtype=bool)
+    tol2 = tol * tol
+    chunk = max(1, 4_000_000 // max(len(ax), 1))
+    for s in range(0, len(x), chunk):
+        xs = x[s : s + chunk, None]
+        ys = y[s : s + chunk, None]
+        t = np.clip(((xs - ax) * dx + (ys - ay) * dy) / len2, 0.0, 1.0)
+        ddx = xs - (ax + t * dx)
+        ddy = ys - (ay + t * dy)
+        out[s : s + chunk] = ((ddx * ddx + ddy * ddy) <= tol2).any(axis=1)
+    return out
+
+
+def points_near_mp_boundary(lon: np.ndarray, lat: np.ndarray, mp: MultiPolygon, tol: float) -> np.ndarray:
+    """Bool mask: within ``tol`` (degrees, planar) of ANY ring of the
+    multipolygon — the exact-recheck band of the simplified refine: a
+    point classified by Douglas–Peucker-simplified geometry can only
+    disagree with the full geometry if it lies within the DP tolerance
+    of the simplified boundary (the discarded vertices are within tol of
+    the retained chords), so testing this band against full geometry
+    restores exactness."""
+    out = np.zeros(len(np.asarray(lon)), dtype=bool)
+    for poly in mp:
+        for ring in poly:
+            out |= points_near_ring(lon, lat, ring, tol)
+    return out
+
+
 EDGE_POLYS_TYPE = "array<array<array<struct<x1:double,y1:double,x2:double,y2:double>>>>"
 
 
