@@ -812,9 +812,11 @@ QUERIES = {
 }
 
 from .gate_dedup import DEDUP_QUERIES  # noqa: E402
+from .gate_geocode import GEOCODE_QUERIES  # noqa: E402
 from .gate_octagon import octagon_queries  # noqa: E402
 from .gate_places import PLACES_QUERIES  # noqa: E402
 
 QUERIES.update(DEDUP_QUERIES)
 QUERIES.update(PLACES_QUERIES)
 QUERIES.update(octagon_queries())
+QUERIES.update(GEOCODE_QUERIES)
