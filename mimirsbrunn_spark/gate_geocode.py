@@ -157,14 +157,21 @@ def _field_score_sql(q_tokens: list[str], toks: str, fuzzy: bool = False) -> str
     return "coalesce(0.0 + " + " + ".join(terms) + ", 0.0)"
 
 
-def _string_query_sql(q_tokens: list[str], query_type: str, has_coord: bool) -> str:
+def _string_query_sql(
+    q_tokens: list[str], query_type: str, has_coord: bool, lang_toks: str | None = None
+) -> str:
     """Mirror of geocode.string_query_score for the places schema above
     (name, alt_name, label, zip_codes_str, house_number present; no
-    lang maps / loc_name). Group order matches the Python loop."""
+    loc_name). With ``lang_toks`` the label group becomes
+    best(label, labels.{lang}) exactly as lang_variant() composes it.
+    Group order matches the Python loop."""
+    label_fs = _field_score_sql(q_tokens, "label_toks")
+    if lang_toks is not None:
+        label_fs = f"greatest(({label_fs}), ({_field_score_sql(q_tokens, lang_toks)}))"
     groups = [
         f"({_field_score_sql(q_tokens, 'name_toks')}) * {STRING_BOOSTS['name']!r}",
         f"({_field_score_sql(q_tokens, 'alt_toks')}) * {STRING_BOOSTS['alt_name']!r}",
-        f"({_field_score_sql(q_tokens, 'label_toks')}) * {STRING_BOOSTS['label']!r}",
+        f"({label_fs}) * {STRING_BOOSTS['label']!r}",
         f"({_field_score_sql(q_tokens, 'zip_toks')}) * {STRING_BOOSTS['zip_codes']!r}",
         f"({_field_score_sql(q_tokens, 'hn_toks')}) * {STRING_BOOSTS['house_number']!r}",
     ]
@@ -241,11 +248,19 @@ def _type_boost_sql() -> str:
     return f"coalesce({case} * {GLOBAL_BOOST!r}, 0.0)"
 
 
-def geocode_oracle_sql(q: str, query_type: str, coord=None, k: int = 40) -> str:
+def geocode_oracle_sql(
+    q: str, query_type: str, coord=None, k: int = 40, lang: bool = False
+) -> str:
     """Full forward_geocode oracle: analyzer CTE -> matching condition ->
-    score assembly -> top-k with rank, mirroring forward_geocode exactly."""
+    score assembly -> top-k with rank, mirroring forward_geocode exactly.
+
+    ``lang=True`` mirrors the i18n places table (geocode_places_lang_df):
+    the labels.{fr} map value participates in the label group via
+    best-of-fields and in full_label (copy_to of every i18n label)."""
     q_tokens = _query_tokens(q)
-    string_sql = _string_query_sql(q_tokens, query_type, coord is not None)
+    string_sql = _string_query_sql(
+        q_tokens, query_type, coord is not None, lang_toks="fr_toks" if lang else None
+    )
     score = f"({string_sql}) + {_type_boost_sql()} + {_importance_sql(query_type, coord)}"
     if coord is not None:
         lam = math.log(0.4) / 130_000.0
@@ -253,8 +268,19 @@ def geocode_oracle_sql(q: str, query_type: str, coord=None, k: int = 40) -> str:
         prox = f"exp({lam!r} * greatest(({hav}) - 20000.0, 0.0))"
         score = f"({score}) + ({prox}) * {PROXIMITY_WEIGHT!r}"
     addr_gate = "" if len(q_tokens) > 1 else "AND type <> 'addr'"
+    fr_col = (
+        ", (CASE WHEN id % 3 = 0 THEN label || ' le bourg' END) AS fr_label" if lang else ""
+    )
+    fr_toks = f", {_toks_sql('fr_label')} AS fr_toks" if lang else ""
+    # full_label parts order mirrors full_label_tokens: label, labels.*, zips
+    full = (
+        "list_concat(list_concat(label_toks, coalesce(fr_toks, CAST([] AS VARCHAR[]))), zip_toks)"
+        if lang
+        else "list_concat(label_toks, zip_toks)"
+    )
     return f"""
-    WITH places AS ({PLACES_SQL}),
+    WITH places0 AS ({PLACES_SQL}),
+    places AS (SELECT *{fr_col} FROM places0),
     tok AS (
         SELECT *,
                {_toks_sql('name')} AS name_toks,
@@ -262,10 +288,11 @@ def geocode_oracle_sql(q: str, query_type: str, coord=None, k: int = 40) -> str:
                {_toks_sql('label')} AS label_toks,
                {_toks_sql('zip_codes_str')} AS zip_toks,
                {_toks_sql('house_number')} AS hn_toks
+               {fr_toks}
         FROM places
     ),
     full_tok AS (
-        SELECT *, list_concat(label_toks, zip_toks) AS full_toks FROM tok
+        SELECT *, {full} AS full_toks FROM tok
     ),
     scored AS (
         SELECT id, type,
@@ -292,10 +319,24 @@ def geocode_oracle_sql(q: str, query_type: str, coord=None, k: int = 40) -> str:
 # ---------------------------------------------------------------------------
 
 
+def geocode_places_lang_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Places with an i18n ``labels`` map: every third row carries a
+    French label variant appending ' le bourg' (mimir-dynamic-mappings
+    i18n_labels copy_to semantics)."""
+    p = geocode_places_df(spark, sf_dir)
+    return p.withColumn(
+        "labels",
+        F.when(
+            F.col("id") % 3 == 0,
+            F.create_map(F.lit("fr"), F.concat(F.col("label"), F.lit(" le bourg"))),
+        ),
+    )
+
+
 def _run(spark: SparkSession, sf_dir: str, q: str, query_type: str, coord=None,
-         k: int = 40) -> DataFrame:
-    places = geocode_places_df(spark, sf_dir)
-    res = forward_geocode(places, q, k=k, coord=coord, query_type=query_type)
+         k: int = 40, lang: str | None = None) -> DataFrame:
+    places = geocode_places_lang_df(spark, sf_dir) if lang else geocode_places_df(spark, sf_dir)
+    res = forward_geocode(places, q, k=k, coord=coord, query_type=query_type, lang=lang)
     w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
     return res.withColumn("rank", F.row_number().over(w)).select(
         "rank", "id", "type",
@@ -324,6 +365,14 @@ def q_geocode_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, "gare Victor", "search")
 
 
+def q_geocode_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i18n branch: labels.{fr} participates in the label group via
+    best-of-fields (T3 lang_variant) and in full_label matching (the
+    mapping's copy_to), so 'bourg' only matches rows with a French
+    label variant."""
+    return _run(spark, sf_dir, "bourg Martin", "prefix", lang="fr")
+
+
 GEOCODE_QUERIES = {
     "geocode_prefix": (q_geocode_prefix, geocode_oracle_sql("St-Martin", "prefix")),
     "geocode_fuzzy": (
@@ -331,4 +380,8 @@ GEOCODE_QUERIES = {
         geocode_oracle_sql("l'Eglise du Pont", "fuzzy", coord=(2.35, 48.85)),
     ),
     "geocode_search": (q_geocode_search, geocode_oracle_sql("gare Victor", "search")),
+    "geocode_lang": (
+        q_geocode_lang,
+        geocode_oracle_sql("bourg Martin", "prefix", lang=True),
+    ),
 }
