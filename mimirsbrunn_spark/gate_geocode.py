@@ -365,6 +365,112 @@ def q_geocode_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, "gare Victor", "search")
 
 
+# ---------------------------------------------------------------------------
+# C10 — GeocodeJSON assembly gate
+# ---------------------------------------------------------------------------
+
+
+def q_geocodejson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 — run the REAL to_geocodejson serializer (JVM to_json with
+    null-field dropping, geocoding.rs:70-110 field mapping) and observe
+    the result through re-extraction: the geocoding object's key
+    SEQUENCE (which fields serde would skip), postcode = first zip,
+    city = the city-zone admin (NOT the first array element — the input
+    lists the state first), citycode = insee, region count, and the
+    geometry coordinates round-tripped through the JSON text."""
+    from .functions.geocodejson import to_geocodejson
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    typ = F.element_at(F.array(*[F.lit(t) for t in _TYPES]), (k % 4 + 1).cast("int"))
+    inp = c.select(
+        F.concat(F.lit("place:"), k.cast("string")).alias("id"),
+        typ.alias("type"),
+        F.concat(F.lit("Label "), (k % 97).cast("string")).alias("label"),
+        F.concat(F.lit("Name "), (k % 89).cast("string")).alias("name"),
+        F.when(typ == "addr", (k % 300 + 1).cast("string")).alias("house_number"),
+        F.when(typ.isin("addr", "street"), F.concat(F.lit("Rue "), (k % 53).cast("string"))).alias("street"),
+        F.when(k % 3 > 0, F.array((F.lit(75000) + k % 120).cast("string"), F.lit("99999"))).alias("zip_codes"),
+        F.when(k % 2 == 0, F.lpad((k % 100).cast("string"), 5, "0")).alias("insee"),
+        F.when(
+            k % 4 > 0,
+            F.array(
+                F.struct(
+                    F.concat(F.lit("admin:fr:state:"), (k % 7).cast("string")).alias("id"),
+                    F.concat(F.lit("Etat "), (k % 7).cast("string")).alias("name"),
+                    F.lit(4).alias("level"),
+                    F.lit("state_district").alias("zone_type"),
+                    F.array(F.lit("30000")).alias("zip_codes"),
+                    F.lit(0.25).alias("weight"),
+                ),
+                F.struct(
+                    F.concat(F.lit("admin:fr:city:"), (k % 50).cast("string")).alias("id"),
+                    F.concat(F.lit("Ville "), (k % 50).cast("string")).alias("name"),
+                    F.lit(8).alias("level"),
+                    F.lit("city").alias("zone_type"),
+                    F.array((F.lit(20000) + k % 50).cast("string")).alias("zip_codes"),
+                    F.lit(0.5).alias("weight"),
+                ),
+            ),
+        ).alias("admins"),
+        F.when(
+            typ == "poi",
+            F.struct(
+                F.lit("poi_type:amenity").alias("id"), F.lit("Amenity").alias("name")
+            ),
+        ).alias("poi_type"),
+        ((k * 37 % 3600).cast("double") / 10.0 - 180.0 + 0.05).alias("lon"),
+        ((k * 53 % 1700).cast("double") / 10.0 - 85.0 + 0.05).alias("lat"),
+    )
+    feats = to_geocodejson(inp)
+    g = F.get_json_object(F.col("feature"), "$.properties.geocoding")
+    return feats.select(
+        F.get_json_object("feature", "$.properties.geocoding.id").alias("id"),
+        F.concat_ws(",", F.json_object_keys(g)).alias("gkeys"),
+        F.get_json_object("feature", "$.properties.geocoding.label").alias("label"),
+        F.get_json_object("feature", "$.properties.geocoding.postcode").alias("postcode"),
+        F.get_json_object("feature", "$.properties.geocoding.city").alias("city"),
+        F.get_json_object("feature", "$.properties.geocoding.citycode").alias("citycode"),
+        F.coalesce(
+            F.json_array_length(
+                F.get_json_object("feature", "$.properties.geocoding.administrative_regions")
+            ),
+            F.lit(-1),
+        ).alias("n_regions"),
+        F.round(
+            F.get_json_object("feature", "$.geometry.coordinates[0]").cast("double"), 6
+        ).alias("lon"),
+        F.round(
+            F.get_json_object("feature", "$.geometry.coordinates[1]").cast("double"), 6
+        ).alias("lat"),
+    )
+
+
+GEOCODEJSON_SQL = """
+    SELECT 'place:' || CAST(c_custkey AS VARCHAR) AS id,
+           'id,type,label,name'
+             || (CASE WHEN c_custkey % 4 = 2 THEN ',housenumber' ELSE '' END)
+             || (CASE WHEN c_custkey % 4 IN (1, 2) THEN ',street' ELSE '' END)
+             || (CASE WHEN c_custkey % 3 > 0 THEN ',postcode' ELSE '' END)
+             || (CASE WHEN c_custkey % 4 > 0 THEN ',city' ELSE '' END)
+             || (CASE WHEN c_custkey % 2 = 0 THEN ',citycode' ELSE '' END)
+             || (CASE WHEN c_custkey % 4 > 0 THEN ',administrative_regions' ELSE '' END)
+             || (CASE WHEN c_custkey % 4 = 3 THEN ',poi_types' ELSE '' END)
+             AS gkeys,
+           'Label ' || CAST(c_custkey % 97 AS VARCHAR) AS label,
+           (CASE WHEN c_custkey % 3 > 0 THEN CAST(75000 + c_custkey % 120 AS VARCHAR) END)
+             AS postcode,
+           (CASE WHEN c_custkey % 4 > 0 THEN 'Ville ' || CAST(c_custkey % 50 AS VARCHAR) END)
+             AS city,
+           (CASE WHEN c_custkey % 2 = 0
+                 THEN lpad(CAST(c_custkey % 100 AS VARCHAR), 5, '0') END) AS citycode,
+           (CASE WHEN c_custkey % 4 > 0 THEN 2 ELSE -1 END) AS n_regions,
+           round(CAST(c_custkey * 37 % 3600 AS DOUBLE) / 10.0 - 180.0 + 0.05, 6) AS lon,
+           round(CAST(c_custkey * 53 % 1700 AS DOUBLE) / 10.0 - 85.0 + 0.05, 6) AS lat
+    FROM customer
+"""
+
+
 def q_geocode_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """i18n branch: labels.{fr} participates in the label group via
     best-of-fields (T3 lang_variant) and in full_label matching (the
@@ -384,4 +490,5 @@ GEOCODE_QUERIES = {
         q_geocode_lang,
         geocode_oracle_sql("bourg Martin", "prefix", lang=True),
     ),
+    "geocodejson_features": (q_geocodejson, GEOCODEJSON_SQL),
 }
