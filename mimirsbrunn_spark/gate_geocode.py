@@ -258,6 +258,13 @@ def geocode_oracle_sql(
     the labels.{fr} map value participates in the label group via
     best-of-fields and in full_label (copy_to of every i18n label)."""
     q_tokens = _query_tokens(q)
+    if not q_tokens:
+        # forward_geocode returns places.limit(0); mirror the empty shape
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS rank, CAST(NULL AS BIGINT) AS id, "
+            "CAST(NULL AS VARCHAR) AS type, CAST(NULL AS DOUBLE) AS match_score, "
+            "CAST(NULL AS DOUBLE) AS score WHERE FALSE"
+        )
     string_sql = _string_query_sql(
         q_tokens, query_type, coord is not None, lang_toks="fr_toks" if lang else None
     )
