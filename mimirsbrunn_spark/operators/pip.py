@@ -675,6 +675,48 @@ def simplify_admin_boundaries(
     return admins.mapInPandas(gen, schema=out_schema)
 
 
+#: default per-executor budget for a resident admin dim. Spark's own
+#: autoBroadcastJoinThreshold defaults to 10 MB for row broadcasts; a
+#: finder dim is worth holding at much larger sizes because the
+#: alternative is the ~3.5x-slower shuffle path, but past a few hundred
+#: MB the resident copy starts to crowd executor memory at 100-TB fact
+#: scale (one copy per executor, plus the numpy finder overlay).
+AUTO_BROADCAST_BUDGET_BYTES = 256 * 1024 * 1024
+
+
+def estimate_dim_bytes(admins: DataFrame) -> int:
+    """Size estimate for the admin dim as broadcast payload: WKB bytes
+    dominate; ids/types/parents are counted at observed string length
+    plus per-row container overhead. One slim columnar aggregate over
+    the dim — no geometry leaves the executors. (On a real deployment
+    the same number can come from table-metadata column stats without
+    a scan; this computes it when stats are absent.)"""
+    row = admins.select(
+        F.coalesce(F.sum(F.length("boundary_wkb")), F.lit(0)).alias("wkb"),
+        F.coalesce(
+            F.sum(
+                F.coalesce(F.length("id"), F.lit(0))
+                + F.coalesce(F.length("zone_type"), F.lit(0))
+                + F.coalesce(F.length("parent_id"), F.lit(0))
+            ),
+            F.lit(0),
+        ).alias("meta"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return int(row["wkb"] + row["meta"] + row["n"] * 64)
+
+
+def choose_pip_strategy(
+    admins: DataFrame, broadcast_budget_bytes: int = AUTO_BROADCAST_BUDGET_BYTES
+) -> str:
+    """strategy='auto' policy: broadcast whenever the dim fits the
+    budget (the fast, shuffle-free regime), else the partitioned
+    shuffle join (the beyond-broadcast 100-TB regime)."""
+    return (
+        "broadcast" if estimate_dim_bytes(admins) <= broadcast_budget_bytes else "partitioned"
+    )
+
+
 def attach_admins(
     points: DataFrame,
     admins: DataFrame,
@@ -686,7 +728,10 @@ def attach_admins(
     refine: str = "arrow",
     dim_path: str | None = None,
     simplify_tolerance: float | None = None,
+    broadcast_budget_bytes: int = AUTO_BROADCAST_BUDGET_BYTES,
 ) -> DataFrame:
+    if strategy == "auto":
+        strategy = choose_pip_strategy(admins, broadcast_budget_bytes)
     if strategy == "broadcast":
         return attach_admins_broadcast(points, admins, lon_col, lat_col, dim_path=dim_path)
     if strategy == "partitioned":
