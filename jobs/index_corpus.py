@@ -33,9 +33,11 @@ def main(argv=None) -> None:
              "iceberg (requires the iceberg-spark runtime), parquet",
     )
     ap.add_argument(
-        "--strategy", choices=["broadcast", "partitioned"], default="broadcast",
-        help="PIP join strategy: broadcast (admin dim fits executor memory) "
-             "or partitioned (beyond broadcast budget — salted cogroup refine)",
+        "--strategy", choices=["auto", "broadcast", "partitioned"], default="auto",
+        help="PIP join strategy: auto (measure the admin dim, broadcast when "
+             "it fits the budget, else partitioned), broadcast (admin dim "
+             "fits executor memory) or partitioned (beyond broadcast budget "
+             "— salted cogroup refine)",
     )
     ap.add_argument(
         "--simplify-tolerance", type=float, default=None,

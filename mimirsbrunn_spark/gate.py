@@ -786,8 +786,62 @@ def _s2_tiles_sql() -> str:
     return s2_cell_oracle_sql(POINTS_FROM_ORDERS_SQL, level=16, id_col="point_id")
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-set quality flags (full §A1.1 set: word count, mean
+    word length, symbol ratio, bullet/ellipsis lines, alpha-word
+    fraction) — integer-exact flags, no FP divisions."""
+    from .operators.textprep import gopher_quality_flags
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_quality_flags(d)
+
+
+GOPHER_QUALITY_SQL = r"""
+    WITH base AS (
+        SELECT doc_id, text,
+               (length(trim(text)) = 0) AS empty,
+               regexp_split_to_array(trim(text), '\s+') AS words,
+               string_split(text, chr(10)) AS lines
+        FROM documents
+    ), c AS (
+        SELECT doc_id,
+               (CASE WHEN empty THEN 0 ELSE len(words) END)::BIGINT AS n_words,
+               (CASE WHEN empty THEN 0
+                     ELSE list_sum(list_transform(words, w -> length(w))) END)::BIGINT
+                 AS total_word_len,
+               len(regexp_extract_all(text, '#|\.\.\.'))::BIGINT AS n_sym,
+               (CASE WHEN empty THEN 0
+                     ELSE len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) END)::BIGINT
+                 AS n_alpha_words,
+               len(lines)::BIGINT AS n_lines,
+               len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))::BIGINT
+                 AS n_bullet_lines,
+               len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$')))::BIGINT
+                 AS n_ellipsis_lines
+        FROM base
+    )
+    SELECT doc_id, n_words, total_word_len, n_sym, n_alpha_words, n_lines,
+           n_bullet_lines, n_ellipsis_lines,
+           (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+           (total_word_len >= 3 * n_words AND total_word_len <= 10 * n_words)
+             AS ok_mean_word_len,
+           (10 * n_sym < greatest(n_words, 1)) AS ok_symbol_ratio,
+           (10 * n_bullet_lines <= n_lines) AS ok_bullet_lines,
+           (10 * n_ellipsis_lines <= 3 * n_lines) AS ok_ellipsis_lines,
+           (5 * n_alpha_words >= 4 * n_words) AS ok_alpha_words,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (total_word_len >= 3 * n_words AND total_word_len <= 10 * n_words)
+            AND (10 * n_sym < greatest(n_words, 1))
+            AND (10 * n_bullet_lines <= n_lines)
+            AND (10 * n_ellipsis_lines <= 3 * n_lines)
+            AND (5 * n_alpha_words >= 4 * n_words)) AS gopher_pass
+    FROM c
+"""
+
+
 QUERIES = {
     "tile_assign": (q_tile_assign, TILE_ASSIGN_SQL),
+    "gopher_quality": (q_gopher_quality, GOPHER_QUALITY_SQL),
     "tile_hist_h3_7": (q_tile_hist, TILE_HIST_SQL),
     "pip_admins": (q_pip_admins, PIP_ORACLE_SQL),
     "pip_admins_partitioned": (q_pip_admins_partitioned, PIP_ORACLE_SQL),

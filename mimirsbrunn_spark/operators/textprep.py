@@ -165,3 +165,64 @@ def scrub_pii_spans(docs: DataFrame, kinds: tuple = ("text",)) -> DataFrame:
         )
 
     return docs.withColumn("spans", F.transform("spans", rewrite))
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1) as
+    pure-Catalyst integer counts + flag columns — the full rule set
+    beyond the length/punct score of q_quality_score:
+
+    - word count within [min_words, max_words]
+    - mean word length within [3, 10] chars
+    - symbol-to-word ratio ('#' or '...') < 0.1
+    - <= 10% of lines start with a bullet, <= 30% end with an ellipsis
+    - >= 80% of words contain at least one alphabetic character
+
+    Every flag is an INTEGER comparison (10*n_sym < n_words, not
+    n_sym/n_words < 0.1), so the columns are engine-exact with no FP
+    divisions; the per-doc HOFs run inside whole-stage codegen with no
+    shuffle — the shape that survives a 100-TB corpus unchanged."""
+    text = F.col(text_col)
+    words = F.split(F.trim(text), r"\s+")
+    empty = F.length(F.trim(text)) == 0
+    n_words = F.when(empty, F.lit(0)).otherwise(F.size(words)).cast("long")
+    total_wl = F.when(empty, F.lit(0)).otherwise(
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+    ).cast("long")
+    n_sym = F.regexp_count(text, F.lit(r"#|\.\.\.")).cast("long")
+    n_alpha = F.when(empty, F.lit(0)).otherwise(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    ).cast("long")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))).cast("long")
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$"))).cast("long")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        total_wl.alias("total_word_len"),
+        n_sym.alias("n_sym"),
+        n_alpha.alias("n_alpha_words"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ellipsis.alias("n_ellipsis_lines"),
+        ((n_words >= min_words) & (n_words <= max_words)).alias("ok_word_count"),
+        ((total_wl >= 3 * n_words) & (total_wl <= 10 * n_words)).alias("ok_mean_word_len"),
+        (10 * n_sym < F.greatest(n_words, F.lit(1))).alias("ok_symbol_ratio"),
+        (10 * n_bullet <= n_lines).alias("ok_bullet_lines"),
+        (10 * n_ellipsis <= 3 * n_lines).alias("ok_ellipsis_lines"),
+        (5 * n_alpha >= 4 * n_words).alias("ok_alpha_words"),
+        (
+            (n_words >= min_words) & (n_words <= max_words)
+            & (total_wl >= 3 * n_words) & (total_wl <= 10 * n_words)
+            & (10 * n_sym < F.greatest(n_words, F.lit(1)))
+            & (10 * n_bullet <= n_lines)
+            & (10 * n_ellipsis <= 3 * n_lines)
+            & (5 * n_alpha >= 4 * n_words)
+        ).alias("gopher_pass"),
+    )
