@@ -205,10 +205,28 @@ def main() -> None:
 
     timed("q8_asof_skew", q8)
 
+    # q9 — forward-geocode scoring throughput (the ES-query replacement
+    # path): full T1-T9 score expression + distributed top-k over a
+    # 10x-replicated vocab places table (~150k places at sf0.1)
+    def q9():
+        from pyspark.sql import functions as FF
+
+        from mimirsbrunn_spark.functions.geocode import forward_geocode
+        from mimirsbrunn_spark.gate_geocode import geocode_places_df
+
+        base = geocode_places_df(spark, sf_dir)
+        places = base.crossJoin(spark.range(10).withColumnRenamed("id", "rep")).withColumn(
+            "id", FF.col("id") * 10 + FF.col("rep")
+        ).drop("rep")
+        return forward_geocode(places, "St-Martin gare", k=50, query_type="fuzzy",
+                               coord=(2.35, 48.85)).count()
+
+    timed("q9_geocode_topk", q9)
+
     # headline value stays the q1-q6 suite (comparable across rounds);
-    # q7 (new in r2) / q8 (new in r3) are reported alongside, not folded
-    # into the total
-    extra = ("q7_pip_partitioned", "q8_asof_skew")
+    # q7 (new in r2) / q8 (new in r3) / q9 (new in r4) are reported
+    # alongside, not folded into the total
+    extra = ("q7_pip_partitioned", "q8_asof_skew", "q9_geocode_topk")
     total = round(sum(v for k, v in timings.items() if k not in extra), 3)
     docs_per_sec = round(n_docs / timings["q1_pipeline_full"], 1)
     print(

@@ -128,8 +128,12 @@ def main() -> None:
     # exactness first: full vs simplified results identical (cheap hash)
     def result_sig(tol):
         out = attach_admins(pts, admins, strategy="partitioned", simplify_tolerance=tol)
+        # decimal accumulator: a long sum of 64-bit hashes overflows
+        # under ANSI mode (same pattern as stage_admin_dim's token)
         row = out.select(
-            F.sum(F.xxhash64("point_uid", F.concat_ws(",", "admin_ids"))).alias("h"),
+            F.sum(
+                F.xxhash64("point_uid", F.concat_ws(",", "admin_ids")).cast("decimal(38,0)")
+            ).alias("h"),
             F.count("*").alias("n"),
         ).collect()[0]
         return (row["h"], row["n"])
