@@ -228,3 +228,22 @@ def test_compact_published_hits_target_file_count(spark, tmp_path):
     n1 = len(list((root / gen1).rglob("*.parquet")))
     assert n1 == 1
     assert read_published(spark, base, "t").count() == 20000
+
+
+def test_forward_geocode_plan_is_topk_no_shuffle(spark):
+    """q9 shape: the forward-geocode scoring query must compile to scan
+    -> filter (matching condition) -> distributed top-k
+    (TakeOrderedAndProject), with no Exchange and no Python in the
+    plan — the whole T1-T9 score expression stays JVM-side."""
+    from mimirsbrunn_spark.functions.geocode import forward_geocode
+    from mimirsbrunn_spark.gate_geocode import geocode_places_df
+
+    places = geocode_places_df(spark, "/root/testdata/sf0.001")
+    out = forward_geocode(places, "St-Martin gare", k=50, query_type="fuzzy",
+                          coord=(2.35, 48.85))
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_node not in plan, plan
