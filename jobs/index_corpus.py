@@ -56,6 +56,17 @@ def main(argv=None) -> None:
              "pii = email/phone masking over text spans (span structure "
              "is gate-checked unchanged; text is expected to differ)",
     )
+    ap.add_argument(
+        "--quality-filter", choices=["none", "gopher"], default="none",
+        help="opt-in doc-DROPPING stage before indexing: gopher = the "
+             "full Gopher rule set over the doc's concatenated text "
+             "spans; surviving docs are gate-checked span-identical and "
+             "the dropped count is reported as the stage's effect",
+    )
+    ap.add_argument(
+        "--gopher-min-words", type=int, default=50,
+        help="word-count lower bound for --quality-filter gopher",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -98,12 +109,39 @@ def main(argv=None) -> None:
     else:
         corpus = docs
 
+    # optional doc-DROPPING stage: Gopher rules over the concatenated
+    # text spans; survivors pass through byte-identical (gate-checked
+    # below), the dropped count is the stage's reported effect
+    if args.quality_filter == "gopher":
+        from mimirsbrunn_spark.operators.textprep import gopher_quality_flags
+
+        def _gopher(src):
+            doc_text = F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(F.col("spans"), lambda s: s["kind"] == "text"),
+                    lambda s: s["text"],
+                ),
+            )
+            flags = gopher_quality_flags(
+                src.withColumn("text", doc_text), min_words=args.gopher_min_words
+            )
+            keep = flags.filter(F.col("gopher_pass")).select("doc_id")
+            return src.join(keep, "doc_id", "left_semi")
+
+        pre = corpus
+        corpus = run_stage(
+            spark, ckpt, "quality_filter_gopher", [args.docs],
+            lambda: _gopher(pre),
+            version=f"v1:{args.text_prep}:minw{args.gopher_min_words}",
+        )
+
     points = run_stage(
         spark, ckpt, "extract_points", [args.docs],
         lambda: with_grid_cells(extract_geo_points(corpus), "lon", "lat", args.res).withColumn(
             "s2_cell", s2_cell_pandas_udf(16)(F.col("lon"), F.col("lat"))
         ),
-        version=f"v1:{args.text_prep}",
+        version=f"v1:{args.text_prep}:{args.quality_filter}{args.gopher_min_words}",
     )
 
     attached = run_stage(
@@ -117,7 +155,7 @@ def main(argv=None) -> None:
     cov = run_stage(
         spark, ckpt, "coverage", [args.docs, args.admins],
         lambda: coverage_stats(corpus, admins, res=args.res[0]),
-        version=f"v1:{args.text_prep}",
+        version=f"v1:{args.text_prep}:{args.quality_filter}{args.gopher_min_words}",
     )
 
     # invariant gates before publish (north rule: span sequence preserved).
@@ -127,6 +165,13 @@ def main(argv=None) -> None:
     # rewriting stage ran, and its diff count is the text-prep stage's
     # EXPECTED, reported effect otherwise.
     source_docs = read_table(spark, args.docs, fmt=args.fmt)
+    n_dropped = 0
+    if args.quality_filter != "none":
+        # a filtering stage legitimately removes docs: gate structure on
+        # the SURVIVORS, report the dropped count as the stage's effect
+        n_source = source_docs.count()
+        source_docs = source_docs.join(corpus.select("doc_id"), "doc_id", "left_semi")
+        n_dropped = n_source - source_docs.count()
     struct_violations = span_structure_violations(source_docs, corpus)
     if struct_violations:
         raise SystemExit(
@@ -163,6 +208,8 @@ def main(argv=None) -> None:
         "structure_violations": struct_violations,
         "text_prep": args.text_prep,
         "docs_text_rewritten": text_changed if args.text_prep != "none" else 0,
+        "quality_filter": args.quality_filter,
+        "docs_dropped_by_quality": n_dropped,
     }
     (Path(args.out) / "run_report.json").write_text(json.dumps(report, indent=1))
     print(json.dumps(report))

@@ -121,10 +121,14 @@ def skew_report(points: DataFrame, lon_col: str = "lon", lat_col: str = "lat", r
         )
         .collect()[0]
     )
+    # an empty points table (e.g. every doc filtered out upstream)
+    # aggregates to NULL max/median — report zeros, not a crash
+    mx = counts["max_cell"] or 0
+    med = counts["median_cell"] or 0
     return {
         "res": res,
         "n_cells": counts["n_cells"],
-        "max_cell": counts["max_cell"],
-        "median_cell": counts["median_cell"],
-        "skew_ratio": round(counts["max_cell"] / max(counts["median_cell"], 1), 1),
+        "max_cell": mx,
+        "median_cell": med,
+        "skew_ratio": round(mx / max(med, 1), 1),
     }

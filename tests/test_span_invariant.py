@@ -127,3 +127,33 @@ def test_job_aborts_on_mutilating_stage(spark, pii_docs, fixtures_dir, tmp_path,
     monkeypatch.setattr(tp, "scrub_pii_spans", evil_scrub)
     with pytest.raises(SystemExit, match="span-STRUCTURE invariant"):
         _run_job(pii_docs, fixtures_dir, str(tmp_path / "out_evil"), "pii")
+
+
+def test_job_gopher_filter_end_to_end(spark, pii_docs, fixtures_dir, tmp_path):
+    """--quality-filter gopher drops low-quality docs, survivors pass
+    the span gates byte-identical, and the dropped count is reported."""
+    import jobs.index_corpus as job
+
+    out = str(tmp_path / "out_gq")
+    job.main([
+        "--docs", pii_docs, "--admins", f"{fixtures_dir}/admins.parquet",
+        "--out", out, "--res", "7",
+        "--quality-filter", "gopher", "--gopher-min-words", "3",
+    ])
+    report = json.loads((Path(out) / "run_report.json").read_text())
+    assert report["quality_filter"] == "gopher"
+    assert report["structure_violations"] == 0
+    assert report["invariant_violations"] == 0
+    assert report["points"] > 0
+    n_docs = spark.read.parquet(pii_docs).count()
+    assert 0 <= report["docs_dropped_by_quality"] < n_docs
+    # a harsh threshold must drop strictly more docs
+    out2 = str(tmp_path / "out_gq_harsh")
+    job.main([
+        "--docs", pii_docs, "--admins", f"{fixtures_dir}/admins.parquet",
+        "--out", out2, "--res", "7",
+        "--quality-filter", "gopher", "--gopher-min-words", "10000",
+    ])
+    report2 = json.loads((Path(out2) / "run_report.json").read_text())
+    assert report2["docs_dropped_by_quality"] == n_docs
+    assert report2["points"] == 0
