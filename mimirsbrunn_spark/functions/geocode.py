@@ -86,6 +86,45 @@ SYNONYMS = {
 }
 
 
+def load_query_settings(path: str) -> dict:
+    """Parse a bragi query-settings TOML (config/query/default.toml
+    shape) into the override dict ``forward_geocode(settings=...)``
+    accepts. The reference deserializes the same file into QuerySettings
+    (settings.rs); type key 'address' maps to our 'addr'. Values parse
+    as plain floats — tests/test_query_settings.py pins that parsing the
+    vendored reference default.toml reproduces this module's constants
+    exactly."""
+    import tomllib
+
+    with open(path, "rb") as f:
+        q = tomllib.load(f)["query"]
+    tq, sq, iq = q["type_query"], q["string_query"], q["importance_query"]
+    w = iq["weights"]
+
+    def _typekeys(d: dict) -> dict:
+        return {("addr" if k == "address" else k): float(v) for k, v in d.items()}
+
+    decay = iq["proximity"]["decay"]
+    return {
+        "type_boosts": _typekeys(tq["boosts"]),
+        "global_boost": float(tq["global"]),
+        "string_boosts": {k: float(v) for k, v in sq["boosts"].items()},
+        "string_global": float(sq["global"]),
+        "importance_types": _typekeys(
+            {k: v for k, v in w.items() if k in ("address", "admin", "poi", "stop", "street")}
+        ),
+        "radius_range": tuple(float(x) for x in w["radius_range"]),
+        "min_radius_prefix": {k: float(v) for k, v in w["min_radius_prefix"].items()},
+        "min_radius_fuzzy": {k: float(v) for k, v in w["min_radius_fuzzy"].items()},
+        "max_radius": {k: float(v) for k, v in w["max_radius"].items()},
+        "proximity_weight": float(iq["proximity"]["weight"]),
+        "proximity_scale_m": float(decay["scale"]) * 1000.0,  # config unit: km
+        "proximity_offset_m": float(decay["offset"]) * 1000.0,
+        "proximity_decay": float(decay["decay"]),
+        "reverse_radius_m": float(q["reverse_query"]["radius"]),
+    }
+
+
 def normalize_text(col: Column | str) -> Column:
     """T1 analyzer core: lowercase + asciifold (accent strip) + elision
     (French l'/d' prefixes, word_elision analyzer) + punctuation → space
@@ -157,13 +196,16 @@ def field_score(q_tokens: list[str], field: str, fuzzy: bool = False) -> Column:
 
 
 def string_query_score(
-    df: DataFrame, q_tokens: list[str], query_type: str, lang: str | None, has_coord: bool
+    df: DataFrame, q_tokens: list[str], query_type: str, lang: str | None, has_coord: bool,
+    boosts: dict | None = None, global_boost: float | None = None,
 ) -> Column:
     """T3 — build_string_query (dsl.rs:73-135): a bool-should of
     multi_match groups; each group scores best-of-fields × its boost.
     Optional columns (alt_name, loc_name, names/labels maps, zip_codes,
     house_number) participate when present."""
     cols = set(df.columns)
+    B = boosts or STRING_BOOSTS
+    G = STRING_GLOBAL if global_boost is None else global_boost * 12.0
 
     def best(fields: list[Column]) -> Column:
         out = fields[0]
@@ -185,31 +227,31 @@ def string_query_score(
 
     groups = []
     if "name" in cols:
-        groups.append(best([field_score(q_tokens, "name")] + lang_variant("names")) * STRING_BOOSTS["name"])
+        groups.append(best([field_score(q_tokens, "name")] + lang_variant("names")) * B["name"])
     if "alt_name" in cols:
-        groups.append(field_score(q_tokens, "alt_name") * STRING_BOOSTS["alt_name"])
+        groups.append(field_score(q_tokens, "alt_name") * B["alt_name"])
     if "loc_name" in cols:
-        groups.append(field_score(q_tokens, "loc_name") * STRING_BOOSTS["loc_name"])
-    groups.append(best([field_score(q_tokens, "label")] + lang_variant("labels")) * STRING_BOOSTS["label"])
+        groups.append(field_score(q_tokens, "loc_name") * B["loc_name"])
+    groups.append(best([field_score(q_tokens, "label")] + lang_variant("labels")) * B["label"])
     if "zip_codes_str" in cols:
-        groups.append(field_score(q_tokens, "zip_codes_str") * STRING_BOOSTS["zip_codes"])
+        groups.append(field_score(q_tokens, "zip_codes_str") * B["zip_codes"])
     elif "zip_codes" in cols:
         zt = F.coalesce(F.col("zip_codes"), F.array().cast("array<string>"))
         zscore = F.lit(0.0)
         for t in q_tokens:
             zscore = zscore + F.array_contains(zt, t).cast("double")
-        groups.append(zscore * STRING_BOOSTS["zip_codes"])
+        groups.append(zscore * B["zip_codes"])
     if "house_number" in cols:
-        groups.append(field_score(q_tokens, "house_number") * STRING_BOOSTS["house_number"])
+        groups.append(field_score(q_tokens, "house_number") * B["house_number"])
     if query_type != "search":
-        groups.append(field_score(q_tokens, "label") * STRING_BOOSTS["label_prefix"])
+        groups.append(field_score(q_tokens, "label") * B["label_prefix"])
     if query_type == "fuzzy":
-        b = STRING_BOOSTS["label_ngram_with_coord"] if has_coord else STRING_BOOSTS["label_ngram"]
+        b = B["label_ngram_with_coord"] if has_coord else B["label_ngram"]
         groups.append(field_score(q_tokens, "label", fuzzy=True) * b)
     total = groups[0]
     for g in groups[1:]:
         total = total + g
-    return total * F.lit(STRING_GLOBAL)
+    return total * F.lit(G)
 
 
 # -- T4 matching conditions (dsl.rs:265-312) --------------------------------
@@ -340,7 +382,8 @@ def matching_condition(q_tokens: list[str], query_type: str, toks: Column) -> Co
 # -- T7 importance (dsl.rs:188-217, 315-334, 605-659) ------------------------
 
 
-def _zoom_weights(query_type: str, coord, proximity_scale_offset=None) -> dict:
+def _zoom_weights(query_type: str, coord, proximity_scale_offset=None,
+                  min_radius=None, max_radius=None, radius_range=None) -> dict:
     """Linear interpolation of (admin, factor, missing) between the
     min-radius and max-radius weight sets on ln1p(radius)
     (build_weight_depending_on_radius, dsl.rs:188-217).
@@ -350,26 +393,32 @@ def _zoom_weights(query_type: str, coord, proximity_scale_offset=None) -> dict:
     never read by build_weight_depending_on_radius — so fuzzy queries use
     MIN_RADIUS_PREFIX here too. MIN_RADIUS_FUZZY is kept as the parsed
     config value only (config/query/default.toml parity)."""
-    min_w = MIN_RADIUS_PREFIX
+    min_w = min_radius or MIN_RADIUS_PREFIX
+    max_w = max_radius or MAX_RADIUS
     if coord is None:
         ratio = 1.0
     else:
         scale, offset = proximity_scale_offset or (130_000.0, 20_000.0)
-        lo, hi = RADIUS_RANGE
+        lo, hi = radius_range or RADIUS_RANGE
         radius = min(max((offset + scale) / 1000.0, lo), hi)  # km→ the toml's unit
         ratio = (math.log1p(radius) - math.log1p(lo)) / (math.log1p(hi) - math.log1p(lo))
     return {
-        k: (1.0 - ratio) * min_w[k] + ratio * MAX_RADIUS[k] for k in ("admin", "factor", "missing")
+        k: (1.0 - ratio) * min_w[k] + ratio * max_w[k] for k in ("admin", "factor", "missing")
     }
 
 
-def importance_boost(query_type: str, coord, proximity_scale_offset=None) -> Column:
+def importance_boost(query_type: str, coord, proximity_scale_offset=None,
+                     type_weights: dict | None = None, min_radius=None,
+                     max_radius=None, radius_range=None) -> Column:
     """T7 — the bool-should importance functions, summed:
     build_with_weight (per-type weight × field_value_factor) always, the
     admin log1p function except in FUZZY, both with radius-interpolated
     weights."""
-    w = _zoom_weights(query_type, coord, proximity_scale_offset)
-    type_w = F.create_map(*[F.lit(x) for kv in IMPORTANCE_TYPES.items() for x in kv])[F.col("type")]
+    w = _zoom_weights(query_type, coord, proximity_scale_offset,
+                      min_radius=min_radius, max_radius=max_radius,
+                      radius_range=radius_range)
+    tw = type_weights or IMPORTANCE_TYPES
+    type_w = F.create_map(*[F.lit(x) for kv in tw.items() for x in kv])[F.col("type")]
     fvf = F.coalesce(F.col("weight"), F.lit(w["missing"])) * F.lit(w["factor"])
     boost = F.coalesce(type_w, F.lit(0.0)) * fvf
     if query_type != "fuzzy":
@@ -405,6 +454,7 @@ def forward_geocode(
     lang: str | None = None,
     query_type: str = "prefix",
     shape: tuple | None = None,
+    settings: dict | None = None,
 ) -> DataFrame:
     """bragi /autocomplete over a unified places table with columns
     (id, type, name, label, weight, lon, lat [+ optional alt_name,
@@ -427,15 +477,32 @@ def forward_geocode(
     if len(q_tokens) <= 1:
         places = places.filter(F.col("type") != "addr")
 
+    s = settings or {}
     cond = matching_condition(q_tokens, query_type, full_label_tokens(places))
-    string_score = string_query_score(places, q_tokens, query_type, lang, coord is not None)
-    type_boost = (
-        F.create_map(*[F.lit(x) for kv in TYPE_BOOSTS.items() for x in kv])[F.col("type")]
-        * F.lit(GLOBAL_BOOST)
+    string_score = string_query_score(
+        places, q_tokens, query_type, lang, coord is not None,
+        boosts=s.get("string_boosts"), global_boost=s.get("string_global"),
     )
-    score = string_score + F.coalesce(type_boost, F.lit(0.0)) + importance_boost(query_type, coord)
+    tb = s.get("type_boosts", TYPE_BOOSTS)
+    gb = s.get("global_boost", GLOBAL_BOOST)
+    type_boost = (
+        F.create_map(*[F.lit(x) for kv in tb.items() for x in kv])[F.col("type")]
+        * F.lit(gb)
+    )
+    score = string_score + F.coalesce(type_boost, F.lit(0.0)) + importance_boost(
+        query_type, coord,
+        type_weights=s.get("importance_types"),
+        min_radius=s.get("min_radius_prefix"),
+        max_radius=s.get("max_radius"),
+        radius_range=s.get("radius_range"),
+    )
     if coord is not None:
-        score = score + proximity_boost(coord[0], coord[1]) * F.lit(PROXIMITY_WEIGHT)
+        score = score + proximity_boost(
+            coord[0], coord[1],
+            scale_m=s.get("proximity_scale_m", 130_000.0),
+            offset_m=s.get("proximity_offset_m", 20_000.0),
+            decay=s.get("proximity_decay", 0.4),
+        ) * F.lit(s.get("proximity_weight", PROXIMITY_WEIGHT))
 
     return (
         places.filter(cond)
