@@ -520,6 +520,7 @@ def autocomplete(
     coord: tuple[float, float] | None = None,
     types: list[str] | None = None,
     lang: str | None = None,
+    settings: dict | None = None,
 ):
     """T9 — the bragi /autocomplete retry loop (handlers.rs:144-169):
     PREFIX pass first; when it returns nothing, retry as FUZZY (ngram
@@ -527,11 +528,11 @@ def autocomplete(
 
     Returns (DataFrame, mode) where mode is 'prefix' or 'fuzzy'."""
     strict = forward_geocode(places, q, k=k, coord=coord, types=types, lang=lang,
-                             query_type="prefix")
+                             query_type="prefix", settings=settings)
     if len(strict.take(1)) > 0:  # existence probe, not a full count
         return strict, "prefix"
     fuzzy = forward_geocode(places, q, k=k, coord=coord, types=types, lang=lang,
-                            query_type="fuzzy")
+                            query_type="fuzzy", settings=settings)
     return fuzzy, "fuzzy"
 
 
