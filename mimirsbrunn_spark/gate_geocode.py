@@ -486,6 +486,27 @@ def q_geocode_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, "bourg Martin", "prefix", lang="fr")
 
 
+def q_geocode_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 retry control flow through the driver gate: 'eglize' is a
+    prefix of NO vocabulary token (z vs s), so the strict PREFIX pass is
+    empty at every scale factor and autocomplete must fall through to
+    FUZZY — the gate compares the RETRY's output against the fuzzy
+    oracle, so a broken retry (returning the empty strict result, or
+    re-running prefix) hash-mismatches."""
+    from .functions.geocode import autocomplete
+
+    places = geocode_places_df(spark, sf_dir)
+    res, mode = autocomplete(places, "eglize pont", k=40)
+    if mode != "fuzzy":  # defensive: surface a wrong mode as a wrong row count
+        return res.limit(0)
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    return res.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "id", "type",
+        F.round("match_score", 6).alias("match_score"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 GEOCODE_QUERIES = {
     "geocode_prefix": (q_geocode_prefix, geocode_oracle_sql("St-Martin", "prefix")),
     "geocode_fuzzy": (
@@ -498,4 +519,5 @@ GEOCODE_QUERIES = {
         geocode_oracle_sql("bourg Martin", "prefix", lang=True),
     ),
     "geocodejson_features": (q_geocodejson, GEOCODEJSON_SQL),
+    "geocode_retry_fuzzy": (q_geocode_retry, geocode_oracle_sql("eglize pont", "fuzzy")),
 }
