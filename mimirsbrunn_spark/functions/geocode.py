@@ -105,6 +105,12 @@ def load_query_settings(path: str) -> dict:
         return {("addr" if k == "address" else k): float(v) for k, v in d.items()}
 
     decay = iq["proximity"]["decay"]
+    func = decay.get("func", "exp")
+    if func != "exp":
+        # ES supports gauss/linear too; this engine implements the exp
+        # decay the reference config ships — refuse rather than silently
+        # scoring with the wrong curve
+        raise ValueError(f"unsupported proximity decay func {func!r}; only 'exp'")
     return {
         "type_boosts": _typekeys(tq["boosts"]),
         "global_boost": float(tq["global"]),

@@ -70,3 +70,14 @@ def test_string_boost_override_moves_match_score(spark):
     hi_top = hi.select(F.max("match_score")).collect()[0][0]
     lo_top = lo.select(F.max("match_score")).collect()[0][0]
     assert hi_top > lo_top * 10
+
+
+def test_unsupported_decay_func_refused(tmp_path):
+    import pytest
+
+    bad = tmp_path / "bad.toml"
+    bad.write_text(
+        Path(TOML).read_text().replace('func = "exp"', 'func = "gauss"')
+    )
+    with pytest.raises(ValueError, match="only 'exp'"):
+        g.load_query_settings(str(bad))
