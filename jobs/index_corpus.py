@@ -67,6 +67,18 @@ def main(argv=None) -> None:
         "--gopher-min-words", type=int, default=50,
         help="word-count lower bound for --quality-filter gopher",
     )
+    ap.add_argument(
+        "--gopher-min-stop", type=int, default=2,
+        help="minimum occurrences of the Gopher English stop words "
+             "(the/be/to/of/and/that/have/with) for --quality-filter "
+             "gopher; set 0 for non-English corpora",
+    )
+    ap.add_argument(
+        "--skew-sample", type=float, default=0.05,
+        help="sample fraction for the run-report skew metrics (the skew "
+             "ratio is scale-invariant under uniform sampling; 1.0 = exact "
+             "full-corpus histogram)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -124,7 +136,9 @@ def main(argv=None) -> None:
                 ),
             )
             flags = gopher_quality_flags(
-                src.withColumn("text", doc_text), min_words=args.gopher_min_words
+                src.withColumn("text", doc_text),
+                min_words=args.gopher_min_words,
+                min_stop_words=args.gopher_min_stop,
             )
             keep = flags.filter(F.col("gopher_pass")).select("doc_id")
             return src.join(keep, "doc_id", "left_semi")
@@ -133,7 +147,7 @@ def main(argv=None) -> None:
         corpus = run_stage(
             spark, ckpt, "quality_filter_gopher", [args.docs],
             lambda: _gopher(pre),
-            version=f"v1:{args.text_prep}:minw{args.gopher_min_words}",
+            version=f"v1:{args.text_prep}:minw{args.gopher_min_words}:mins{args.gopher_min_stop}",
         )
 
     points = run_stage(
@@ -141,21 +155,25 @@ def main(argv=None) -> None:
         lambda: with_grid_cells(extract_geo_points(corpus), "lon", "lat", args.res).withColumn(
             "s2_cell", s2_cell_pandas_udf(16)(F.col("lon"), F.col("lat"))
         ),
-        version=f"v1:{args.text_prep}:{args.quality_filter}{args.gopher_min_words}",
+        version=f"v1:{args.text_prep}:{args.quality_filter}{args.gopher_min_words}:{args.gopher_min_stop}",
     )
 
+    # version salt mirrors extract_points: attach_admins consumes the
+    # points table, whose content changes with the text-prep / quality
+    # knobs even though its raw [docs, admins] inputs do not (ADVICE r04)
     attached = run_stage(
         spark, ckpt, "attach_admins", [args.docs, args.admins],
         lambda: attach_admins(
             points.withColumn("point_uid", F.concat_ws("#", "doc_id", "span_offset")),
             admins, strategy=args.strategy,
         ),
+        version=f"v1:{args.text_prep}:{args.quality_filter}{args.gopher_min_words}:{args.gopher_min_stop}:st{args.simplify_tolerance}",
     )
 
     cov = run_stage(
         spark, ckpt, "coverage", [args.docs, args.admins],
         lambda: coverage_stats(corpus, admins, res=args.res[0]),
-        version=f"v1:{args.text_prep}:{args.quality_filter}{args.gopher_min_words}",
+        version=f"v1:{args.text_prep}:{args.quality_filter}{args.gopher_min_words}:{args.gopher_min_stop}:st{args.simplify_tolerance}",
     )
 
     # invariant gates before publish (north rule: span sequence preserved).
@@ -183,7 +201,6 @@ def main(argv=None) -> None:
         raise SystemExit(
             f"span-sequence invariant violated for {text_changed} docs; aborting publish"
         )
-    violations = 0
 
     publish_table(attached, args.out, "points_indexed")
     publish_table(cov, args.out, "coverage")
@@ -203,8 +220,9 @@ def main(argv=None) -> None:
     report = {
         "points": attached.count(),
         "coverage_admins": cov.count(),
-        "skew": skew_report(points),
-        "invariant_violations": violations,
+        # sampled (not full-corpus) occupancy stats: a metrics dict must
+        # not cost an extra full aggregation at 10^12 docs (VERDICT r04)
+        "skew": skew_report(points, sample_fraction=args.skew_sample),
         "structure_violations": struct_violations,
         "text_prep": args.text_prep,
         "docs_text_rewritten": text_changed if args.text_prep != "none" else 0,

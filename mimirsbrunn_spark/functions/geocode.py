@@ -495,8 +495,19 @@ def forward_geocode(
         F.create_map(*[F.lit(x) for kv in tb.items() for x in kv])[F.col("type")]
         * F.lit(gb)
     )
+    # the reference's build_weight_depending_on_radius derives its radius
+    # from the SAME proximity curve (offset+scale) the decay term uses
+    # (dsl.rs:188-217) — settings overriding the curve must move both
+    # terms together (ADVICE r04)
+    prox_so = None
+    if "proximity_scale_m" in s or "proximity_offset_m" in s:
+        prox_so = (
+            s.get("proximity_scale_m", 130_000.0),
+            s.get("proximity_offset_m", 20_000.0),
+        )
     score = string_score + F.coalesce(type_boost, F.lit(0.0)) + importance_boost(
         query_type, coord,
+        proximity_scale_offset=prox_so,
         type_weights=s.get("importance_types"),
         min_radius=s.get("min_radius_prefix"),
         max_radius=s.get("max_radius"),

@@ -789,7 +789,8 @@ def _s2_tiles_sql() -> str:
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-set quality flags (full §A1.1 set: word count, mean
     word length, symbol ratio, bullet/ellipsis lines, alpha-word
-    fraction) — integer-exact flags, no FP divisions."""
+    fraction, English stop-word presence) — integer-exact flags, no FP
+    divisions. Bullet threshold is the paper's >90% (ADVICE r04)."""
     from .operators.textprep import gopher_quality_flags
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -817,24 +818,30 @@ GOPHER_QUALITY_SQL = r"""
                len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))::BIGINT
                  AS n_bullet_lines,
                len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$')))::BIGINT
-                 AS n_ellipsis_lines
+                 AS n_ellipsis_lines,
+               (CASE WHEN empty THEN 0
+                     ELSE len(list_filter(words, w -> list_contains(
+                          ['the','be','to','of','and','that','have','with'],
+                          lower(w)))) END)::BIGINT AS n_stop_words
         FROM base
     )
     SELECT doc_id, n_words, total_word_len, n_sym, n_alpha_words, n_lines,
-           n_bullet_lines, n_ellipsis_lines,
+           n_bullet_lines, n_ellipsis_lines, n_stop_words,
            (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
            (total_word_len >= 3 * n_words AND total_word_len <= 10 * n_words)
              AS ok_mean_word_len,
            (10 * n_sym < greatest(n_words, 1)) AS ok_symbol_ratio,
-           (10 * n_bullet_lines <= n_lines) AS ok_bullet_lines,
+           (10 * n_bullet_lines <= 9 * n_lines) AS ok_bullet_lines,
            (10 * n_ellipsis_lines <= 3 * n_lines) AS ok_ellipsis_lines,
            (5 * n_alpha_words >= 4 * n_words) AS ok_alpha_words,
+           (n_stop_words >= 2) AS ok_stop_words,
            ((n_words >= 50 AND n_words <= 100000)
             AND (total_word_len >= 3 * n_words AND total_word_len <= 10 * n_words)
             AND (10 * n_sym < greatest(n_words, 1))
-            AND (10 * n_bullet_lines <= n_lines)
+            AND (10 * n_bullet_lines <= 9 * n_lines)
             AND (10 * n_ellipsis_lines <= 3 * n_lines)
-            AND (5 * n_alpha_words >= 4 * n_words)) AS gopher_pass
+            AND (5 * n_alpha_words >= 4 * n_words)
+            AND (n_stop_words >= 2)) AS gopher_pass
     FROM c
 """
 

@@ -37,6 +37,10 @@ from pyspark.sql import functions as F
 EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RX = r"\+[0-9]{1,3} [0-9]{3} [0-9]{4}"
 
+# Rae et al. 2021 §A1.1 stop-word rule: a document must contain at least
+# 2 occurrences of these words (case-folded, whitespace-token match).
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
 
 def _tokens(text_col):
     return F.split(F.trim(text_col), r"\s+")
@@ -172,6 +176,7 @@ def gopher_quality_flags(
     text_col: str = "text",
     min_words: int = 50,
     max_words: int = 100_000,
+    min_stop_words: int = 2,
 ) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021, §A1.1) as
     pure-Catalyst integer counts + flag columns — the full rule set
@@ -180,8 +185,12 @@ def gopher_quality_flags(
     - word count within [min_words, max_words]
     - mean word length within [3, 10] chars
     - symbol-to-word ratio ('#' or '...') < 0.1
-    - <= 10% of lines start with a bullet, <= 30% end with an ellipsis
+    - <= 90% of lines start with a bullet, <= 30% end with an ellipsis
     - >= 80% of words contain at least one alphabetic character
+    - at least ``min_stop_words`` occurrences of the paper's English
+      stop words (the/be/to/of/and/that/have/with; occurrence-count
+      semantics, matching the public DataTrove reproduction; set 0 for
+      non-English corpora)
 
     Every flag is an INTEGER comparison (10*n_sym < n_words, not
     n_sym/n_words < 0.1), so the columns are engine-exact with no FP
@@ -202,6 +211,10 @@ def gopher_quality_flags(
     n_lines = F.size(lines).cast("long")
     n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))).cast("long")
     n_ellipsis = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$"))).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS])
+    n_stop = F.when(empty, F.lit(0)).otherwise(
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    ).cast("long")
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),
@@ -211,18 +224,21 @@ def gopher_quality_flags(
         n_lines.alias("n_lines"),
         n_bullet.alias("n_bullet_lines"),
         n_ellipsis.alias("n_ellipsis_lines"),
+        n_stop.alias("n_stop_words"),
         ((n_words >= min_words) & (n_words <= max_words)).alias("ok_word_count"),
         ((total_wl >= 3 * n_words) & (total_wl <= 10 * n_words)).alias("ok_mean_word_len"),
         (10 * n_sym < F.greatest(n_words, F.lit(1))).alias("ok_symbol_ratio"),
-        (10 * n_bullet <= n_lines).alias("ok_bullet_lines"),
+        (10 * n_bullet <= 9 * n_lines).alias("ok_bullet_lines"),
         (10 * n_ellipsis <= 3 * n_lines).alias("ok_ellipsis_lines"),
         (5 * n_alpha >= 4 * n_words).alias("ok_alpha_words"),
+        (n_stop >= min_stop_words).alias("ok_stop_words"),
         (
             (n_words >= min_words) & (n_words <= max_words)
             & (total_wl >= 3 * n_words) & (total_wl <= 10 * n_words)
             & (10 * n_sym < F.greatest(n_words, F.lit(1)))
-            & (10 * n_bullet <= n_lines)
+            & (10 * n_bullet <= 9 * n_lines)
             & (10 * n_ellipsis <= 3 * n_lines)
             & (5 * n_alpha >= 4 * n_words)
+            & (n_stop >= min_stop_words)
         ).alias("gopher_pass"),
     )

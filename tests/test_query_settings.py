@@ -81,3 +81,46 @@ def test_unsupported_decay_func_refused(tmp_path):
     )
     with pytest.raises(ValueError, match="only 'exp'"):
         g.load_query_settings(str(bad))
+
+
+def test_proximity_curve_override_moves_importance_weights(spark):
+    """ADVICE r04: the reference's build_weight_depending_on_radius
+    (dsl.rs:188-217) derives its zoom radius from the SAME settings
+    curve (offset+scale) as the proximity decay — overriding the curve
+    must therefore move the importance term too, not only the decay.
+
+    With coord set and a huge scale, radius clamps to RADIUS_RANGE hi →
+    pure max_radius weights; with a tiny scale+offset it clamps to lo →
+    pure min_radius weights. Admin weights differ (0.002 vs 0.4 at the
+    defaults), so scores on admin rows must differ."""
+    places = geocode_places_df(spark, "/root/testdata/sf0.001")
+    s_lo = g.load_query_settings(TOML)
+    s_lo["proximity_scale_m"] = 1.0
+    s_lo["proximity_offset_m"] = 0.0
+    s_hi = g.load_query_settings(TOML)
+    s_hi["proximity_scale_m"] = 1e9
+    coord = (2.35, 48.85)
+    lo = g.forward_geocode(places, "rue", k=20, coord=coord,
+                           types=["admin"], query_type="prefix", settings=s_lo)
+    hi = g.forward_geocode(places, "rue", k=20, coord=coord,
+                           types=["admin"], query_type="prefix", settings=s_hi)
+    a = {r["id"]: r["score"] for r in lo.collect()}
+    b = {r["id"]: r["score"] for r in hi.collect()}
+    common = sorted(set(a) & set(b))
+    assert common
+    # with scale=1e9 the decay term is ~flat-1 near the coord; the change
+    # must not be explainable by decay alone — check that per-id score
+    # DIFFERENCES are not a constant shift (importance interpolation is
+    # multiplicative in the weight, decay is additive via proximity term)
+    diffs = [b[i] - a[i] for i in common]
+    assert max(diffs) - min(diffs) > 1e-9
+
+
+def test_zoom_weights_radius_from_settings_curve():
+    """Unit pin: _zoom_weights with (scale, offset) = (1, 0) clamps to
+    RADIUS_RANGE lo → exactly MIN_RADIUS_PREFIX; with 1e9 clamps to hi →
+    exactly MAX_RADIUS."""
+    lo = g._zoom_weights("prefix", (0.0, 0.0), proximity_scale_offset=(1.0, 0.0))
+    hi = g._zoom_weights("prefix", (0.0, 0.0), proximity_scale_offset=(1e9, 0.0))
+    assert lo == g.MIN_RADIUS_PREFIX
+    assert hi == g.MAX_RADIUS

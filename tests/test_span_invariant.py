@@ -107,7 +107,6 @@ def _run_job(pii_docs, fixtures_dir, out, text_prep):
 def test_job_pii_prep_end_to_end(spark, pii_docs, fixtures_dir, tmp_path):
     report = _run_job(pii_docs, fixtures_dir, str(tmp_path / "out"), "pii")
     assert report["structure_violations"] == 0
-    assert report["invariant_violations"] == 0
     assert report["text_prep"] == "pii"
     assert report["docs_text_rewritten"] > 0
     assert report["points"] > 0
@@ -135,15 +134,19 @@ def test_job_gopher_filter_end_to_end(spark, pii_docs, fixtures_dir, tmp_path):
     import jobs.index_corpus as job
 
     out = str(tmp_path / "out_gq")
+    # --gopher-min-stop 0: the datagen corpus is French-street-vocabulary,
+    # so the English stop-word rule is disabled here (the driver gate's
+    # documents table exercises it with the default 2)
     job.main([
         "--docs", pii_docs, "--admins", f"{fixtures_dir}/admins.parquet",
         "--out", out, "--res", "7",
         "--quality-filter", "gopher", "--gopher-min-words", "3",
+        "--gopher-min-stop", "0",
     ])
     report = json.loads((Path(out) / "run_report.json").read_text())
     assert report["quality_filter"] == "gopher"
     assert report["structure_violations"] == 0
-    assert report["invariant_violations"] == 0
+    assert "invariant_violations" not in report  # hardcoded key removed (VERDICT r04)
     assert report["points"] > 0
     n_docs = spark.read.parquet(pii_docs).count()
     assert 0 <= report["docs_dropped_by_quality"] < n_docs
@@ -153,6 +156,7 @@ def test_job_gopher_filter_end_to_end(spark, pii_docs, fixtures_dir, tmp_path):
         "--docs", pii_docs, "--admins", f"{fixtures_dir}/admins.parquet",
         "--out", out2, "--res", "7",
         "--quality-filter", "gopher", "--gopher-min-words", "10000",
+        "--gopher-min-stop", "0",
     ])
     report2 = json.loads((Path(out2) / "run_report.json").read_text())
     assert report2["docs_dropped_by_quality"] == n_docs
