@@ -26,6 +26,69 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
+# --- self-diagnosing noise capture (VERDICT r04 #2) -------------------------
+# BENCH_r04.json recorded a co-tenant-noise window as an apparent 31%
+# regression and nothing in the artifact let a reader adjudicate it. Every
+# rep now carries (a) /proc/loadavg stamps and (b) EXTERNAL cpu-seconds:
+# host CPU delta (/proc/stat) minus this bench's own process tree
+# (python + the live Spark JVM — RUSAGE_CHILDREN misses running children,
+# so the tree is summed from /proc/*/stat). loadavg alone cannot
+# adjudicate: the bench's own 32-thread bursts push it over any
+# threshold; external cores measured DURING the rep can.
+
+
+def _loadavg() -> list[float]:
+    try:
+        return [float(x) for x in Path("/proc/loadavg").read_text().split()[:3]]
+    except (OSError, ValueError):
+        return []
+
+
+def _host_cpu_sec() -> float:
+    """Total busy cpu-seconds across the host (user+nice+sys+irq+steal)."""
+    try:
+        f = Path("/proc/stat").read_text().splitlines()[0].split()[1:]
+        busy = [0, 1, 2, 5, 6, 7]  # skip idle(3)/iowait(4)
+        return sum(float(f[i]) for i in busy) / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
+def _tree_cpu_sec() -> float:
+    """cpu-seconds of this process + all live descendants (the Spark JVM
+    and its python workers) from /proc/*/stat."""
+    tck = os.sysconf("SC_CLK_TCK")
+    procs: dict[int, tuple[int, float]] = {}
+    for p in Path("/proc").iterdir():
+        if not p.name.isdigit():
+            continue
+        try:
+            st = (p / "stat").read_text()
+        except OSError:
+            continue
+        # comm can contain spaces/parens: split after the LAST ')'
+        rest = st.rsplit(")", 1)[-1].split()
+        try:
+            ppid = int(rest[1])
+            cpu = (float(rest[11]) + float(rest[12])) / tck
+        except (ValueError, IndexError):
+            continue
+        procs[int(p.name)] = (ppid, cpu)
+    mine = {os.getpid()}
+    grew = True
+    while grew:
+        grew = False
+        for pid, (ppid, _) in procs.items():
+            if ppid in mine and pid not in mine:
+                mine.add(pid)
+                grew = True
+    return sum(procs[pid][1] for pid in mine if pid in procs)
+
+
+# external cores averaged over a rep above this ⇒ the rep is annotated
+# noisy (a co-tenant was actively competing for the CPU during it)
+NOISY_EXTERNAL_CORES = 2.0
+
 
 def ensure_corpus(spark, sf: float, cache_root: Path) -> tuple[str, str, int]:
     """Deterministic interleaved corpus + octagon admins, cached parquet.
@@ -96,16 +159,32 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    rep_log: dict[str, list[dict]] = {}
 
     def timed(name: str, fn, runs: int = 3):
         # best = the engine's capability on this shared host; median = the
         # robust cross-round comparator (co-tenant noise is bursty and can
-        # double a single rep — see BENCH/BASELINE.md)
+        # double a single rep — see BENCH/BASELINE.md). Every rep is
+        # stamped with loadavg + external-cpu so a noisy capture is
+        # identifiable from the artifact alone (VERDICT r04 #2).
         obs = []
+        reps = []
         for _ in range(runs):
+            la0, host0, tree0 = _loadavg(), _host_cpu_sec(), _tree_cpu_sec()
             t0 = time.perf_counter()
             fn()
-            obs.append(time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            ext = max((_host_cpu_sec() - host0) - (_tree_cpu_sec() - tree0), 0.0)
+            ext_cores = ext / dt if dt > 0 else 0.0
+            obs.append(dt)
+            reps.append({
+                "sec": round(dt, 3),
+                "loadavg_before": la0,
+                "loadavg_after": _loadavg(),
+                "external_cpu_cores": round(ext_cores, 2),
+                "noisy": ext_cores > NOISY_EXTERNAL_CORES,
+            })
+        rep_log[name] = reps
         obs.sort()
         timings[name] = round(obs[0], 3)
         medians[name] = round(obs[len(obs) // 2] if runs % 2 else
@@ -229,6 +308,7 @@ def main() -> None:
     extra = ("q7_pip_partitioned", "q8_asof_skew", "q9_geocode_topk")
     total = round(sum(v for k, v in timings.items() if k not in extra), 3)
     docs_per_sec = round(n_docs / timings["q1_pipeline_full"], 1)
+    n_noisy = sum(1 for reps in rep_log.values() for r in reps if r["noisy"])
     print(
         json.dumps(
             {
@@ -242,6 +322,14 @@ def main() -> None:
                 "n_docs": n_docs,
                 "docs_per_sec_q1": docs_per_sec,
                 "cpus": cpus,
+                "reps": rep_log,
+                "noisy_reps": n_noisy,
+                "noise_note": (
+                    "reps with external_cpu_cores > "
+                    f"{NOISY_EXTERNAL_CORES} had a co-tenant competing for "
+                    "CPU; best-of-reps from clean reps is the comparable "
+                    "number (measurement protocol, BENCH/BASELINE.md)"
+                ) if n_noisy else "",
             }
         )
     )

@@ -119,15 +119,15 @@ def main() -> None:
 
     spark.range(64).repartition(64).mapInPandas(_warm, "id long").count()
 
-    def run(tol):
+    def run(tol, strategy="partitioned"):
         t0 = time.perf_counter()
-        out = attach_admins(pts, admins, strategy="partitioned", simplify_tolerance=tol)
+        out = attach_admins(pts, admins, strategy=strategy, simplify_tolerance=tol)
         out.select(F.size("admin_ids").alias("n")).groupBy("n").count().collect()
         return time.perf_counter() - t0
 
-    # exactness first: full vs simplified results identical (cheap hash)
-    def result_sig(tol):
-        out = attach_admins(pts, admins, strategy="partitioned", simplify_tolerance=tol)
+    # exactness first: every variant identical (cheap hash)
+    def result_sig(tol, strategy="partitioned"):
+        out = attach_admins(pts, admins, strategy=strategy, simplify_tolerance=tol)
         # decimal accumulator: a long sum of 64-bit hashes overflows
         # under ANSI mode (same pattern as stage_admin_dim's token)
         row = out.select(
@@ -138,13 +138,20 @@ def main() -> None:
         ).collect()[0]
         return (row["h"], row["n"])
 
-    sig_full, sig_simp = result_sig(None), result_sig(TOL)
-    exact = sig_full == sig_simp
+    sig_full = result_sig(None)
+    sig_simp = result_sig(TOL)
+    sig_auto = result_sig("auto")
+    sig_bcast = result_sig(None, strategy="broadcast")
+    exact = sig_full == sig_simp == sig_auto == sig_bcast
 
-    times = {"full": [], "simplified": []}
+    # interleaved reps: partitioned-full / pinned-tol / auto-default /
+    # broadcast, so co-tenant noise hits all variants alike
+    times = {"full": [], "simplified": [], "auto_default": [], "broadcast": []}
     for _ in range(reps):
         times["full"].append(round(run(None), 2))
         times["simplified"].append(round(run(TOL), 2))
+        times["auto_default"].append(round(run("auto"), 2))
+        times["broadcast"].append(round(run(None, strategy="broadcast"), 2))
     best = {k: min(v) for k, v in times.items()}
     report = {
         "n_docs": n_docs,
@@ -156,6 +163,7 @@ def main() -> None:
         "times": times,
         "best": best,
         "speedup": round(best["full"] / best["simplified"], 2),
+        "auto_vs_broadcast": round(best["auto_default"] / best["broadcast"], 2),
     }
     print(json.dumps(report))
 
@@ -169,12 +177,17 @@ def main() -> None:
         f"simplify_tolerance={TOL}. Results verified IDENTICAL "
         f"(hash+count): {exact}.\n\n"
         "| refine | times (s) | best |\n|---|---|---|\n"
-        f"| full geometry | {times['full']} | {best['full']} |\n"
-        f"| DP-simplified + exact band recheck | {times['simplified']} | {best['simplified']} |\n\n"
-        f"**Speedup {report['speedup']}x** on this dim; the rectangle/octagon "
-        "bench dims (4-8 vertices) have nothing to simplify, which is why "
-        "q7's floor is unaffected — this lever pays exactly when boundaries "
-        "are coastline-grade, as real OSM admin sets are.\n"
+        f"| partitioned, full geometry | {times['full']} | {best['full']} |\n"
+        f"| partitioned, pinned tol + exact band recheck | {times['simplified']} | {best['simplified']} |\n"
+        f"| partitioned, DEFAULT (auto tolerance) | {times['auto_default']} | {best['auto_default']} |\n"
+        f"| broadcast, full geometry | {times['broadcast']} | {best['broadcast']} |\n\n"
+        f"**Speedup {report['speedup']}x** over full-geometry partitioned; "
+        f"**auto-default partitioned = {report['auto_vs_broadcast']}x broadcast** "
+        "on the same dense dim (VERDICT r04 #1 target <=2x). The "
+        "rectangle/octagon bench dims (4-8 vertices) resolve to tolerance "
+        "None under the auto policy, which is why q7's floor is unaffected "
+        "— this lever pays exactly when boundaries are coastline-grade, as "
+        "real OSM admin sets are.\n"
         "<!-- /SIMPLIFY-TABLE -->\n"
     )
     if "<!-- SIMPLIFY-TABLE -->" in text:

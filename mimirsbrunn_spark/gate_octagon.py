@@ -136,10 +136,13 @@ def _sql_list(vals: list[str]) -> str:
     return "[" + ",".join(f"'{v}'" for v in vals) + "]"
 
 
-def octagon_oracle_sql() -> str:
-    """Engine-independent replay of geofinder.get over the octagon family."""
-    from .gate import POINTS_FROM_ORDERS_SQL
+def octagon_oracle_sql(points_sql: str | None = None) -> str:
+    """Engine-independent replay of geofinder.get over the octagon family.
 
+    ``points_sql``: SQL producing (point_id, lon, lat) for the cloud;
+    defaults to the driver gate's orders-derived cloud. The randomized
+    property sweep (test_octagon_oracle_property.py, VERDICT r04 #8)
+    swaps in registered random clouds here."""
     closure = _ancestor_closure()
     adm_rows, edge_rows = [], []
     for aid, zt, _pid, cx, cy, r, h in OCT_FAMILY:
@@ -158,13 +161,17 @@ def octagon_oracle_sql() -> str:
             f"('{aid}', {zone_rank(zt)}, {zt_sql}, {_sql_list(ids)}, {_sql_list(types)}, "
             f"{cx - r!r}, {cy - r!r}, {cx + r!r}, {cy + r!r})"
         )
+    if points_sql is None:
+        from .gate import POINTS_FROM_ORDERS_SQL
+
+        points_sql = POINTS_FROM_ORDERS_SQL
     # candidate fold state: res (append-ordered), tested ids, added types
     return f"""
     WITH RECURSIVE
     adm(admin_id, zone_rank, zone_type, anc_ids, anc_types, minx, miny, maxx, maxy)
       AS (VALUES {",".join(adm_rows)}),
     edges(admin_id, x1, y1, x2, y2) AS (VALUES {",".join(edge_rows)}),
-    pts AS ({POINTS_FROM_ORDERS_SQL}),
+    pts AS ({points_sql}),
     bcand AS (
       SELECT p.point_id, p.lon, p.lat, a.admin_id, a.zone_rank, a.zone_type,
              a.anc_ids, a.anc_types

@@ -51,6 +51,33 @@ from ..tiles import grid_cell_np
 
 ADMIN_DIM_COLS = ["id", "zone_type", "parent_id", "boundary_wkb"]
 
+# simplify_tolerance="auto" policy (VERDICT r04 #1): only polygons at
+# least this dense are simplified, with tolerance = EDGE_FACTOR × mean
+# edge length (the r4 8.45× A/B used tol ≈ 5× the densified rings' mean
+# edge). Exactness does not depend on these — the band recheck restores
+# it for ANY tolerance; they only trade classify cost vs band size.
+AUTO_SIMPLIFY_MIN_VERTICES = 512
+AUTO_SIMPLIFY_EDGE_FACTOR = 5.0
+
+
+def _auto_simplify_tolerance(mp) -> float | None:
+    """Perimeter-derived DP tolerance for one multipolygon, or None when
+    the geometry is too slim to benefit (rectangles, octagons, any
+    hand-drawn admin): ~EDGE_FACTOR × mean edge length prunes micro-
+    detail (coastline zigzag) while keeping the exact-recheck band a few
+    edge-lengths wide."""
+    n_vertices = 0
+    perimeter = 0.0
+    for poly in mp:
+        for ring in poly:
+            r = np.asarray(ring, dtype=np.float64)
+            n_vertices += len(r)
+            d = np.diff(r, axis=0)
+            perimeter += float(np.hypot(d[:, 0], d[:, 1]).sum())
+    if n_vertices < AUTO_SIMPLIFY_MIN_VERTICES or perimeter <= 0.0:
+        return None
+    return AUTO_SIMPLIFY_EDGE_FACTOR * perimeter / n_vertices
+
 
 # ---------------------------------------------------------------------------
 # shared refine kernel (vectorized geometry + exact G5 replay)
@@ -347,7 +374,7 @@ def attach_admins_partitioned(
     point_id_col: str = "point_uid",
     n_salts: int = 8,
     refine: str = "arrow",
-    simplify_tolerance: float | None = None,
+    simplify_tolerance: float | str | None = "auto",
 ) -> DataFrame:
     """Shuffle spatial join for polygon sets beyond broadcast budget —
     the 100-TB-regime path. Three stages, each a standard Spark shape:
@@ -385,7 +412,18 @@ def attach_admins_partitioned(
 
     Identical results to the broadcast path — gate `pip_admins_partitioned`
     is hash-checked against the same closed-form oracle.
-    """
+
+    ``simplify_tolerance`` (arrow backend): classify against Douglas–
+    Peucker-simplified rings, then exact-recheck ONLY points within the
+    tolerance band of the simplified boundary — exact by construction
+    (the discarded vertices lie within tol of the retained chords), and
+    measured 8.45× on ~2000-vertex boundaries (BENCH/BASELINE.md
+    SIMPLIFY-TABLE). Default ``"auto"`` (VERDICT r04 #1): per polygon,
+    dense rings (>= {mv} vertices) get a perimeter-derived tolerance
+    (~{k}× the mean edge length); slim dims (rectangles/octagons) are
+    untouched, so the toy-dim floor is unchanged. Pass a float to pin
+    the tolerance, or None to force full-geometry classification.
+    """.format(mv=AUTO_SIMPLIFY_MIN_VERTICES, k=AUTO_SIMPLIFY_EDGE_FACTOR)
     from ..geometry import EDGE_POLYS_TYPE, edge_polys_inside_sql, mp_to_edge_polys
     from ..geometry import mp_bbox as _bb
     from .skew import salted_mod_col
@@ -536,7 +574,10 @@ def attach_admins_partitioned(
                 return empty
             lon, lat = lon[m], lat[m]
             uids = pairs_pdf["point_uid"].to_numpy()[m]
-            if simplify_tolerance:
+            tol = simplify_tolerance
+            if tol == "auto":  # per-polygon: dense rings only (r04 #1)
+                tol = _auto_simplify_tolerance(mp)
+            if tol:
                 # simplified-refine with exact re-check band (VERDICT r03
                 # #8): classify on DP-simplified rings (cheap: E_s << E
                 # edges per point), then exact-test ONLY points within
@@ -545,9 +586,9 @@ def attach_admins_partitioned(
                 # EXACT; 1.5x band pads the DP bound for float slack.
                 from ..geometry import points_near_mp_boundary, simplify_mp
 
-                simp = simplify_mp(mp, simplify_tolerance)
+                simp = simplify_mp(mp, tol)
                 inside = points_in_multipolygon(lon, lat, simp)
-                band = points_near_mp_boundary(lon, lat, simp, simplify_tolerance * 1.5)
+                band = points_near_mp_boundary(lon, lat, simp, tol * 1.5)
                 if band.any():
                     inside[band] = points_in_multipolygon(lon[band], lat[band], mp)
             else:
@@ -727,7 +768,7 @@ def attach_admins(
     n_salts: int = 8,
     refine: str = "arrow",
     dim_path: str | None = None,
-    simplify_tolerance: float | None = None,
+    simplify_tolerance: float | str | None = "auto",
     broadcast_budget_bytes: int = AUTO_BROADCAST_BUDGET_BYTES,
 ) -> DataFrame:
     if strategy == "auto":

@@ -469,3 +469,29 @@ def test_stop_search_and_find_by_id(spark):
     # T11 find-by-id
     hit = places.filter(F.col("id").isin(["stop_area:GDL"])).collect()
     assert len(hit) == 1 and hit[0]["name"] == "Gare de Lyon"
+
+
+# ---------------------------------------------------------------------------
+# features/idf/baseline.feature — the COMPLETE example table (VERDICT r04
+# #6). Background datasets are synthesized as idf_places; each example row
+# below is verbatim (query, id) from the feature file.
+# ---------------------------------------------------------------------------
+
+BASELINE_FEATURE_EXAMPLES = [
+    # Scenario Outline "Admins exact match" (baseline.feature:16-27)
+    ("admin", "paris", "admin:osm:relation:7444"),
+    ("admin", "ile-de-france", "admin:osm:relation:8649"),
+    ("admin", "saint-denis", "admin:osm:relation:87922"),
+    # Scenario Outline "Addresses exact match" (baseline.feature:29-36)
+    ("addr", "20 rue Hector Malot", "addr:2.37715;48.846781:20"),
+]
+
+
+@pytest.mark.parametrize("dtype,query,expected", BASELINE_FEATURE_EXAMPLES)
+def test_idf_baseline_feature_table(idf_places, dtype, query, expected):
+    """'When the user searches <datatype> for "<query>" / Then he finds
+    "<id>" as the first result' — every example row of baseline.feature."""
+    from mimirsbrunn_spark.functions.geocode import autocomplete
+
+    df, _ = autocomplete(idf_places, query, k=1, types=[dtype])
+    assert [r["id"] for r in df.collect()] == [expected], (dtype, query)

@@ -94,3 +94,70 @@ def test_partitioned_simplified_matches_broadcast_full(spark, zigzag_admins):
     lon = np.array([(i % 80) * 0.0031 + 4.8 for i in range(n)])
     lat = np.array([(i // 80) * 0.22 - 5.5 for i in range(n)])
     assert (points_in_multipolygon(lon, lat, mp) != points_in_multipolygon(lon, lat, s)).any()
+
+
+def test_auto_tolerance_policy_units():
+    """simplify_tolerance='auto' (VERDICT r04 #1): slim dims resolve to
+    None (no-op — the q7 rectangle/octagon floor is untouched); dense
+    rings resolve to ~EDGE_FACTOR x mean edge length."""
+    from mimirsbrunn_spark.operators.pip import (
+        AUTO_SIMPLIFY_EDGE_FACTOR,
+        AUTO_SIMPLIFY_MIN_VERTICES,
+        _auto_simplify_tolerance,
+    )
+
+    rect = np.array([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)], dtype=np.float64)
+    assert _auto_simplify_tolerance([[rect]]) is None
+    dense = _zigzag_square(0.0, 0.0, teeth=400)  # ~800 vertices
+    assert len(dense) >= AUTO_SIMPLIFY_MIN_VERTICES
+    tol = _auto_simplify_tolerance([[dense]])
+    d = np.diff(dense, axis=0)
+    mean_edge = float(np.hypot(d[:, 0], d[:, 1]).sum()) / len(dense)
+    assert tol == pytest.approx(AUTO_SIMPLIFY_EDGE_FACTOR * mean_edge)
+    # holes count toward density too
+    assert _auto_simplify_tolerance([[rect], [dense]]) is not None
+
+
+def test_auto_banded_refine_is_default_and_exact(spark):
+    """The partitioned default (no simplify_tolerance argument) now
+    routes dense polygons through the banded refine and must stay
+    hash-identical to the full-geometry broadcast path — including on
+    sub-tolerance zigzag notches where classify-on-simplified alone
+    would flip verdicts."""
+    from mimirsbrunn_spark.operators.pip import (
+        _auto_simplify_tolerance,
+        attach_admins,
+    )
+    from mimirsbrunn_spark.geometry import mp_to_wkb as _wkb
+
+    ring = _zigzag_square(0.0, 0.0, teeth=400, amp=0.01)
+    mp = [[ring]]
+    tol = _auto_simplify_tolerance(mp)
+    assert tol is not None and tol > 0.01 / 2  # amp below chord tolerance
+    admins = spark.createDataFrame(
+        [
+            ("zz:c", "country", None, _wkb([[_zigzag_square(0.0, 0.0, half=20.0, teeth=400)]])),
+            ("zz:t", "city", "zz:c", _wkb(mp)),
+        ],
+        "id string, zone_type string, parent_id string, boundary_wkb binary",
+    )
+    n = 4000
+    pts = spark.range(n).select(
+        F.col("id").cast("string").alias("point_uid"),
+        ((F.col("id") % 80) * 0.0008 + 4.96).alias("lon"),
+        ((F.col("id") / 80).cast("int") * 0.22 - 5.5).alias("lat"),
+    )
+    full = {
+        r["point_uid"]: r["admin_ids"]
+        for r in attach_admins(pts, admins, strategy="broadcast").collect()
+    }
+    auto = {
+        r["point_uid"]: r["admin_ids"]
+        for r in attach_admins(pts, admins, strategy="partitioned").collect()
+    }
+    assert full == auto
+    # non-vacuity: simplified-only classification disagrees somewhere
+    s = simplify_mp(mp, tol)
+    lon = np.array([(i % 80) * 0.0008 + 4.96 for i in range(n)])
+    lat = np.array([(i // 80) * 0.22 - 5.5 for i in range(n)])
+    assert (points_in_multipolygon(lon, lat, mp) != points_in_multipolygon(lon, lat, s)).any()
