@@ -233,10 +233,12 @@ def _dp_keep_mask(ring: np.ndarray, tol: float) -> np.ndarray:
 def simplify_mp(mp: MultiPolygon, tolerance_deg: float) -> MultiPolygon:
     """Douglas–Peucker simplification per ring (public algorithm);
     rings collapsing below 3 distinct vertices are dropped (holes) or
-    kept as their minimal triangle (exteriors). An APPROXIMATION knob:
-    attachments can change for points within ~tolerance of a boundary —
-    the caller opts in (e.g. to shrink the WKB the partitioned PIP ships
-    ``n_salts`` times per admin), it is never applied implicitly."""
+    kept as their minimal triangle (exteriors). Used two ways: as an
+    explicit APPROXIMATION knob (simplify_admin_boundaries — attachments
+    can change within ~tolerance of a boundary; caller opts in), and
+    inside the partitioned refine's banded path (pip.py), where the
+    exact recheck of the tolerance band makes the result EXACT — only
+    that exact variant runs implicitly."""
     out = []
     for poly in mp:
         rings = []
