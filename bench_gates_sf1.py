@@ -67,21 +67,30 @@ def build() -> None:
         if key is None:
             shutil.copyfile(src, dst)
             continue
+        # one part file per replication: a single ~30MB parquet maps to
+        # ONE Spark input partition (maxPartitionBytes), serializing the
+        # interpreted-HOF gates at sf1 — a directory of SCALE files keeps
+        # every gate plan parallel, exactly like a real multi-file table
+        if dst.exists() and dst.is_file():
+            dst.unlink()
+        dst.mkdir(parents=True, exist_ok=True)
         n = con.execute(
             f"SELECT max({key}) + 1 FROM read_parquet('{src}')"
         ).fetchone()[0]
-        con.execute(
-            f"""
-            COPY (
-              SELECT * REPLACE ({key} + r.rep * {int(n)} AS {key})
-              FROM read_parquet('{src}')
-              CROSS JOIN (SELECT unnest(range({SCALE})) AS rep) r
-              ORDER BY {key}
-            ) TO '{dst}' (FORMAT PARQUET)
-            """
-        )
-        rows = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
-        print(f"scaled {t}: {rows} rows")
+        for rep in range(SCALE):
+            con.execute(
+                f"""
+                COPY (
+                  SELECT * REPLACE ({key} + {rep} * {int(n)} AS {key})
+                  FROM read_parquet('{src}')
+                  ORDER BY {key}
+                ) TO '{dst}/part-{rep:02d}.parquet' (FORMAT PARQUET)
+                """
+            )
+        rows = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dst}/*.parquet')"
+        ).fetchone()[0]
+        print(f"scaled {t}: {rows} rows in {SCALE} files")
     (OUT / "_DONE").touch()
 
 
@@ -90,16 +99,19 @@ def main() -> None:
     env = dict(os.environ, SPARK_GRAFT_GATE_SF_DIR=str(OUT))
     la0 = Path("/proc/loadavg").read_text().split()[:3]
     t0 = time.perf_counter()
-    proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/test_gate_oracle.py",
-         "-q", "-k", GATE_SELECT, "-p", "no:cacheprovider"],
-        cwd=REPO, env=env, capture_output=True, text=True,
-    )
+    log = REPO / ".bench_cache" / "gates_sf1_pytest.log"
+    with open(log, "w") as lf:
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/test_gate_oracle.py",
+             "-v", "--durations=0", "-k", GATE_SELECT, "-p", "no:cacheprovider"],
+            cwd=REPO, env=env, stdout=lf, stderr=subprocess.STDOUT, text=True,
+        )
     wall = time.perf_counter() - t0
     la1 = Path("/proc/loadavg").read_text().split()[:3]
-    tail = "\n".join(proc.stdout.strip().splitlines()[-3:])
+    out_text = log.read_text()
+    tail = "\n".join(out_text.strip().splitlines()[-3:])
     print(tail)
-    m = re.search(r"(\d+) passed", proc.stdout)
+    m = re.search(r"(\d+) passed", out_text)
     n_pass = int(m.group(1)) if m else 0
     ok = proc.returncode == 0 and n_pass > 0
     report = {
@@ -112,7 +124,7 @@ def main() -> None:
     }
     print(json.dumps(report))
     if not ok:
-        print(proc.stdout[-4000:])
+        print(out_text[-4000:])
         sys.exit(1)
 
     md = REPO / "BENCH" / "BASELINE.md"

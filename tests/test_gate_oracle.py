@@ -28,7 +28,9 @@ def _duck():
     con = duckdb.connect()
     for t in TABLES:
         p = Path(SF_DIR) / f"{t}.parquet"
-        if p.exists():
+        if p.is_dir():  # multi-file table (the sf1 scaled set)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
 
