@@ -39,47 +39,12 @@ from .tiles import grid_cell_col, grid_cell_sql
 # deterministic point clouds (exact in both engines)
 # ---------------------------------------------------------------------------
 
-_LON_MULT = 2654435761  # Knuth multiplicative constant
-_LAT_MULT = 40503
-_LON_MOD = 360_000_000  # microdegrees
-_LAT_MOD = 180_000_000
-
-
-def points_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    k = F.col("o_orderkey").cast("long")
-    return o.select(
-        F.col("o_orderkey").alias("point_id"),
-        ((k * _LON_MULT) % _LON_MOD / 1_000_000.0 - 180.0).alias("lon"),
-        ((k * _LAT_MULT + 7) % _LAT_MOD / 1_000_000.0 - 90.0).alias("lat"),
-    )
-
-
-POINTS_FROM_ORDERS_SQL = f"""
-    SELECT o_orderkey AS point_id,
-           (CAST(o_orderkey AS BIGINT) * {_LON_MULT}) % {_LON_MOD} / 1000000.0 - 180.0 AS lon,
-           (CAST(o_orderkey AS BIGINT) * {_LAT_MULT} + 7) % {_LAT_MOD} / 1000000.0 - 90.0 AS lat
-    FROM orders
-"""
-
-
-def points_from_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    k = F.col("n_nationkey").cast("long")
-    return n.select(
-        F.col("n_nationkey").alias("query_id"),
-        ((k * 7919 + 13) * 104729 % _LON_MOD / 1_000_000.0 - 180.0).alias("lon"),
-        ((k * 6271 + 5) * 104729 % _LAT_MOD / 1_000_000.0 - 90.0).alias("lat"),
-    )
-
-
-POINTS_FROM_NATION_SQL = f"""
-    SELECT n_nationkey AS query_id,
-           (CAST(n_nationkey AS BIGINT) * 7919 + 13) * 104729 % {_LON_MOD} / 1000000.0 - 180.0 AS lon,
-           (CAST(n_nationkey AS BIGINT) * 6271 + 5) * 104729 % {_LAT_MOD} / 1000000.0 - 90.0 AS lat
-    FROM nation
-"""
-
+from .gate_points import (  # noqa: F401 — re-exported for gate modules/tests
+    POINTS_FROM_NATION_SQL,
+    POINTS_FROM_ORDERS_SQL,
+    points_from_nation,
+    points_from_orders,
+)
 
 # ---------------------------------------------------------------------------
 # closed-form rectangle admin hierarchy (whole-globe tiling)
@@ -873,6 +838,7 @@ QUERIES = {
 }
 
 from .gate_dedup import DEDUP_QUERIES  # noqa: E402
+from .gate_extra import EXTRA_QUERIES  # noqa: E402
 from .gate_geocode import GEOCODE_QUERIES  # noqa: E402
 from .gate_octagon import octagon_queries  # noqa: E402
 from .gate_places import PLACES_QUERIES  # noqa: E402
@@ -881,3 +847,4 @@ QUERIES.update(DEDUP_QUERIES)
 QUERIES.update(PLACES_QUERIES)
 QUERIES.update(octagon_queries())
 QUERIES.update(GEOCODE_QUERIES)
+QUERIES.update(EXTRA_QUERIES)

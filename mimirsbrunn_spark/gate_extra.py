@@ -1,0 +1,378 @@
+"""Round-5 gate widening: driver gates (exact DuckDB oracles) for the
+operators that were previously pytest-only — the transitive OSM
+dependency pull (S2), admin parent-hierarchy resolution (J3), polygon
+centroid/bbox (G12/G13), metric distance-to-polygon (G4), the scoped
+geo_shape filter (G14), and the stop-line human sort (W4).
+
+Cross-engine determinism follows gate.py's rules: integer arithmetic
+wherever possible; where libm enters (cos/sqrt in the G4 distance) the
+SQL mirrors the numpy op sequence exactly and outputs are rounded well
+below the ulp-divergence floor.
+
+Reference parity targets:
+- S2  osmpbfreader get_objs_and_deps via the osm_reader modules
+- J3  cosmogony parent chain, src/admin.rs:251-294
+- G12/G13 libs/places centroid/bbox derivation for admins
+- G4  the geo crate's planar polygon distance (distance annotation)
+- G14 build_shape_query, dsl.rs:438-471
+- W4  stop.rs:168-195 line ordering
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .gate_points import (
+    POINTS_FROM_NATION_SQL,
+    POINTS_FROM_ORDERS_SQL,
+    points_from_nation,
+    points_from_orders,
+)
+
+# NOTE: .gate itself (rect_admins_df) is imported lazily inside the
+# query builders — gate.py imports this module at its bottom.
+
+# ---------------------------------------------------------------------------
+# S2 — filtered-object + transitive-dependency scan (osm_deps_closure)
+# ---------------------------------------------------------------------------
+#
+# Synthetic OSM-shaped graph from lineitem, integer-only so both engines
+# build it identically: relation(order) → way(part) → node-ish
+# supplier, plus a supplier↔twin 2-cycle so the gate proves the
+# frontier's anti-join terminates on cyclic member references (real OSM
+# relations can and do reference each other in cycles).
+
+_PART_NS = 10_000_000
+_SUPP_NS = 20_000_000
+_TWIN_NS = 30_000_000
+
+
+def q_osm_deps_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.readers import resolve_osm_dependencies
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ok = F.col("l_orderkey").cast("long")
+    pk = F.col("l_partkey").cast("long") + F.lit(_PART_NS)
+    sk = F.col("l_suppkey").cast("long") + F.lit(_SUPP_NS)
+    tw = F.col("l_suppkey").cast("long") + F.lit(_TWIN_NS)
+    members = (
+        li.select(ok.alias("parent_id"), pk.alias("child_id"))
+        .unionByName(li.select(pk.alias("parent_id"), sk.alias("child_id")))
+        .unionByName(li.select(sk.alias("parent_id"), tw.alias("child_id")))
+        .unionByName(li.select(tw.alias("parent_id"), sk.alias("child_id")))
+    )
+    seeds = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select(F.col("o_orderkey").cast("long").alias("osm_id"))
+    )
+    return resolve_osm_dependencies(seeds, members)
+
+
+OSM_DEPS_CLOSURE_SQL = f"""
+    WITH RECURSIVE edges AS (
+        SELECT CAST(l_orderkey AS BIGINT) AS parent_id,
+               CAST(l_partkey AS BIGINT) + {_PART_NS} AS child_id FROM lineitem
+        UNION ALL
+        SELECT CAST(l_partkey AS BIGINT) + {_PART_NS},
+               CAST(l_suppkey AS BIGINT) + {_SUPP_NS} FROM lineitem
+        UNION ALL
+        SELECT CAST(l_suppkey AS BIGINT) + {_SUPP_NS},
+               CAST(l_suppkey AS BIGINT) + {_TWIN_NS} FROM lineitem
+        UNION ALL
+        SELECT CAST(l_suppkey AS BIGINT) + {_TWIN_NS},
+               CAST(l_suppkey AS BIGINT) + {_SUPP_NS} FROM lineitem
+    ),
+    closure AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS osm_id FROM orders WHERE o_orderkey % 20 = 0
+        UNION
+        SELECT e.child_id FROM closure c JOIN edges e ON e.parent_id = c.osm_id
+    )
+    SELECT DISTINCT osm_id FROM closure
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3 — parent-hierarchy resolution over the 548-admin rectangle dim
+# ---------------------------------------------------------------------------
+
+
+def q_admin_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .gate import rect_admins_df
+    from .operators.places import resolve_admin_hierarchy
+
+    admins = rect_admins_df(spark)
+    resolved = resolve_admin_hierarchy(admins)
+    return resolved.select(
+        "id", F.array_join(F.col("parent_ids"), "|").alias("chain")
+    )
+
+
+# The rectangle hierarchy is closed-form: city(i,j) → state(i//4,j//4)
+# → country(i//16,j//8); state(i,j) → country(i//4,j//2).
+ADMIN_HIERARCHY_SQL = """
+    SELECT 'adm:c:' || CAST(i.range AS VARCHAR) || ':' || CAST(j.range AS VARCHAR) AS id,
+           '' AS chain
+    FROM range(2) i, range(2) j
+    UNION ALL
+    SELECT 'adm:s:' || CAST(i.range AS VARCHAR) || ':' || CAST(j.range AS VARCHAR),
+           'adm:c:' || CAST(i.range // 4 AS VARCHAR) || ':' || CAST(j.range // 2 AS VARCHAR)
+    FROM range(8) i, range(4) j
+    UNION ALL
+    SELECT 'adm:t:' || CAST(i.range AS VARCHAR) || ':' || CAST(j.range AS VARCHAR),
+           'adm:s:' || CAST(i.range // 4 AS VARCHAR) || ':' || CAST(j.range // 4 AS VARCHAR)
+           || '|' ||
+           'adm:c:' || CAST(i.range // 16 AS VARCHAR) || ':' || CAST(j.range // 8 AS VARCHAR)
+    FROM range(32) i, range(16) j
+"""
+
+
+# ---------------------------------------------------------------------------
+# G12/G13 — shoelace centroid + bbox from real WKB, vs closed form
+# ---------------------------------------------------------------------------
+
+
+def q_admin_centroid_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the actual WKB parse → mp_centroid/mp_bbox kernels
+    (geometry.py) over the 548 admin polygons in an Arrow-batched UDF;
+    the oracle knows each rectangle's center/extent in closed form.
+    Rounded to 6 decimals: the closed-form values are exact quarter-
+    precision doubles, the shoelace result is within a few ulp."""
+    from .gate import rect_admins_df
+
+    @F.pandas_udf(
+        "struct<cx:double,cy:double,minx:double,miny:double,maxx:double,maxy:double>"
+    )
+    def _geom(wkb: pd.Series) -> pd.DataFrame:
+        from .geometry import mp_bbox, mp_centroid, wkb_to_mp
+
+        rows = []
+        for buf in wkb:
+            mp = wkb_to_mp(bytes(buf))
+            cx, cy = mp_centroid(mp)
+            minx, miny, maxx, maxy = mp_bbox(mp)
+            rows.append((cx, cy, minx, miny, maxx, maxy))
+        return pd.DataFrame(rows, columns=["cx", "cy", "minx", "miny", "maxx", "maxy"])
+
+    admins = rect_admins_df(spark)
+    g = admins.select("id", _geom("boundary_wkb").alias("g"))
+    return g.select(
+        "id",
+        *[F.round(F.col(f"g.{c}"), 6).alias(c) for c in ("cx", "cy", "minx", "miny", "maxx", "maxy")],
+    )
+
+
+def _centroid_level_sql(prefix: str, ni: int, nj: int, w: float, h: float) -> str:
+    return f"""
+    SELECT '{prefix}' || CAST(i.range AS VARCHAR) || ':' || CAST(j.range AS VARCHAR) AS id,
+           ROUND(-180.0 + i.range * {w} + {w / 2.0}, 6) AS cx,
+           ROUND(-90.0 + j.range * {h} + {h / 2.0}, 6) AS cy,
+           ROUND(-180.0 + i.range * {w}, 6) AS minx,
+           ROUND(-90.0 + j.range * {h}, 6) AS miny,
+           ROUND(-180.0 + i.range * {w} + {w}, 6) AS maxx,
+           ROUND(-90.0 + j.range * {h} + {h}, 6) AS maxy
+    FROM range({ni}) i, range({nj}) j
+    """
+
+
+ADMIN_CENTROID_BBOX_SQL = (
+    _centroid_level_sql("adm:c:", 2, 2, 180.0, 90.0)
+    + " UNION ALL "
+    + _centroid_level_sql("adm:s:", 8, 4, 45.0, 45.0)
+    + " UNION ALL "
+    + _centroid_level_sql("adm:t:", 32, 16, 11.25, 11.25)
+)
+
+
+# ---------------------------------------------------------------------------
+# G4 — metric distance to a polygon (nation query points vs one country
+# rectangle), SQL mirroring the numpy op sequence edge by edge
+# ---------------------------------------------------------------------------
+
+_G4_RECT = (0.0, -90.0, 180.0, 90.0)  # x0, y0, w, h — country adm:c:1:0
+_M_PER_DEG = 2.0 * math.pi * 6371000.0 / 360.0
+
+
+def _g4_ring() -> np.ndarray:
+    x0, y0, w, h = _G4_RECT
+    return np.array(
+        [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)], dtype=np.float64
+    )
+
+
+def q_distance_to_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ring = _g4_ring()
+
+    @F.pandas_udf("double")
+    def _dist(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        from .geometry import points_to_mp_distance_m
+
+        return pd.Series(
+            points_to_mp_distance_m(lon.to_numpy(), lat.to_numpy(), [[ring]])
+        )
+
+    pts = points_from_nation(spark, sf_dir)
+    return pts.select(
+        "query_id", F.round(_dist("lon", "lat"), 2).alias("dist_m")
+    )
+
+
+def _g4_edge_sql(ax: float, ay: float, bx: float, by: float) -> str:
+    """One edge's point-to-segment distance, replicating
+    points_to_mp_distance_m's op order: per-edge local equirectangular
+    x-scaling by cos of the mean latitude of (edge midpoint, point).
+    SQL has no let-binding inside an expression, so the clamped ``t``
+    term is textually repeated — the arithmetic is identical."""
+    mid = f"({ay!r} + {by!r}) / 2.0"
+    cl = f"cos(radians((lat + {mid}) / 2.0))"
+    ux = f"({bx!r} * {cl} - {ax!r} * {cl})"
+    uy = f"({by!r} - {ay!r})"
+    t = (
+        f"GREATEST(0.0, LEAST(1.0, "
+        f"((lon * {cl} - {ax!r} * {cl}) * {ux} + (lat - {ay!r}) * {uy})"
+        f" / ({ux} * {ux} + {uy} * {uy})))"
+    )
+    dx = f"(lon * {cl} - ({ax!r} * {cl} + {t} * {ux}))"
+    dy = f"(lat - ({ay!r} + {t} * {uy}))"
+    return f"sqrt({dx} * {dx} + {dy} * {dy})"
+
+
+def _distance_oracle_sql() -> str:
+    ring = _g4_ring()
+    edges = []
+    n = len(ring)
+    for k in range(n):
+        ax, ay = float(ring[k][0]), float(ring[k][1])
+        bx, by = float(ring[(k + 1) % n][0]), float(ring[(k + 1) % n][1])
+        edges.append(_g4_edge_sql(ax, ay, bx, by))
+    x0, y0, w, h = _G4_RECT
+    least = "LEAST(" + ", ".join(edges) + ")"
+    return f"""
+        WITH pts AS ({POINTS_FROM_NATION_SQL})
+        SELECT query_id,
+               CASE WHEN lon >= {x0!r} AND lon <= {x0 + w!r}
+                     AND lat >= {y0!r} AND lat <= {y0 + h!r}
+                    THEN 0.0
+                    ELSE ROUND({least} * {_M_PER_DEG!r}, 2)
+               END AS dist_m
+        FROM pts
+    """
+
+
+# ---------------------------------------------------------------------------
+# G14 — geo_shape filter scoped by place type
+# ---------------------------------------------------------------------------
+
+_SHAPE_RECT = (0.0, 0.0, 45.0, 45.0)
+
+
+def q_shape_filter_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.geocode import shape_filter
+
+    x0, y0, w, h = _SHAPE_RECT
+    ring = np.array(
+        [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)], dtype=np.float64
+    )
+    pts = points_from_orders(spark, sf_dir)
+    places = pts.select(
+        "point_id",
+        "lon",
+        "lat",
+        F.when(F.col("point_id") % 3 == 0, F.lit("poi"))
+        .when(F.col("point_id") % 3 == 1, F.lit("addr"))
+        .otherwise(F.lit("street"))
+        .alias("type"),
+    )
+    out = shape_filter(places, [[ring]], ["poi", "addr"])
+    return out.select("point_id", "type")
+
+
+def _shape_filter_sql() -> str:
+    x0, y0, w, h = _SHAPE_RECT
+    return f"""
+        WITH pts AS ({POINTS_FROM_ORDERS_SQL}),
+        typed AS (
+            SELECT point_id, lon, lat,
+                   CASE CAST(point_id % 3 AS INT)
+                        WHEN 0 THEN 'poi' WHEN 1 THEN 'addr' ELSE 'street'
+                   END AS type
+            FROM pts
+        )
+        SELECT point_id, type FROM typed
+        WHERE type NOT IN ('poi', 'addr')
+           OR (lon >= {x0!r} AND lon <= {x0 + w!r} AND lat >= {y0!r} AND lat <= {y0 + h!r})
+    """
+
+
+# ---------------------------------------------------------------------------
+# W4 — stop-line human (natural) sort
+# ---------------------------------------------------------------------------
+
+_NULLS_LAST = 2**60
+
+
+def q_stop_line_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalars import sort_lines
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ln = F.col("l_linenumber").cast("int")
+    line = F.struct(
+        F.when(ln % 3 == 0, F.lit(None).cast("int")).otherwise((ln % 2).cast("int")).alias("sort_order"),
+        F.concat(
+            F.lit("C"), ln.cast("string"), F.lit("_"), (F.col("l_partkey") % 120).cast("string")
+        ).alias("code"),
+        F.concat(F.lit("bus "), (F.col("l_suppkey") % 45).cast("string")).alias("name"),
+    )
+    grouped = (
+        li.select(F.col("l_orderkey").alias("route_id"), line.alias("line"))
+        .groupBy("route_id")
+        .agg(F.collect_list("line").alias("lines"))
+    )
+    return grouped.select(
+        "route_id",
+        F.array_join(
+            F.transform(
+                sort_lines("lines"), lambda l: F.concat(l["code"], F.lit("/"), l["name"])
+            ),
+            ",",
+        ).alias("line_order"),
+    )
+
+
+STOP_LINE_SORT_SQL = f"""
+    WITH lines AS (
+        SELECT l_orderkey AS route_id,
+               CASE WHEN l_linenumber % 3 = 0 THEN NULL ELSE l_linenumber % 2 END AS so,
+               l_linenumber AS ln,
+               l_partkey % 120 AS pk,
+               l_suppkey % 45 AS sk
+        FROM lineitem
+    )
+    SELECT route_id,
+           string_agg(
+               'C' || CAST(ln AS VARCHAR) || '_' || CAST(pk AS VARCHAR)
+                   || '/' || 'bus ' || CAST(sk AS VARCHAR),
+               ','
+               ORDER BY COALESCE(CAST(so AS BIGINT), {_NULLS_LAST}),
+                        'c' || lpad(CAST(ln AS VARCHAR), 10, '0')
+                            || '_' || lpad(CAST(pk AS VARCHAR), 10, '0'),
+                        'bus ' || lpad(CAST(sk AS VARCHAR), 10, '0')
+           ) AS line_order
+    FROM lines
+    GROUP BY route_id
+"""
+
+
+EXTRA_QUERIES = {
+    "osm_deps_closure": (q_osm_deps_closure, OSM_DEPS_CLOSURE_SQL),
+    "admin_hierarchy": (q_admin_hierarchy, ADMIN_HIERARCHY_SQL),
+    "admin_centroid_bbox": (q_admin_centroid_bbox, ADMIN_CENTROID_BBOX_SQL),
+    "distance_to_polygon": (q_distance_to_polygon, _distance_oracle_sql()),
+    "shape_filter_scoped": (q_shape_filter_scoped, _shape_filter_sql()),
+    "stop_line_sort": (q_stop_line_sort, STOP_LINE_SORT_SQL),
+}
