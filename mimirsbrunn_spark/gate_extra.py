@@ -368,6 +368,217 @@ STOP_LINE_SORT_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# A3+A2 — population parse (tags → fallback center_tags → 0) then
+# normalize clamp(w / 1.4e9, 0, 1)
+# ---------------------------------------------------------------------------
+
+
+def q_weight_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalars import population_weight
+    from .operators.enrich import normalize_weight
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey").cast("long")
+    tags = F.create_map(
+        F.lit("population"),
+        F.when(k % 10 == 0, F.lit("xx")).otherwise((k * 700000).cast("string")),
+    )
+    center_tags = F.create_map(
+        F.lit("population"),
+        F.when(k % 20 == 0, F.lit("yy")).otherwise((k * 300000).cast("string")),
+    )
+    pop = population_weight(tags, center_tags)
+    return c.select(
+        F.col("c_custkey").alias("query_id"), normalize_weight(pop).alias("weight")
+    )
+
+
+WEIGHT_NORMALIZE_SQL = """
+    SELECT c_custkey AS query_id,
+           CASE WHEN c_custkey % 20 = 0 THEN 0.0
+                WHEN c_custkey % 10 = 0 THEN
+                     LEAST(GREATEST(CAST(c_custkey AS BIGINT) * 300000 / 1.4e9, 0.0), 1.0)
+                ELSE LEAST(GREATEST(CAST(c_custkey AS BIGINT) * 700000 / 1.4e9, 0.0), 1.0)
+           END AS weight
+    FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# C7/C8/C9 — codes / i18n names / country code from an OSM tag map
+# ---------------------------------------------------------------------------
+
+
+def q_tag_codes_i18n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalars import (
+        codes_from_tags,
+        country_code_from_codes,
+        i18n_names_from_tags,
+    )
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nk = F.col("n_nationkey").cast("string")
+    tags = F.create_map(
+        F.lit("ISO3166-1:alpha2"), F.substring("n_name", 1, 2),
+        F.lit("ref:INSEE"), nk,
+        F.lit("wikidata"), F.concat(F.lit("Q"), nk),
+        F.lit("name"), F.col("n_name"),
+        F.lit("name:fr"), F.concat(F.lit("fr-"), F.col("n_name")),
+        F.lit("name:de"), F.concat(F.lit("de-"), F.col("n_name")),
+        F.lit("name:zz"), F.concat(F.lit("zz-"), F.col("n_name")),
+        F.lit("highway"), F.lit("bus_stop"),
+    )
+    base = n.select(F.col("n_nationkey").alias("nation_id"), tags.alias("tags"))
+    codes = base.select(
+        "nation_id", F.explode(F.map_entries(codes_from_tags("tags"))).alias("e")
+    ).select("nation_id", F.lit("code").alias("kind"), F.col("e.key").alias("key"), F.col("e.value").alias("value"))
+    names = base.select(
+        "nation_id",
+        F.explode(F.map_entries(i18n_names_from_tags("tags", ["fr", "de"]))).alias("e"),
+    ).select("nation_id", F.lit("name").alias("kind"), F.col("e.key").alias("key"), F.col("e.value").alias("value"))
+    cc = base.select(
+        "nation_id",
+        F.lit("cc").alias("kind"),
+        F.lit("country_code").alias("key"),
+        country_code_from_codes(codes_from_tags("tags")).alias("value"),
+    )
+    return codes.unionByName(names).unionByName(cc)
+
+
+TAG_CODES_I18N_SQL = """
+    SELECT n_nationkey AS nation_id, 'code' AS kind, 'ISO3166-1:alpha2' AS key,
+           substring(n_name, 1, 2) AS value FROM nation
+    UNION ALL
+    SELECT n_nationkey, 'code', 'ref:INSEE', CAST(n_nationkey AS VARCHAR) FROM nation
+    UNION ALL
+    SELECT n_nationkey, 'code', 'wikidata', 'Q' || CAST(n_nationkey AS VARCHAR) FROM nation
+    UNION ALL
+    SELECT n_nationkey, 'name', 'fr', 'fr-' || n_name FROM nation
+    UNION ALL
+    SELECT n_nationkey, 'name', 'de', 'de-' || n_name FROM nation
+    UNION ALL
+    SELECT n_nationkey, 'cc', 'country_code', lower(substring(n_name, 1, 2)) FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# J8 — munin union view with type pruning (streets supplied but NOT
+# requested — the oracle proves the pruned table contributes no rows)
+# ---------------------------------------------------------------------------
+
+
+def q_union_places_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.union_view import places_view
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ck = F.col("c_custkey").cast("long")
+    addrs = c.select(
+        F.concat(F.lit("addr:"), ck.cast("string")).alias("addr_id"),
+        F.col("c_name").alias("name"),
+        ((ck * 13) % 3600 / 10.0 - 180.0).alias("lon"),
+        ((ck * 7) % 1800 / 10.0 - 90.0).alias("lat"),
+        ((ck % 100) / 100.0).alias("weight"),
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    streets = s.select(
+        F.concat(F.lit("street:"), F.col("s_suppkey").cast("string")).alias("street_id"),
+        F.col("s_name").alias("name"),
+        F.lit(0.0).alias("lon"), F.lit(0.0).alias("lat"),
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pk = F.col("p_partkey").cast("long")
+    pois = p.select(
+        F.concat(F.lit("poi:"), pk.cast("string")).alias("poi_id"),
+        F.col("p_name").alias("name"),
+        ((pk * 17) % 3600 / 10.0 - 180.0).alias("lon"),
+        ((pk * 11) % 1800 / 10.0 - 90.0).alias("lat"),
+    )
+    view = places_view(spark, addrs=addrs, streets=streets, pois=pois, types=["addr", "poi"])
+    return view.select("id", "type", "name", "lon", "lat", "weight")
+
+
+UNION_PLACES_VIEW_SQL = """
+    SELECT 'addr:' || CAST(c_custkey AS VARCHAR) AS id, 'addr' AS type, c_name AS name,
+           (CAST(c_custkey AS BIGINT) * 13) % 3600 / 10.0 - 180.0 AS lon,
+           (CAST(c_custkey AS BIGINT) * 7) % 1800 / 10.0 - 90.0 AS lat,
+           (c_custkey % 100) / 100.0 AS weight
+    FROM customer
+    UNION ALL
+    SELECT 'poi:' || CAST(p_partkey AS VARCHAR), 'poi', p_name,
+           (CAST(p_partkey AS BIGINT) * 17) % 3600 / 10.0 - 180.0,
+           (CAST(p_partkey AS BIGINT) * 11) % 1800 / 10.0 - 90.0,
+           0.0
+    FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# F2 — POI first-match rule engine (first matching rule wins; unmatched
+# rows are dropped entirely)
+# ---------------------------------------------------------------------------
+
+
+def q_poi_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.places import classify_pois
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pk = F.col("p_partkey").cast("long")
+    am = (
+        F.when(pk % 5 == 0, F.lit("townhall"))
+        .when(pk % 5 == 1, F.lit("parking"))
+        .when(pk % 5 == 3, F.lit("college"))
+        .otherwise(F.lit("junk"))
+    )
+    le = (
+        F.when(pk % 3 == 0, F.lit("garden"))
+        .when(pk % 3 == 1, F.lit("park"))
+        .otherwise(F.lit("none"))
+    )
+    pois = p.select(
+        F.col("p_partkey").alias("poi_id"),
+        F.create_map(F.lit("amenity"), am, F.lit("leisure"), le).alias("tags"),
+    )
+    out = classify_pois(pois)
+    return out.select(
+        "poi_id", F.col("poi_type.id").alias("type_id"), F.col("poi_type.name").alias("type_name")
+    )
+
+
+# Rule order: every amenity rule precedes garden/park, and exactly one
+# amenity value can match per row, so the first-match semantics reduce
+# to this CASE (college < parking < townhall < garden < park in the
+# DEFAULT_POI_RULES order is irrelevant for single-valued tags).
+POI_CLASSIFY_SQL = """
+    WITH typed AS (
+        SELECT p_partkey AS poi_id,
+               CASE WHEN p_partkey % 5 = 0 THEN 'townhall'
+                    WHEN p_partkey % 5 = 1 THEN 'parking'
+                    WHEN p_partkey % 5 = 3 THEN 'college'
+                    ELSE 'junk' END AS am,
+               CASE WHEN p_partkey % 3 = 0 THEN 'garden'
+                    WHEN p_partkey % 3 = 1 THEN 'park'
+                    ELSE 'none' END AS le
+        FROM part
+    )
+    SELECT poi_id,
+           CASE WHEN am = 'college' THEN 'poi_type:amenity:college'
+                WHEN am = 'parking' THEN 'poi_type:amenity:parking'
+                WHEN am = 'townhall' THEN 'poi_type:amenity:townhall'
+                WHEN le = 'garden' THEN 'poi_type:leisure:garden'
+                WHEN le = 'park' THEN 'poi_type:leisure:park'
+           END AS type_id,
+           CASE WHEN am = 'college' THEN 'college'
+                WHEN am = 'parking' THEN 'parking'
+                WHEN am = 'townhall' THEN 'town hall'
+                WHEN le = 'garden' THEN 'garden'
+                WHEN le = 'park' THEN 'park'
+           END AS type_name
+    FROM typed
+    WHERE am IN ('college', 'parking', 'townhall') OR le IN ('garden', 'park')
+"""
+
+
 EXTRA_QUERIES = {
     "osm_deps_closure": (q_osm_deps_closure, OSM_DEPS_CLOSURE_SQL),
     "admin_hierarchy": (q_admin_hierarchy, ADMIN_HIERARCHY_SQL),
@@ -375,4 +586,8 @@ EXTRA_QUERIES = {
     "distance_to_polygon": (q_distance_to_polygon, _distance_oracle_sql()),
     "shape_filter_scoped": (q_shape_filter_scoped, _shape_filter_sql()),
     "stop_line_sort": (q_stop_line_sort, STOP_LINE_SORT_SQL),
+    "weight_normalize": (q_weight_normalize, WEIGHT_NORMALIZE_SQL),
+    "tag_codes_i18n": (q_tag_codes_i18n, TAG_CODES_I18N_SQL),
+    "union_places_view": (q_union_places_view, UNION_PLACES_VIEW_SQL),
+    "poi_classify": (q_poi_classify, POI_CLASSIFY_SQL),
 }
