@@ -579,6 +579,164 @@ POI_CLASSIFY_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# S4 — BANO CSV reader round-trip: deterministic CSV written from
+# customer, read back through the REAL reader (schema enforcement,
+# DROPMALFORMED, empty-street drop), vs the surviving-row oracle
+# ---------------------------------------------------------------------------
+
+
+def _gate_tmp(sf_dir: str, kind: str) -> str:
+    import re
+
+    slug = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
+    return f"/tmp/mim_gate_srcfiles/{slug}/{kind}"
+
+
+def q_bano_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.readers import read_bano_csv
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey").cast("long")
+    ks = k.cast("string")
+    rows = c.select(
+        F.concat(F.lit("b"), ks).alias("id"),
+        F.concat((k % 200).cast("string"), F.when(k % 7 == 0, F.lit("bis")).otherwise(F.lit(""))).alias("house_number"),
+        F.when(k % 11 == 0, F.lit("")).otherwise(F.concat(F.lit("rue "), (k % 50).cast("string"))).alias("street"),
+        (k % 90000 + 10000).cast("string").alias("zip"),
+        F.concat(F.lit("city"), (k % 30).cast("string")).alias("city"),
+        F.lit("bano").alias("src"),
+        # k%13==0 rows get an unparseable lat — the reader must drop them
+        F.when(k % 13 == 0, F.lit("bad")).otherwise(
+            (((k * 7) % 1800 - 900) / 10.0).cast("string")
+        ).alias("lat"),
+        (((k * 13) % 3600 - 1800) / 10.0).cast("string").alias("lon"),
+    )
+    path = _gate_tmp(sf_dir, "bano_csv")
+    rows.write.mode("overwrite").option("emptyValue", "").csv(path)
+    out = read_bano_csv(spark, path)
+    return out.select("id", "house_number", "street", "zip", "city", "lat", "lon")
+
+
+BANO_CSV_SQL = """
+    SELECT 'b' || CAST(c_custkey AS VARCHAR) AS id,
+           CAST(c_custkey % 200 AS VARCHAR)
+               || CASE WHEN c_custkey % 7 = 0 THEN 'bis' ELSE '' END AS house_number,
+           'rue ' || CAST(c_custkey % 50 AS VARCHAR) AS street,
+           CAST(c_custkey % 90000 + 10000 AS VARCHAR) AS zip,
+           'city' || CAST(c_custkey % 30 AS VARCHAR) AS city,
+           ((CAST(c_custkey AS BIGINT) * 7) % 1800 - 900) / 10.0 AS lat,
+           ((CAST(c_custkey AS BIGINT) * 13) % 3600 - 1800) / 10.0 AS lon
+    FROM customer
+    WHERE c_custkey % 11 != 0 AND c_custkey % 13 != 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# S3 — cosmogony JSONL reader round-trip (malformed lines dropped)
+# ---------------------------------------------------------------------------
+
+
+def q_cosmogony_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.readers import read_cosmogony_jsonl
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey").cast("long")
+    payload = F.to_json(
+        F.struct(
+            F.concat(F.lit("zone:"), k.cast("string")).alias("id"),
+            F.concat(F.lit("Zone "), F.col("n_name")).alias("name"),
+            F.element_at(
+                F.array(F.lit("city"), F.lit("state"), F.lit("country"), F.lit("unknown")),
+                (k % 4 + 1).cast("int"),
+            ).alias("zone_type"),
+            F.when(k % 3 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("parent:"), (k % 7).cast("string"))
+            ).alias("parent_id"),
+        )
+    )
+    lines = n.select(
+        F.when(k % 5 == 0, F.lit('{"broken')).otherwise(payload).alias("value")
+    )
+    path = _gate_tmp(sf_dir, "cosmogony_jsonl")
+    lines.write.mode("overwrite").text(path)
+    out = read_cosmogony_jsonl(
+        spark, path, schema="id string, name string, zone_type string, parent_id string"
+    )
+    return out.select("id", "name", "zone_type", "parent_id")
+
+
+COSMOGONY_JSONL_SQL = """
+    SELECT 'zone:' || CAST(n_nationkey AS VARCHAR) AS id,
+           'Zone ' || n_name AS name,
+           CASE CAST(n_nationkey % 4 AS INT)
+                WHEN 0 THEN 'city' WHEN 1 THEN 'state'
+                WHEN 2 THEN 'country' ELSE 'unknown' END AS zone_type,
+           CASE WHEN n_nationkey % 3 = 0 THEN ''
+                ELSE 'parent:' || CAST(n_nationkey % 7 AS VARCHAR) END AS parent_id
+    FROM nation
+    WHERE n_nationkey % 5 != 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# G8 — POI → nearest-address LEFT join (keep the POI when none found);
+# null sentinels (-1) so both engines hash identically
+# ---------------------------------------------------------------------------
+
+_G8_RADIUS_M = 200_000.0
+
+
+def q_poi_nearest_addr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.knn import reverse_geocode
+
+    pois = points_from_nation(spark, sf_dir)
+    addrs = points_from_orders(spark, sf_dir).withColumnRenamed("point_id", "target_id")
+    nearest = reverse_geocode(
+        pois, addrs, k=1, radius_m=_G8_RADIUS_M, res=0,
+        query_id="query_id", target_id="target_id",
+    ).select(
+        "query_id",
+        F.col("target_id").alias("nearest_addr_id"),
+        F.col("distance_m").alias("nearest_addr_distance_m"),
+    )
+    return (
+        pois.select(F.col("query_id").alias("poi_id"))
+        .join(nearest, F.col("poi_id") == F.col("query_id"), "left")
+        .select(
+            "poi_id",
+            F.coalesce(F.col("nearest_addr_id"), F.lit(-1)).alias("nearest_addr_id"),
+            F.coalesce(F.col("nearest_addr_distance_m"), F.lit(-1.0)).alias("nearest_addr_distance_m"),
+        )
+    )
+
+
+def _poi_nearest_addr_sql() -> str:
+    from .geometry import haversine_sql
+
+    return f"""
+        WITH q AS ({POINTS_FROM_NATION_SQL}),
+        t AS ({POINTS_FROM_ORDERS_SQL}),
+        pairs AS (
+            SELECT q.query_id, t.point_id AS target_id,
+                   {haversine_sql('q.lon', 'q.lat', 't.lon', 't.lat')} AS d
+            FROM q, t
+        ),
+        ranked AS (
+            SELECT query_id, target_id, round(d, 3) AS distance_m,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(d, 3) ASC, target_id ASC
+                   ) AS rank
+            FROM pairs WHERE d <= {_G8_RADIUS_M!r}
+        )
+        SELECT q.query_id AS poi_id,
+               COALESCE(r.target_id, -1) AS nearest_addr_id,
+               COALESCE(r.distance_m, -1.0) AS nearest_addr_distance_m
+        FROM q LEFT JOIN (SELECT * FROM ranked WHERE rank = 1) r USING (query_id)
+    """
+
+
 EXTRA_QUERIES = {
     "osm_deps_closure": (q_osm_deps_closure, OSM_DEPS_CLOSURE_SQL),
     "admin_hierarchy": (q_admin_hierarchy, ADMIN_HIERARCHY_SQL),
@@ -590,4 +748,7 @@ EXTRA_QUERIES = {
     "tag_codes_i18n": (q_tag_codes_i18n, TAG_CODES_I18N_SQL),
     "union_places_view": (q_union_places_view, UNION_PLACES_VIEW_SQL),
     "poi_classify": (q_poi_classify, POI_CLASSIFY_SQL),
+    "bano_csv_roundtrip": (q_bano_csv_roundtrip, BANO_CSV_SQL),
+    "cosmogony_jsonl_roundtrip": (q_cosmogony_jsonl_roundtrip, COSMOGONY_JSONL_SQL),
+    "poi_nearest_addr": (q_poi_nearest_addr, _poi_nearest_addr_sql()),
 }
