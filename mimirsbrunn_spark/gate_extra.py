@@ -737,6 +737,47 @@ def _poi_nearest_addr_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Z-order layout — cluster-on-write + stats-pruned range scan
+# ---------------------------------------------------------------------------
+#
+# The gate proves the layout is RESULT-TRANSPARENT: writing the point
+# cloud range-clustered on the Morton key and scanning it back through a
+# key-window predicate returns exactly the rows the oracle computes
+# straight from the source table (the layout only changes which files a
+# scan opens — pruning itself is asserted by tests/test_layout.py on the
+# parquet footer stats). Window = a prefix-2 quad (lon [0,90), lat
+# [-90,-45)) that the derived point cloud populates at every sf. Reference relationship: ES geohash-bucketed routing
+# (mimir-base.json geo fields) is the reference's implicit layout.
+
+
+def q_zorder_cluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.layout import write_spatially_clustered, zrange_scan
+
+    pts = points_from_orders(spark, sf_dir)
+    path = _gate_tmp(sf_dir, "zorder_pts")
+    key = write_spatially_clustered(pts, path, res=12, n_files=8)
+    lo, hi = _zorder_window()
+    return zrange_scan(spark, path, lo, hi, key).select("point_id", key)
+
+
+def _zorder_window() -> tuple[int, int]:
+    from .tiles import morton_window
+
+    return morton_window(2.35, -60.0, res=12, prefix_bits=2)
+
+
+def _zorder_cluster_sql() -> str:
+    from .tiles import morton_key_sql_cte
+
+    lo, hi = _zorder_window()
+    cte = morton_key_sql_cte(POINTS_FROM_ORDERS_SQL, "lon", "lat", 12)
+    return f"""
+    SELECT point_id, z_12 FROM ({cte})
+    WHERE z_12 BETWEEN {lo} AND {hi}
+    """
+
+
 EXTRA_QUERIES = {
     "osm_deps_closure": (q_osm_deps_closure, OSM_DEPS_CLOSURE_SQL),
     "admin_hierarchy": (q_admin_hierarchy, ADMIN_HIERARCHY_SQL),
@@ -751,4 +792,5 @@ EXTRA_QUERIES = {
     "bano_csv_roundtrip": (q_bano_csv_roundtrip, BANO_CSV_SQL),
     "cosmogony_jsonl_roundtrip": (q_cosmogony_jsonl_roundtrip, COSMOGONY_JSONL_SQL),
     "poi_nearest_addr": (q_poi_nearest_addr, _poi_nearest_addr_sql()),
+    "zorder_cluster_scan": (q_zorder_cluster_scan, _zorder_cluster_sql()),
 }

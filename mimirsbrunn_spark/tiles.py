@@ -558,3 +558,134 @@ def get_cell_ops(backend: str | None = None, h3mod=None) -> _CellOps:
 
 
 GRID_BACKEND = detect_grid_backend()
+
+
+# ---------------------------------------------------------------------------
+# Morton (Z-order) keys — data-layout clustering
+# ---------------------------------------------------------------------------
+#
+# Bit-interleave of the SAME (i, j) grid indices the quadtree cells use,
+# via the public "Binary Magic Numbers" spread (Sean Anderson's bit
+# hacks page; also how Delta's OPTIMIZE ZORDER and Geomesa's Z2 index
+# key points). Unlike the row-major `grid_cell` id, consecutive Morton
+# keys are spatially adjacent quads, so range-clustering parquet files
+# on this key gives every file a spatially tight footprint — the layout
+# lever `plans/layout.py` builds on. Reference relationship: ES gets
+# spatial routing from its geohash-bucketed indices (mimir-base.json
+# geo fields); a parquet lake needs the explicit curve key.
+
+_MORTON_STEPS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _grid_ij_int(lon: float, lat: float, res: int) -> tuple[int, int]:
+    """Python-scalar (i, j) with the exact float64 op sequence of
+    grid_cell_np (CPython floats ARE float64, so this is bit-identical)."""
+    size = 1 << _grid_n(res)
+    i = int(np.floor((float(lon) + 180.0) / 360.0 * float(size)))
+    j = int(np.floor((float(lat) + 90.0) / 180.0 * float(size)))
+    return min(max(i, 0), size - 1), min(max(j, 0), size - 1)
+
+
+def morton_interleave_int(i: int, j: int) -> int:
+    def spread(x: int) -> int:
+        for sh, m in _MORTON_STEPS:
+            x = (x | (x << sh)) & m
+        return x
+
+    return spread(i) | (spread(j) << 1)
+
+
+def morton_key_np(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """Vectorized lon/lat → Morton key (int64), oracle/pandas path."""
+    n = _grid_n(res)
+    size = np.int64(1) << n
+    i = np.floor((np.asarray(lon, dtype=np.float64) + 180.0) / 360.0 * float(size)).astype(np.int64)
+    j = np.floor((np.asarray(lat, dtype=np.float64) + 90.0) / 180.0 * float(size)).astype(np.int64)
+    i = np.clip(i, 0, size - 1)
+    j = np.clip(j, 0, size - 1)
+
+    def spread(x: np.ndarray) -> np.ndarray:
+        for sh, m in _MORTON_STEPS:
+            x = (x | (x << np.int64(sh))) & np.int64(m)
+        return x
+
+    return spread(i) | (spread(j) << np.int64(1))
+
+
+def morton_key_col(lon: Column | str, lat: Column | str, res: int) -> Column:
+    """The identical Morton key fully JVM-side (no Python in the plan)."""
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    size = 1 << _grid_n(res)
+    i = F.least(F.greatest(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(size))), F.lit(0)), F.lit(size - 1))
+    j = F.least(F.greatest(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(size))), F.lit(0)), F.lit(size - 1))
+
+    def spread(c: Column) -> Column:
+        for sh, m in _MORTON_STEPS:
+            c = c.bitwiseOR(F.shiftleft(c, sh)).bitwiseAND(F.lit(m))
+        return c
+
+    return spread(i).bitwiseOR(F.shiftleft(spread(j), 1)).alias(f"z_{res}")
+
+
+def morton_key_sql_cte(inner_sql: str, lon_expr: str, lat_expr: str, res: int,
+                       alias: str | None = None) -> str:
+    """DuckDB oracle for ``morton_key_col`` as a WITH chain over
+    ``inner_sql`` (staged `SELECT * REPLACE` spreads keep the SQL linear
+    instead of exponentially duplicating the i/j expressions). The final
+    SELECT carries every inner column plus the key column ``z_{res}``."""
+    size = 1 << _grid_n(res)
+    zcol = alias or f"z_{res}"
+    i = (f"least(greatest(cast(floor(({lon_expr} + 180.0) / 360.0 * {float(size)}) as bigint), 0), {size - 1})")
+    j = (f"least(greatest(cast(floor(({lat_expr} + 90.0) / 180.0 * {float(size)}) as bigint), 0), {size - 1})")
+    stages = [f"_z0 AS (SELECT *, {i} AS _zi, {j} AS _zj FROM _zin)"]
+    for k, (sh, m) in enumerate(_MORTON_STEPS, start=1):
+        stages.append(
+            f"_z{k} AS (SELECT * REPLACE(((_zi | (_zi << {sh})) & {m}) AS _zi,"
+            f" ((_zj | (_zj << {sh})) & {m}) AS _zj) FROM _z{k - 1})"
+        )
+    n_stages = len(_MORTON_STEPS)
+    return (
+        f"WITH _zin AS ({inner_sql}), " + ", ".join(stages)
+        + f" SELECT * EXCLUDE (_zi, _zj), (_zi | (_zj << 1)) AS {zcol} FROM _z{n_stages}"
+    )
+
+
+def morton_window(lon: float, lat: float, res: int, prefix_bits: int) -> tuple[int, int]:
+    """[lo, hi] Morton-key range (inclusive) of the quad with
+    ``prefix_bits`` bits per axis that contains (lon, lat) — the whole
+    quad is ONE contiguous key range, which is the property the layout
+    pruning relies on."""
+    n = _grid_n(res)
+    if not 0 <= prefix_bits <= n:
+        raise ValueError(f"prefix_bits must be in [0, {n}]")
+    i, j = _grid_ij_int(lon, lat, res)
+    shift = n - prefix_bits
+    base = morton_interleave_int(i >> shift, j >> shift)
+    lo = base << (2 * shift)
+    return lo, lo + (1 << (2 * shift)) - 1
+
+
+def with_morton_key(df, lon: str = "lon", lat: str = "lat", res: int = 12,
+                    key: str | None = None):
+    """Staged-projection Morton key: each spread step lands in its own
+    named column, so Catalyst keeps the steps as separate (non-cheap,
+    referenced-twice) projections instead of inlining them into one
+    exponentially-duplicated expression tree — the single-Column form
+    (`morton_key_col`) exceeds janino's method-size limit and knocks the
+    whole stage out of codegen. Use THIS form in write paths."""
+    out = key or f"z_{res}"
+    size = 1 << _grid_n(res)
+    i = F.least(F.greatest(F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(size))), F.lit(0)), F.lit(size - 1))
+    j = F.least(F.greatest(F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(size))), F.lit(0)), F.lit(size - 1))
+    d = df.withColumn("_zi", i).withColumn("_zj", j)
+    for sh, m in _MORTON_STEPS:
+        d = d.withColumn("_zi", F.col("_zi").bitwiseOR(F.shiftleft(F.col("_zi"), sh)).bitwiseAND(F.lit(m)))
+        d = d.withColumn("_zj", F.col("_zj").bitwiseOR(F.shiftleft(F.col("_zj"), sh)).bitwiseAND(F.lit(m)))
+    return d.withColumn(out, F.col("_zi").bitwiseOR(F.shiftleft(F.col("_zj"), 1))).drop("_zi", "_zj")

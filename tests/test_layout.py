@@ -1,0 +1,127 @@
+"""Z-order layout: Morton key cross-engine identity, cluster-on-write
+file pruning (parquet footer stats), pushed-filter plan shape, and the
+result-transparency the gate relies on.
+
+Reference relationship: ES geohash-bucketed index routing
+(config/elasticsearch/templates/components/mimir-base.json geo fields)
+is mimirsbrunn's implicit spatial layout; the parquet lake makes it an
+explicit curve key (see mimirsbrunn_spark/plans/layout.py docstring).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mimirsbrunn_spark.gate_points import points_from_orders
+from mimirsbrunn_spark.plans.layout import (
+    bbox_scan,
+    file_key_ranges,
+    pruned_file_fraction,
+    write_spatially_clustered,
+    zrange_scan,
+)
+from mimirsbrunn_spark.tiles import (
+    morton_interleave_int,
+    morton_key_col,
+    morton_key_np,
+    morton_window,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_morton_interleave_bits():
+    # i fills even bits, j odd bits
+    assert morton_interleave_int(0b101, 0b011) == 0b011011
+    assert morton_interleave_int(0, 0) == 0
+    n21 = (1 << 21) - 1
+    assert morton_interleave_int(n21, n21) == (1 << 42) - 1
+
+
+def test_morton_col_matches_np(spark):
+    pts = points_from_orders(spark, SF_DIR).limit(500)
+    rows = pts.select("lon", "lat", morton_key_col("lon", "lat", 12)).collect()
+    lon = np.array([r.lon for r in rows])
+    lat = np.array([r.lat for r in rows])
+    expect = morton_key_np(lon, lat, 12)
+    got = np.array([r.z_12 for r in rows])
+    assert (expect == got).all()
+
+
+def test_morton_window_is_exact_quad_key_set():
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 180, 2000)
+    lat = rng.uniform(-90, 90, 2000)
+    keys = morton_key_np(lon, lat, 12)
+    lo, hi = morton_window(2.35, 48.85, res=12, prefix_bits=2)
+    in_win = (keys >= lo) & (keys <= hi)
+    # membership in the window == membership in the quad (same i/j prefix)
+    qlon = (lon >= 0.0) & (lon < 90.0)  # prefix 2 of i: 4 quads of 90 deg
+    qlat = (lat >= 45.0) & (lat < 90.0)  # prefix 2 of j: 4 quads of 45 deg
+    assert (in_win == (qlon & qlat)).all()
+
+
+@pytest.fixture(scope="module")
+def clustered(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("zlayout") / "pts")
+    pts = points_from_orders(spark, SF_DIR)
+    key = write_spatially_clustered(pts, path, res=12, n_files=8)
+    return path, key
+
+
+def test_clustered_scan_result_transparent(spark, clustered):
+    path, key = clustered
+    lo, hi = morton_window(2.35, -60.0, res=12, prefix_bits=2)
+    got = {r.point_id for r in zrange_scan(spark, path, lo, hi, key).collect()}
+    direct = {
+        r.point_id
+        for r in points_from_orders(spark, SF_DIR)
+        .withColumn(key, morton_key_col("lon", "lat", 12))
+        .filter(F.col(key).between(lo, hi))
+        .collect()
+    }
+    assert got == direct and len(got) > 0
+
+
+def test_clustered_files_prune_unclustered_dont(spark, clustered, tmp_path):
+    path, key = clustered
+    ranges = file_key_ranges(path, key)
+    assert len(ranges) >= 6  # range partitioner actually split the keyspace
+    # near-disjoint: each boundary overlaps at most its neighbour
+    ordered = sorted(ranges, key=lambda r: r[1])
+    for (_, _, mx), (_, mn2, _) in zip(ordered, ordered[1:]):
+        assert mx <= mn2
+    lo, hi = morton_window(2.35, -60.0, res=12, prefix_bits=2)
+    frac = pruned_file_fraction(path, lo, hi, key)
+    assert frac >= 0.5, f"clustered layout pruned only {frac:.2f}"
+
+    # same rows, unclustered: every file spans ~the whole keyspace -> no pruning
+    flat = str(tmp_path / "flat")
+    (
+        points_from_orders(spark, SF_DIR)
+        .withColumn(key, morton_key_col("lon", "lat", 12))
+        .repartition(8)
+        .write.parquet(flat)
+    )
+    assert pruned_file_fraction(flat, lo, hi, key) == 0.0
+
+
+def test_zrange_filter_is_pushed_to_scan(spark, clustered):
+    path, key = clustered
+    lo, hi = morton_window(2.35, 48.85, res=12, prefix_bits=2)
+    plan = zrange_scan(spark, path, lo, hi, key)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert f"GreaterThanOrEqual({key}," in plan and f"LessThanOrEqual({key}," in plan
+
+
+def test_bbox_scan_union_of_windows(spark, clustered):
+    path, key = clustered
+    w1 = morton_window(2.35, -60.0, res=12, prefix_bits=2)
+    w2 = morton_window(-100.0, -60.0, res=12, prefix_bits=2)
+    got = {r.point_id for r in bbox_scan(spark, path, [w1, w2], key).collect()}
+    per = set()
+    for lo, hi in (w1, w2):
+        per |= {r.point_id for r in zrange_scan(spark, path, lo, hi, key).collect()}
+    assert got == per and len(got) > 0
