@@ -74,6 +74,17 @@ def main(argv=None) -> None:
              "gopher; set 0 for non-English corpora",
     )
     ap.add_argument(
+        "--output-layout", choices=["plain", "zorder"], default="plain",
+        help="zorder = publish points_indexed range-clustered on the "
+             "res-12 Morton key (plans/layout.py): one extra range "
+             "shuffle at write time, then any bbox/cell-scoped reader "
+             "prunes non-matching files from parquet footer stats alone",
+    )
+    ap.add_argument(
+        "--output-files", type=int, default=32,
+        help="target file count for --output-layout zorder",
+    )
+    ap.add_argument(
         "--skew-sample", type=float, default=0.05,
         help="sample fraction for the run-report skew metrics (the skew "
              "ratio is scale-invariant under uniform sampling; 1.0 = exact "
@@ -202,7 +213,20 @@ def main(argv=None) -> None:
             f"span-sequence invariant violated for {text_changed} docs; aborting publish"
         )
 
-    publish_table(attached, args.out, "points_indexed")
+    if args.output_layout == "zorder":
+        # layout is result-transparent (gate zorder_cluster_scan); the
+        # published generation additionally carries the z_12 key column
+        # so scoped readers can push a morton_window range to the scan
+        from mimirsbrunn_spark.tiles import with_morton_key
+
+        out_points = (
+            with_morton_key(attached, res=12)
+            .repartitionByRange(args.output_files, F.col("z_12"))
+            .sortWithinPartitions("z_12")
+        )
+    else:
+        out_points = attached
+    publish_table(out_points, args.out, "points_indexed")
     publish_table(cov, args.out, "coverage")
     if args.geocodejson:
         from mimirsbrunn_spark.functions import to_geocodejson
@@ -228,6 +252,7 @@ def main(argv=None) -> None:
         "docs_text_rewritten": text_changed if args.text_prep != "none" else 0,
         "quality_filter": args.quality_filter,
         "docs_dropped_by_quality": n_dropped,
+        "output_layout": args.output_layout,
     }
     (Path(args.out) / "run_report.json").write_text(json.dumps(report, indent=1))
     print(json.dumps(report))

@@ -125,3 +125,46 @@ def test_bbox_scan_union_of_windows(spark, clustered):
     for lo, hi in (w1, w2):
         per |= {r.point_id for r in zrange_scan(spark, path, lo, hi, key).collect()}
     assert got == per and len(got) > 0
+
+
+def test_job_zorder_output_layout(spark, fixtures_dir, tmp_path):
+    """--output-layout zorder publishes points_indexed with near-disjoint
+    per-file Morton ranges and the z_12 key column; row content matches a
+    plain-layout run of the same job."""
+    import json
+    from pathlib import Path
+
+    import jobs.index_corpus as job
+    from mimirsbrunn_spark.sources.lifecycle import read_published
+
+    outz = str(tmp_path / "out_z")
+    job.main([
+        "--docs", f"{fixtures_dir}/docs.parquet",
+        "--admins", f"{fixtures_dir}/admins.parquet",
+        "--out", outz, "--res", "7",
+        "--output-layout", "zorder", "--output-files", "8",
+    ])
+    report = json.loads((Path(outz) / "run_report.json").read_text())
+    assert report["output_layout"] == "zorder"
+
+    pub = read_published(spark, outz, "points_indexed")
+    assert "z_12" in pub.columns
+
+    root = Path(outz) / "points_indexed"
+    gen = json.loads((root / "_CURRENT").read_text())["generation"]
+    ranges = file_key_ranges(str(root / gen), "z_12")
+    assert len(ranges) >= 4
+    ordered = sorted(ranges, key=lambda r: r[1])
+    for (_, _, mx), (_, mn2, _) in zip(ordered, ordered[1:]):
+        assert mx <= mn2
+
+    outp = str(tmp_path / "out_p")
+    job.main([
+        "--docs", f"{fixtures_dir}/docs.parquet",
+        "--admins", f"{fixtures_dir}/admins.parquet",
+        "--out", outp, "--res", "7",
+    ])
+    plain = read_published(spark, outp, "points_indexed")
+    a = {tuple(r) for r in pub.drop("z_12").select("point_uid", "lon", "lat").collect()}
+    b = {tuple(r) for r in plain.select("point_uid", "lon", "lat").collect()}
+    assert a == b
