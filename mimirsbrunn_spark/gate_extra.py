@@ -778,6 +778,81 @@ def _zorder_cluster_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# S10 — partial-update MERGE (update-by-id), vs a DuckDB merge mirror
+# ---------------------------------------------------------------------------
+#
+# merge_update semantics (sources/lifecycle.py:57-87, reference
+# update-by-id path update.rs:11-39): matched keys merge column-wise
+# (non-null update values win, null update fields keep the target's
+# value), unmatched update keys INSERT null-padded to the target schema.
+# The gate exercises all three branches; null outputs map to sentinels
+# identically in both engines so the value-hash is null-free.
+
+
+def q_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.lifecycle import merge_update
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey").cast("long")
+    target = c.select(
+        k.alias("id"),
+        F.concat(F.lit("n"), k.cast("string")).alias("name"),
+        F.concat(F.lit("c"), (k % 30).cast("string")).alias("city"),
+        (k % 100).cast("double").alias("weight"),
+    )
+    matched = c.filter(k % 3 == 0).select(
+        k.alias("id"),
+        F.concat(F.lit("upd"), k.cast("string")).alias("name"),
+        # every other matched update leaves city NULL -> target value wins
+        F.when(k % 6 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("uc"), (k % 30).cast("string")))
+        .alias("city"),
+    )
+    inserts = c.filter(k % 97 == 0).select(
+        (k + F.lit(10_000_000)).alias("id"),
+        F.concat(F.lit("new"), k.cast("string")).alias("name"),
+        F.lit(None).cast("string").alias("city"),
+    )
+    merged = merge_update(target, matched.unionByName(inserts), "id")
+    return merged.select(
+        "id",
+        "name",
+        F.coalesce("city", F.lit("-")).alias("city"),
+        F.coalesce("weight", F.lit(-1.0)).alias("weight"),
+    )
+
+
+MERGE_UPDATE_SQL = """
+    WITH t AS (
+        SELECT CAST(c_custkey AS BIGINT) AS id,
+               'n' || CAST(c_custkey AS VARCHAR) AS name,
+               'c' || CAST(c_custkey % 30 AS VARCHAR) AS city,
+               CAST(c_custkey % 100 AS DOUBLE) AS weight
+        FROM customer
+    ),
+    u AS (
+        SELECT CAST(c_custkey AS BIGINT) AS id,
+               'upd' || CAST(c_custkey AS VARCHAR) AS name,
+               CASE WHEN c_custkey % 6 = 0 THEN NULL
+                    ELSE 'uc' || CAST(c_custkey % 30 AS VARCHAR) END AS city
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT CAST(c_custkey AS BIGINT) + 10000000,
+               'new' || CAST(c_custkey AS VARCHAR), NULL
+        FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT t.id,
+           COALESCE(COALESCE(u.name, t.name), '-') AS name,
+           COALESCE(COALESCE(u.city, t.city), '-') AS city,
+           COALESCE(t.weight, -1.0) AS weight
+    FROM t LEFT JOIN u ON t.id = u.id
+    UNION ALL
+    SELECT u.id, COALESCE(u.name, '-'), COALESCE(u.city, '-'), -1.0
+    FROM u ANTI JOIN t ON t.id = u.id
+"""
+
+
 EXTRA_QUERIES = {
     "osm_deps_closure": (q_osm_deps_closure, OSM_DEPS_CLOSURE_SQL),
     "admin_hierarchy": (q_admin_hierarchy, ADMIN_HIERARCHY_SQL),
@@ -793,4 +868,5 @@ EXTRA_QUERIES = {
     "cosmogony_jsonl_roundtrip": (q_cosmogony_jsonl_roundtrip, COSMOGONY_JSONL_SQL),
     "poi_nearest_addr": (q_poi_nearest_addr, _poi_nearest_addr_sql()),
     "zorder_cluster_scan": (q_zorder_cluster_scan, _zorder_cluster_sql()),
+    "merge_update": (q_merge_update, MERGE_UPDATE_SQL),
 }
