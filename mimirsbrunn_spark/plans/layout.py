@@ -117,3 +117,124 @@ def pruned_file_fraction(path: str, lo: int, hi: int, key_col: str) -> float:
         return 0.0
     skipped = sum(1 for _, mn, mx in ranges if mx < lo or mn > hi)
     return skipped / len(ranges)
+
+
+def windows_pruned_fraction(
+    path: str, windows: list[tuple[int, int]], key_col: str
+) -> float:
+    """Fraction of files pruned for a UNION of key windows (the
+    `bbox_scan` shape) — a file survives if any window intersects its
+    stats range."""
+    ranges = file_key_ranges(path, key_col)
+    if not ranges:
+        return 0.0
+    skipped = sum(
+        1
+        for _, mn, mx in ranges
+        if all(mx < lo or mn > hi for lo, hi in windows)
+    )
+    return skipped / len(ranges)
+
+
+def _wrap_lon(lon: float) -> float:
+    return ((lon + 180.0) % 360.0) - 180.0
+
+
+def derive_query_windows(
+    points: list[tuple[float, float]],
+    radius_m: float,
+    key_res: int = 12,
+    prefix_bits: int = 6,
+) -> list[tuple[int, int]]:
+    """Merged Morton key windows covering the radius-padded disks of a
+    (lon, lat) batch — the scan predicate `reverse_geocode_lake` feeds
+    `bbox_scan`. Radius padding steps in quad-sized increments so any
+    radius is covered, longitudes wrap at the antimeridian (matching the
+    kNN's pmod ring wrap), and adjacent windows coalesce."""
+    import math as _m
+
+    from ..tiles import morton_window
+
+    quad_w = 360.0 / (1 << prefix_bits)
+    quad_h = 180.0 / (1 << prefix_bits)
+    dlat = radius_m / 111_320.0
+
+    def _steps(a: float, b: float, step: float):
+        v = a
+        while v < b:
+            yield v
+            v += step
+        yield b
+
+    wins: set[tuple[int, int]] = set()
+    for lon, lat in points:
+        # worst-case cos over the radius band (|lat|+dlat), so the lon
+        # padding is conservative at any latitude in the disk
+        coslat = max(_m.cos(_m.radians(min(abs(lat) + dlat, 89.9999))), 1e-9)
+        dlon = radius_m / (111_320.0 * coslat)
+        for lo_ in _steps(lon - dlon, lon + dlon, quad_w):
+            for la_ in _steps(lat - dlat, lat + dlat, quad_h):
+                wins.add(
+                    morton_window(
+                        _wrap_lon(lo_),
+                        min(max(la_, -90.0), 89.999999),
+                        key_res,
+                        prefix_bits,
+                    )
+                )
+    merged: list[tuple[int, int]] = []
+    for lo, hi in sorted(wins):
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(hi, merged[-1][1]))
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+def reverse_geocode_lake(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 1,
+    radius_m: float = 1000.0,
+    res: int = 7,
+    key_col: str = "z_12",
+    key_res: int = 12,
+    prefix_bits: int = 6,
+    query_id: str = "query_id",
+    target_id: str = "target_id",
+    max_query_batch: int = 100_000,
+) -> DataFrame:
+    """Reverse geocode (operators/knn.reverse_geocode, reference
+    /reverse api.rs:15) against a Z-clustered published address table,
+    scanning ONLY the files whose Morton range intersects the query
+    batch's radius-padded quads.
+
+    At 100 TB the address table is the big side; a /reverse batch is
+    small and spatially local, so the win is not touching the 99% of
+    files outside the batch's neighborhoods. Window derivation is
+    driver-side over the collected batch (bounded by ``max_query_batch``
+    — a serving batch IS driver-small by contract; this operator refuses
+    rather than silently collecting a corpus). Radius padding steps in
+    quad-sized increments so any radius is covered, longitudes wrap at
+    the antimeridian (matching the kNN's pmod ring wrap), and adjacent
+    key windows are coalesced before they reach the scan predicate.
+    """
+    from ..operators.knn import reverse_geocode
+
+    n_q = queries.count()
+    if n_q > max_query_batch:
+        raise ValueError(
+            f"query batch ({n_q}) exceeds max_query_batch ({max_query_batch}); "
+            "reverse_geocode_lake derives scan windows driver-side — use "
+            "reverse_geocode on a full scan for corpus-sized query sides"
+        )
+    rows = queries.select(F.col(query_id), "lon", "lat").collect()
+    merged = derive_query_windows(
+        [(r.lon, r.lat) for r in rows], radius_m, key_res, prefix_bits
+    )
+    targets = bbox_scan(spark, path, merged, key_col)
+    return reverse_geocode(
+        queries, targets, k=k, radius_m=radius_m, res=res,
+        query_id=query_id, target_id=target_id,
+    )

@@ -168,3 +168,60 @@ def test_job_zorder_output_layout(spark, fixtures_dir, tmp_path):
     a = {tuple(r) for r in pub.drop("z_12").select("point_uid", "lon", "lat").collect()}
     b = {tuple(r) for r in plain.select("point_uid", "lon", "lat").collect()}
     assert a == b
+
+
+def test_reverse_geocode_lake_equals_full_scan(spark, tmp_path):
+    """Pruned lake serving == full-scan reverse_geocode, including a
+    query on a quad boundary and one at the antimeridian; and the scan
+    it builds really skips most files."""
+    import numpy as np
+
+    from mimirsbrunn_spark.operators.knn import reverse_geocode
+    from mimirsbrunn_spark.plans.layout import reverse_geocode_lake
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    lon = np.concatenate([
+        rng.uniform(-180, 180, n - 200),
+        rng.uniform(179.95, 180.0, 100),     # antimeridian east edge
+        rng.uniform(-180.0, -179.95, 100),   # antimeridian west edge
+    ])
+    lat = rng.uniform(-80, 80, n)
+    targets = spark.createDataFrame(
+        [(int(i), float(lon[i]), float(lat[i])) for i in range(n)],
+        "target_id long, lon double, lat double",
+    )
+    path = str(tmp_path / "addr_lake")
+    key = write_spatially_clustered(targets, path, res=12, n_files=8)
+
+    # quad size at prefix_bits=6 is 5.625 x 2.8125 deg; 0.0 sits on a
+    # quad boundary, 179.999 wraps, others are interior
+    qs = [(0, 0.0001, 0.0001), (1, 179.999, 10.0), (2, -179.999, 10.0),
+          (3, 12.3, 45.6), (4, -77.0, -33.0)]
+    queries = spark.createDataFrame(qs, "query_id long, lon double, lat double")
+
+    full = reverse_geocode(
+        queries, spark.read.parquet(path), k=3, radius_m=500_000.0, res=4
+    )
+    lake = reverse_geocode_lake(
+        spark, path, queries, k=3, radius_m=500_000.0, res=4,
+        key_col=key, prefix_bits=6,
+    )
+    a = sorted(tuple(r) for r in full.collect())
+    b = sorted(tuple(r) for r in lake.collect())
+    assert a == b and len(a) > 0
+
+
+def test_reverse_geocode_lake_refuses_corpus_batch(spark, tmp_path):
+    from mimirsbrunn_spark.plans.layout import reverse_geocode_lake
+
+    targets = spark.range(10).select(
+        F.col("id").alias("target_id"), F.lit(1.0).alias("lon"), F.lit(1.0).alias("lat")
+    )
+    path = str(tmp_path / "tiny_lake")
+    write_spatially_clustered(targets, path, res=12, n_files=2)
+    big = spark.range(50).select(
+        F.col("id").alias("query_id"), F.lit(1.0).alias("lon"), F.lit(1.0).alias("lat")
+    )
+    with pytest.raises(ValueError, match="max_query_batch"):
+        reverse_geocode_lake(spark, path, big, max_query_batch=10)
