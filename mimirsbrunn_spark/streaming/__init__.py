@@ -7,3 +7,4 @@ from .sessions import (  # noqa: F401
     windowed_event_counts,
 )
 from .joins import stream_click_view_join  # noqa: F401
+from .serving import reverse_geocode_stream  # noqa: F401

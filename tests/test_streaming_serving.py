@@ -1,0 +1,119 @@
+"""Streaming reverse-geocode serving: micro-batched query files against
+the Z-clustered lake, pinned to the batch operator (`reverse_geocode` on
+a full scan = `reverse_geocode_lake` = the streamed union), and
+replay-idempotent under the batch_id-overwrite recipe."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mimirsbrunn_spark.operators.knn import reverse_geocode
+from mimirsbrunn_spark.plans.layout import write_spatially_clustered
+from mimirsbrunn_spark.streaming.serving import reverse_geocode_stream
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    rng = np.random.default_rng(7)
+    n = 3000
+    lon = rng.uniform(-10, 10, n)
+    lat = rng.uniform(40, 52, n)
+    targets = spark.createDataFrame(
+        [(int(i), float(lon[i]), float(lat[i])) for i in range(n)],
+        "target_id long, lon double, lat double",
+    )
+    path = str(tmp_path_factory.mktemp("serve") / "lake")
+    key = write_spatially_clustered(targets, path, res=12, n_files=8)
+    return path, key
+
+
+def _write_query_files(spark, dst: Path, batches):
+    dst.mkdir(parents=True, exist_ok=True)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "query_id long, lon double, lat double")
+        stage = dst.parent / f"stage_{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        for f in Path(stage).glob("*.parquet"):
+            shutil.copy(f, dst / f"queries_{i}.parquet")
+
+
+def test_stream_serving_matches_batch(spark, lake, tmp_path):
+    lake_path, key = lake
+    batches = [
+        [(0, 2.35, 48.85), (1, -0.57, 44.84)],
+        [(2, 5.37, 43.30), (3, 4.85, 45.75), (4, 7.27, 47.70)],
+    ]
+    qdir = tmp_path / "queries"
+    _write_query_files(spark, qdir, batches)
+
+    q = reverse_geocode_stream(
+        spark,
+        str(qdir),
+        lake_path,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        k=3,
+        radius_m=400_000.0,
+        res=5,
+        key_col=key,
+        max_files_per_trigger=1,  # forces >=2 micro-batches
+    )
+    q.awaitTermination(120)
+
+    all_queries = spark.createDataFrame(
+        [r for b in batches for r in b], "query_id long, lon double, lat double"
+    )
+    expected = reverse_geocode(
+        all_queries, spark.read.parquet(lake_path), k=3, radius_m=400_000.0, res=5
+    )
+    got = spark.read.option("basePath", str(tmp_path / "out")).parquet(
+        str(tmp_path / "out")
+    )
+    a = sorted(
+        tuple(r)
+        for r in got.select("query_id", "target_id", "distance_m", "rank").collect()
+    )
+    b = sorted(tuple(r) for r in expected.collect())
+    assert a == b and len(a) > 0
+    # really micro-batched: one batch_id dir per trigger file
+    assert len(list((tmp_path / "out").glob("batch_id=*"))) >= 2
+
+
+def test_stream_serving_replay_idempotent(spark, lake, tmp_path):
+    """Restarting from the same checkpoint after new files arrive serves
+    only the new batch; the union never duplicates a (query_id, rank)."""
+    lake_path, key = lake
+    qdir = tmp_path / "queries"
+    _write_query_files(spark, qdir, [[(0, 2.35, 48.85)]])
+
+    kw = dict(
+        k=2, radius_m=400_000.0, res=5, key_col=key, max_files_per_trigger=1
+    )
+    q = reverse_geocode_stream(
+        spark, str(qdir), lake_path,
+        str(tmp_path / "out"), str(tmp_path / "ckpt"), **kw
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(str(tmp_path / "out")).count()
+    assert first > 0
+
+    # second wave of queries, same checkpoint dir
+    _write_query_files(spark, tmp_path / "q2", [[(10, -0.57, 44.84)]])
+    shutil.copy(
+        next((tmp_path / "q2").glob("*.parquet")), qdir / "queries_wave2.parquet"
+    )
+    q = reverse_geocode_stream(
+        spark, str(qdir), lake_path,
+        str(tmp_path / "out"), str(tmp_path / "ckpt"), **kw
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    pairs = [tuple(r) for r in got.select("query_id", "rank").collect()]
+    assert len(pairs) == len(set(pairs))  # no duplicates across restarts
+    assert got.filter(F.col("query_id") == 10).count() > 0
