@@ -55,10 +55,19 @@ def compact_published(
     base_dir: str,
     name: str,
     target_file_mb: int = 256,
+    cluster_key: str | None = None,
 ) -> str:
     """Rewrite the CURRENT generation of a published table into
     ~target_file_mb files (see sources/lifecycle.publish_table for the
-    generation/pointer protocol). Returns the new generation path."""
+    generation/pointer protocol). Returns the new generation path.
+
+    ``cluster_key`` preserves a Z-order layout through compaction: a
+    plain ``coalesce`` reads file splits in Spark's size-ordered
+    scheduling order, so merged files span scattered key ranges and the
+    footer-stats pruning `plans/layout.py` relies on is silently lost.
+    With a key, the rewrite is repartitionByRange + sortWithinPartitions
+    on it — one range shuffle, same cost shape as the original clustered
+    write, tight per-file ranges restored."""
     from ..sources.lifecycle import publish_table, read_published
 
     root = Path(base_dir) / name
@@ -68,5 +77,13 @@ def compact_published(
     gen = root / pointer["generation"]
     total = sum(f.stat().st_size for f in gen.rglob("*.parquet"))
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-    df = read_published(spark, base_dir, name).coalesce(n_files)
+    df = read_published(spark, base_dir, name)
+    if cluster_key is not None:
+        from pyspark.sql import functions as F
+
+        df = df.repartitionByRange(n_files, F.col(cluster_key)).sortWithinPartitions(
+            cluster_key
+        )
+    else:
+        df = df.coalesce(n_files)
     return publish_table(df, base_dir, name)

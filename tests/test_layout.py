@@ -225,3 +225,47 @@ def test_reverse_geocode_lake_refuses_corpus_batch(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="max_query_batch"):
         reverse_geocode_lake(spark, path, big, max_query_batch=10)
+
+
+def test_compact_published_preserves_cluster_key(spark, tmp_path):
+    """Compaction with cluster_key re-clusters on the Morton key, so the
+    new generation prunes like the original clustered write; the default
+    coalesce path on the same pileup yields files spanning the whole
+    keyspace (fraction 0) — the regression the knob exists to prevent."""
+    import json
+    from pathlib import Path
+
+    from mimirsbrunn_spark.plans import compact_published
+    from mimirsbrunn_spark.sources import publish_table, read_published
+    from mimirsbrunn_spark.tiles import with_morton_key
+
+    rng = np.random.default_rng(3)
+    n = 300_000
+    pts = spark.createDataFrame(
+        [(int(i), float(lo), float(la)) for i, (lo, la) in enumerate(
+            zip(rng.uniform(-180, 180, n), rng.uniform(-90, 90, n))
+        )],
+        "point_uid long, lon double, lat double",
+    )
+    keyed = with_morton_key(pts, res=12)
+    base = str(tmp_path / "tables")
+    for name in ("a", "b"):
+        publish_table(keyed.repartition(24), base, name)  # random pileup
+
+    compact_published(spark, base, "a", target_file_mb=1, cluster_key="z_12")
+    compact_published(spark, base, "b", target_file_mb=1)
+
+    lo, hi = morton_window(2.35, 48.85, res=12, prefix_bits=4)
+    fracs, gens = {}, {}
+    for name in ("a", "b"):
+        root = Path(base) / name
+        gen = json.loads((root / "_CURRENT").read_text())["generation"]
+        gens[name] = str(root / gen)
+        fracs[name] = pruned_file_fraction(gens[name], lo, hi, "z_12")
+    n_files_a = len(list(Path(gens["a"]).glob("*.parquet")))
+    assert n_files_a >= 2
+    assert fracs["a"] >= 0.5, fracs
+    assert fracs["b"] == 0.0, fracs
+    # rows survive both paths
+    assert read_published(spark, base, "a").count() == n
+    assert read_published(spark, base, "b").count() == n
