@@ -222,14 +222,20 @@ def reverse_geocode_lake(
     """
     from ..operators.knn import reverse_geocode
 
-    n_q = queries.count()
-    if n_q > max_query_batch:
+    # one bounded collect: limit(max+1) both detects oversize batches and
+    # caps driver transfer even when the input is corpus-sized
+    rows = (
+        queries.select(F.col(query_id), "lon", "lat")
+        .limit(max_query_batch + 1)
+        .collect()
+    )
+    if len(rows) > max_query_batch:
         raise ValueError(
-            f"query batch ({n_q}) exceeds max_query_batch ({max_query_batch}); "
-            "reverse_geocode_lake derives scan windows driver-side — use "
-            "reverse_geocode on a full scan for corpus-sized query sides"
+            f"query batch (>{max_query_batch}) exceeds max_query_batch "
+            f"({max_query_batch}); reverse_geocode_lake derives scan windows "
+            "driver-side — use reverse_geocode on a full scan for "
+            "corpus-sized query sides"
         )
-    rows = queries.select(F.col(query_id), "lon", "lat").collect()
     merged = derive_query_windows(
         [(r.lon, r.lat) for r in rows], radius_m, key_res, prefix_bits
     )
