@@ -1,0 +1,111 @@
+"""Serving job: reverse geocode query batches against a published,
+Z-clustered address lake.
+
+Run: spark-submit --py-files mimirsbrunn_spark.zip jobs/serve_reverse.py \
+        --lake <clustered parquet path | published base dir with --name> \
+        --queries <parquet of (query_id, lon, lat)> --out <dir> \
+        [--stream --checkpoint <dir>] [--k 1] [--radius-m 1000] ...
+
+The operational pairing of jobs/index_corpus.py: index publishes the
+address table clustered on the Morton key (--zorder-output), this job
+answers ``/reverse`` batches against it (bragi handlers.rs:344-384 →
+ES geo_distance DSL, re-expressed as `plans/layout.reverse_geocode_lake`
+— footer-stats file pruning + cell-ring kNN). --stream switches to the
+Structured Streaming micro-batch server (`streaming/serving.py`), which
+drains available query files exactly-once and exits. A _run_report.json
+records query/result counts and the files-opened fraction — the metric
+that transfers to a 100-TB lake.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lake", required=True, help="clustered parquet path, or a published base dir (with --name)")
+    ap.add_argument("--name", default=None, help="published table name under --lake; resolves the _CURRENT generation")
+    ap.add_argument("--queries", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--stream", action="store_true")
+    ap.add_argument("--checkpoint", default=None, help="required with --stream")
+    ap.add_argument("--k", type=int, default=1)
+    ap.add_argument("--radius-m", type=float, default=1000.0)
+    ap.add_argument("--res", type=int, default=7)
+    ap.add_argument("--key-col", default="z_12")
+    ap.add_argument("--prefix-bits", type=int, default=6)
+    ap.add_argument("--target-id", default="target_id")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from mimirsbrunn_spark.session import get_spark
+
+    spark = get_spark(app_name="serve_reverse", cpus=args.cpus)
+
+    lake_path = args.lake
+    if args.name is not None:
+        root = Path(args.lake) / args.name
+        pointer = json.loads((root / "_CURRENT").read_text())
+        lake_path = str(root / pointer["generation"])
+
+    if args.stream:
+        if not args.checkpoint:
+            ap.error("--stream requires --checkpoint")
+        from mimirsbrunn_spark.streaming.serving import reverse_geocode_stream
+
+        q = reverse_geocode_stream(
+            spark, args.queries, lake_path, args.out, args.checkpoint,
+            k=args.k, radius_m=args.radius_m, res=args.res,
+            key_col=args.key_col, prefix_bits=args.prefix_bits,
+            target_id=args.target_id,
+        )
+        q.awaitTermination()
+        n_results = spark.read.parquet(args.out).count()
+        report = {"mode": "stream", "n_results": n_results}
+    else:
+        from pyspark.sql import functions as F
+
+        from mimirsbrunn_spark.plans.layout import (
+            derive_query_windows,
+            reverse_geocode_lake,
+            windows_pruned_fraction,
+        )
+
+        queries = spark.read.parquet(args.queries)
+        out = reverse_geocode_lake(
+            spark, lake_path, queries,
+            k=args.k, radius_m=args.radius_m, res=args.res,
+            key_col=args.key_col, prefix_bits=args.prefix_bits,
+            target_id=args.target_id,
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        n_results = spark.read.parquet(args.out).count()
+        pts = [
+            (r.lon, r.lat) for r in queries.select("lon", "lat").collect()
+        ]
+        windows = derive_query_windows(
+            pts, args.radius_m, key_res=12, prefix_bits=args.prefix_bits
+        )
+        report = {
+            "mode": "batch",
+            "n_queries": len(pts),
+            "n_results": n_results,
+            "n_scan_windows": len(windows),
+            "lake_files_pruned_fraction": round(
+                windows_pruned_fraction(lake_path, windows, args.key_col), 4
+            ),
+        }
+    # Underscore prefix so Spark's parquet reader skips it when re-reading
+    # --out as a dataset (same convention as _SUCCESS).
+    Path(args.out, "_run_report.json").write_text(json.dumps(report, indent=2))
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -117,3 +117,48 @@ def test_stream_serving_replay_idempotent(spark, lake, tmp_path):
     pairs = [tuple(r) for r in got.select("query_id", "rank").collect()]
     assert len(pairs) == len(set(pairs))  # no duplicates across restarts
     assert got.filter(F.col("query_id") == 10).count() > 0
+
+
+def test_serve_reverse_job_batch(spark, lake, tmp_path):
+    """spark-submit entry (batch mode) against a PUBLISHED lake: resolves
+    _CURRENT, serves, writes results + a run_report with the pruning
+    fraction."""
+    import json
+
+    import jobs.serve_reverse as job
+    from mimirsbrunn_spark.sources import publish_table
+
+    lake_path, key = lake
+    base = str(tmp_path / "pub")
+    publish_table(spark.read.parquet(lake_path), base, "addr")
+
+    qdir = tmp_path / "q"
+    _write_query_files(spark, qdir, [[(0, 2.35, 48.85), (1, -0.57, 44.84)]])
+    out = str(tmp_path / "out")
+    job.main([
+        "--lake", base, "--name", "addr", "--queries", str(qdir),
+        "--out", out, "--k", "3", "--radius-m", "400000", "--res", "5",
+        "--key-col", key,
+    ])
+    report = json.loads((tmp_path / "out" / "_run_report.json").read_text())
+    assert report["mode"] == "batch" and report["n_queries"] == 2
+    assert report["n_results"] == spark.read.parquet(out).count() > 0
+    assert 0.0 <= report["lake_files_pruned_fraction"] <= 1.0
+
+
+def test_serve_reverse_job_stream(spark, lake, tmp_path):
+    import json
+
+    import jobs.serve_reverse as job
+
+    lake_path, key = lake
+    qdir = tmp_path / "q"
+    _write_query_files(spark, qdir, [[(0, 2.35, 48.85)], [(1, 5.37, 43.30)]])
+    out = str(tmp_path / "out")
+    job.main([
+        "--lake", lake_path, "--queries", str(qdir), "--out", out,
+        "--stream", "--checkpoint", str(tmp_path / "ck"),
+        "--k", "2", "--radius-m", "400000", "--res", "5", "--key-col", key,
+    ])
+    report = json.loads((tmp_path / "out" / "_run_report.json").read_text())
+    assert report["mode"] == "stream" and report["n_results"] > 0
