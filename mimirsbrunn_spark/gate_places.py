@@ -93,6 +93,181 @@ ADDR_ENRICH_SQL = f"""
 
 
 # ---------------------------------------------------------------------------
+# J2 — INSEE override join (admin.rs INSEE-keyed replacement): when the
+# row carries an INSEE matching an admin, that admin replaces all
+# attached admins of its level (others kept, override appended).
+# ---------------------------------------------------------------------------
+
+
+def q_insee_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every third point carries the INSEE of a pseudo-random city
+    (50000 + (point_id*11) % 512 → city (k//16, k%16)); after the J2 join
+    its level-8 attachment must be that city, others untouched."""
+    from .operators.enrich import attach_admin_structs
+    from .operators.pip import attach_admins
+    from .operators.places import insee_override
+
+    admins = rect_admins_df(spark).withColumn(
+        "insee",
+        F.when(
+            F.col("zone_type") == "city",
+            (F.lit(50000) + F.expr("CAST(split(id, ':')[2] AS INT) * 16 + CAST(split(id, ':')[3] AS INT)")).cast("string"),
+        ),
+    )
+    pts = points_from_orders(spark, sf_dir).withColumn(
+        "insee",
+        F.when(
+            F.col("point_id") % 3 == 0,
+            (F.lit(50000) + (F.col("point_id").cast("long") * 11) % 512).cast("string"),
+        ),
+    )
+    attached = attach_admin_structs(attach_admins(pts, admins, strategy="broadcast"), admins)
+    out = insee_override(attached, admins)
+    return out.select(
+        "point_id",
+        F.array_join(F.array_sort(F.transform("admins", lambda a: a["id"])), ",").alias("admin_ids_csv"),
+        F.size("admins").alias("n_admins"),
+    )
+
+
+INSEE_OVERRIDE_SQL = f"""
+    WITH pts AS ({POINTS_FROM_ORDERS_SQL}),
+    idx AS ({_IDX_SQL}),
+    base AS (
+        SELECT point_id,
+               (CASE WHEN point_id % 3 = 0
+                     THEN (CAST(point_id AS BIGINT) * 11) % 512 END) AS k,
+               ti, tj
+        FROM idx
+    )
+    SELECT point_id,
+           array_to_string(list_sort([
+               CASE WHEN k IS NOT NULL
+                    THEN 'adm:t:' || (k // 16) || ':' || (k % 16)
+                    ELSE 'adm:t:' || ti || ':' || tj END,
+               'adm:s:' || (ti // 4) || ':' || (tj // 4),
+               'adm:c:' || (ti // 16) || ':' || (tj // 8)
+           ]), ',') AS admin_ids_csv,
+           3 AS n_admins
+    FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# C6/J4/F6 — id normalization: addr id with fixed-point precision
+# (openaddresses.rs variant), french retro-compat admin ids
+# (admin.rs:140-147), INSEE/FANTOIR slicing (bano.rs:56-63).
+# ---------------------------------------------------------------------------
+
+
+def q_id_norm_retro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.enrich import addr_id, admin_id, insee_fantoir
+
+    pts = points_from_orders(spark, sf_dir).select(
+        "point_id", "lon", "lat",
+        F.concat(
+            (F.col("point_id") % 90).cast("string"), F.lit(" "),
+            F.element_at(
+                F.array(F.lit("b/2"), F.lit("t.3"), F.lit("c;4"), F.lit("bis")),
+                (F.col("point_id") % 4 + 1).cast("int"),
+            ),
+        ).alias("hn"),
+        F.format_string("%011d", F.col("point_id")).alias("id11"),
+        F.concat(F.lit("r"), F.col("point_id").cast("string")).alias("osm_id"),
+        F.when(
+            F.col("point_id") % 5 == 0,
+            F.concat(F.lit("751"), (F.col("point_id") % 100).cast("string")),
+        ).alias("fr_insee"),
+    )
+    insee, fantoir = insee_fantoir("id11")
+    return pts.select(
+        "point_id",
+        addr_id("lon", "lat", "hn", id_precision=6).alias("addr_id"),
+        insee.alias("insee"),
+        fantoir.alias("fantoir"),
+        admin_id("osm_id", "fr_insee", french_id_retrocompatibility=True).alias("admin_id"),
+    )
+
+
+ID_NORM_RETRO_SQL = f"""
+    WITH pts AS ({POINTS_FROM_ORDERS_SQL}),
+    base AS (
+        SELECT point_id, lon, lat,
+               CAST(point_id % 90 AS VARCHAR) || ' ' ||
+                   (['b/2', 't.3', 'c;4', 'bis'])[CAST(point_id % 4 AS INT) + 1] AS hn,
+               printf('%011d', point_id) AS id11,
+               'r' || CAST(point_id AS VARCHAR) AS osm_id,
+               (CASE WHEN point_id % 5 = 0
+                     THEN '751' || CAST(point_id % 100 AS VARCHAR) END) AS fr_insee
+        FROM pts
+    )
+    SELECT point_id,
+           'addr:' || printf('%.6f', lon) || ';' || printf('%.6f', lat) || ':' ||
+               regexp_replace(regexp_replace(hn, '\\s+', '', 'g'), '[/.:;]', '-', 'g') AS addr_id,
+           regexp_replace(substr(id11, 1, 5), '^0+', '') AS insee,
+           substr(id11, 1, 10) AS fantoir,
+           (CASE WHEN fr_insee IS NOT NULL AND length(fr_insee) > 0
+                 THEN 'admin:fr:' || fr_insee
+                 ELSE 'admin:osm:' || osm_id END) AS admin_id
+    FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# C4/C5 — zip parsing (';'-split, drop empties, sort) and zip label
+# formatting ("(z)" single / "(z1-z2)" range, osm_reader/admin.rs:62-85).
+# ---------------------------------------------------------------------------
+
+
+def q_zip_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.enrich import format_zip_label, split_zip_codes
+
+    pts = points_from_orders(spark, sf_dir).select(
+        "point_id",
+        F.element_at(
+            F.array(
+                F.lit(""),
+                F.lit("75001"),
+                F.concat(F.lit("75010;750"), (F.col("point_id") % 10).cast("string")),
+                F.concat(F.lit(";75003;;750"), (F.col("point_id") % 7).cast("string"), F.lit(";75002")),
+            ),
+            (F.col("point_id") % 4 + 1).cast("int"),
+        ).alias("zip_raw"),
+    )
+    zips = split_zip_codes("zip_raw")
+    return pts.select(
+        "point_id",
+        F.array_join(zips, ",").alias("zips_csv"),
+        format_zip_label(zips).alias("zip_label"),
+    )
+
+
+ZIP_LABELS_SQL = f"""
+    WITH pts AS ({POINTS_FROM_ORDERS_SQL}),
+    base AS (
+        SELECT point_id,
+               ListT.l AS zip_raw
+        FROM pts,
+        LATERAL (SELECT (['', '75001',
+                          '75010;750' || CAST(point_id % 10 AS VARCHAR),
+                          ';75003;;750' || CAST(point_id % 7 AS VARCHAR) || ';75002'
+                         ])[CAST(point_id % 4 AS INT) + 1] AS l) AS ListT
+    ),
+    split AS (
+        SELECT point_id,
+               list_sort(list_filter(string_split(zip_raw, ';'), x -> x <> '')) AS zips
+        FROM base
+    )
+    SELECT point_id,
+           coalesce(array_to_string(zips, ','), '') AS zips_csv,
+           (CASE WHEN len(zips) = 0 THEN ''
+                 WHEN len(zips) = 1 THEN ' (' || zips[1] || ')'
+                 ELSE ' (' || zips[1] || '-' || zips[len(zips)] || ')' END) AS zip_label
+    FROM split
+"""
+
+
+# ---------------------------------------------------------------------------
 # streets pipeline (F1 + G10 + G6 + W1 through real operators)
 # ---------------------------------------------------------------------------
 
@@ -539,6 +714,9 @@ COVERAGE_CELLS_SQL = f"""
 
 PLACES_QUERIES = {
     "addr_enrich": (q_addr_enrich, ADDR_ENRICH_SQL),
+    "insee_override": (q_insee_override, INSEE_OVERRIDE_SQL),
+    "id_norm_retro": (q_id_norm_retro, ID_NORM_RETRO_SQL),
+    "zip_labels": (q_zip_labels, ZIP_LABELS_SQL),
     "streets_dedup": (q_streets_dedup, STREETS_DEDUP_SQL),
     "stop_weights": (q_stop_weights, STOP_WEIGHTS_SQL),
     "ann_lsh_topk": (q_ann_lsh, _ann_sql()),
