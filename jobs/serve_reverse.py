@@ -44,6 +44,16 @@ def main(argv=None) -> None:
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
+    from mimirsbrunn_spark.functions.bragi_api import ValidationError
+
+    # request-boundary parameter validation (bragi routes.rs / api.rs:
+    # limit must be positive, radius a positive number) — reject before
+    # any Spark work, with the same typed-error surface as the endpoints
+    if args.k <= 0:
+        raise ValidationError("limit must be a positive integer")
+    if not args.radius_m > 0:
+        raise ValidationError("radius_m must be positive")
+
     from mimirsbrunn_spark.session import get_spark
 
     spark = get_spark(app_name="serve_reverse", cpus=args.cpus)
@@ -67,38 +77,48 @@ def main(argv=None) -> None:
         )
         q.awaitTermination()
         n_results = spark.read.parquet(args.out).count()
-        report = {"mode": "stream", "n_results": n_results}
+        batch_reports = [
+            json.loads(p.read_text())
+            for p in sorted(Path(args.out).glob("batch_id=*/_batch_report.json"))
+        ]
+        nq = sum(r["n_queries"] for r in batch_reports)
+        report = {
+            "mode": "stream",
+            "n_results": n_results,
+            "n_batches": len(batch_reports),
+            "n_queries": nq,
+            "n_rejected": sum(r["n_rejected"] for r in batch_reports),
+            # query-weighted: the fraction of lake files a query's batch opened
+            "lake_files_pruned_fraction": round(
+                sum(r["lake_files_pruned_fraction"] * r["n_queries"] for r in batch_reports) / nq, 4
+            ) if nq else None,
+        }
     else:
-        from pyspark.sql import functions as F
-
+        from mimirsbrunn_spark.functions.bragi_api import coord_validity_condition
         from mimirsbrunn_spark.plans.layout import (
-            derive_query_windows,
             reverse_geocode_lake,
             windows_pruned_fraction,
         )
 
         queries = spark.read.parquet(args.queries)
-        out = reverse_geocode_lake(
-            spark, lake_path, queries,
+        n_in = queries.count()
+        valid = queries.filter(coord_validity_condition())
+        out, info = reverse_geocode_lake(
+            spark, lake_path, valid,
             k=args.k, radius_m=args.radius_m, res=args.res,
             key_col=args.key_col, prefix_bits=args.prefix_bits,
-            target_id=args.target_id,
+            target_id=args.target_id, return_scan_info=True,
         )
         out.write.mode("overwrite").parquet(args.out)
         n_results = spark.read.parquet(args.out).count()
-        pts = [
-            (r.lon, r.lat) for r in queries.select("lon", "lat").collect()
-        ]
-        windows = derive_query_windows(
-            pts, args.radius_m, key_res=12, prefix_bits=args.prefix_bits
-        )
         report = {
             "mode": "batch",
-            "n_queries": len(pts),
+            "n_queries": info["n_queries"],
+            "n_rejected": n_in - info["n_queries"],
             "n_results": n_results,
-            "n_scan_windows": len(windows),
+            "n_scan_windows": len(info["windows"]),
             "lake_files_pruned_fraction": round(
-                windows_pruned_fraction(lake_path, windows, args.key_col), 4
+                windows_pruned_fraction(lake_path, info["windows"], args.key_col), 4
             ),
         }
     # Underscore prefix so Spark's parquet reader skips it when re-reading

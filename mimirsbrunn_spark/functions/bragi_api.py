@@ -172,3 +172,19 @@ def validate_reverse_query(
         raise InvalidRequestError("limit must be an integer")
     _ensure(limit > 0, "limit must be a positive integer")
     return {"lat": lat, "lon": lon, "limit": limit}
+
+
+def coord_validity_condition(lat_col: str = "lat", lon_col: str = "lon"):
+    """Row-level coordinate validity as a pyspark Column — the batch/
+    streaming analog of the per-request lat/lon validation (places/src/
+    coord.rs:21-29: lat in [-90, 90], lon in [-180, 180], both present).
+    Serving jobs filter on this at the request boundary and count the
+    rejects, mirroring the reference's typed 400 per bad request."""
+    from pyspark.sql import functions as F
+
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    return (
+        lat.isNotNull() & lon.isNotNull()
+        & ~F.isnan(lat) & ~F.isnan(lon)
+        & lat.between(-90.0, 90.0) & lon.between(-180.0, 180.0)
+    )

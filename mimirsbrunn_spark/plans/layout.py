@@ -119,13 +119,11 @@ def pruned_file_fraction(path: str, lo: int, hi: int, key_col: str) -> float:
     return skipped / len(ranges)
 
 
-def windows_pruned_fraction(
-    path: str, windows: list[tuple[int, int]], key_col: str
+def ranges_pruned_fraction(
+    ranges: list[tuple[str, int, int]], windows: list[tuple[int, int]]
 ) -> float:
-    """Fraction of files pruned for a UNION of key windows (the
-    `bbox_scan` shape) — a file survives if any window intersects its
-    stats range."""
-    ranges = file_key_ranges(path, key_col)
+    """Pure intersection arithmetic over pre-read footer ranges — lets a
+    serving loop read footers once and audit every batch for free."""
     if not ranges:
         return 0.0
     skipped = sum(
@@ -134,6 +132,15 @@ def windows_pruned_fraction(
         if all(mx < lo or mn > hi for lo, hi in windows)
     )
     return skipped / len(ranges)
+
+
+def windows_pruned_fraction(
+    path: str, windows: list[tuple[int, int]], key_col: str
+) -> float:
+    """Fraction of files pruned for a UNION of key windows (the
+    `bbox_scan` shape) — a file survives if any window intersects its
+    stats range."""
+    return ranges_pruned_fraction(file_key_ranges(path, key_col), windows)
 
 
 def _wrap_lon(lon: float) -> float:
@@ -204,7 +211,8 @@ def reverse_geocode_lake(
     query_id: str = "query_id",
     target_id: str = "target_id",
     max_query_batch: int = 100_000,
-) -> DataFrame:
+    return_scan_info: bool = False,
+) -> DataFrame | tuple[DataFrame, dict]:
     """Reverse geocode (operators/knn.reverse_geocode, reference
     /reverse api.rs:15) against a Z-clustered published address table,
     scanning ONLY the files whose Morton range intersects the query
@@ -240,7 +248,12 @@ def reverse_geocode_lake(
         [(r.lon, r.lat) for r in rows], radius_m, key_res, prefix_bits
     )
     targets = bbox_scan(spark, path, merged, key_col)
-    return reverse_geocode(
+    out = reverse_geocode(
         queries, targets, k=k, radius_m=radius_m, res=res,
         query_id=query_id, target_id=target_id,
     )
+    if return_scan_info:
+        # windows + batch size from the one collect above, so callers
+        # (jobs, streaming batch reports) never re-collect the queries
+        return out, {"windows": merged, "n_queries": len(rows)}
+    return out

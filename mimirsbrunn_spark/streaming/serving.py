@@ -43,24 +43,52 @@ def reverse_geocode_stream(
     """Watch ``queries_dir`` for (query_id, lon, lat) parquet batches;
     reverse geocode each micro-batch against the clustered lake at
     ``lake_path``; append (query_id, target_id, distance_m, rank) under
-    ``out_dir``/batch_id=N, overwrite-on-replay."""
-    from ..plans.layout import reverse_geocode_lake
+    ``out_dir``/batch_id=N, overwrite-on-replay.
+
+    Each batch dir also gets a ``_batch_report.json`` (underscore-prefixed
+    so dataset reads skip it) with the batch's query/reject counts, scan
+    windows, and files-pruned fraction — footer stats are read ONCE at
+    stream start and every batch's audit is then pure arithmetic."""
+    import json
+    from pathlib import Path
+
+    from ..functions.bragi_api import coord_validity_condition
+    from ..plans.layout import (
+        file_key_ranges,
+        ranges_pruned_fraction,
+        reverse_geocode_lake,
+    )
+
+    lake_ranges = file_key_ranges(lake_path, key_col)
 
     def _serve(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        out = reverse_geocode_lake(
+        valid = batch.filter(coord_validity_condition())
+        n_in = batch.count()
+        out, info = reverse_geocode_lake(
             spark,
             lake_path,
-            batch,
+            valid,
             k=k,
             radius_m=radius_m,
             res=res,
             key_col=key_col,
             prefix_bits=prefix_bits,
             target_id=target_id,
+            return_scan_info=True,
         )
-        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        bdir = f"{out_dir}/batch_id={batch_id}"
+        out.write.mode("overwrite").parquet(bdir)
+        Path(bdir, "_batch_report.json").write_text(json.dumps({
+            "batch_id": batch_id,
+            "n_queries": info["n_queries"],
+            "n_rejected": n_in - info["n_queries"],
+            "n_scan_windows": len(info["windows"]),
+            "lake_files_pruned_fraction": round(
+                ranges_pruned_fraction(lake_ranges, info["windows"]), 4
+            ),
+        }))
 
     stream = (
         spark.readStream.schema(QUERY_SCHEMA)

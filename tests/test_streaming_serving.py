@@ -162,3 +162,70 @@ def test_serve_reverse_job_stream(spark, lake, tmp_path):
     ])
     report = json.loads((tmp_path / "out" / "_run_report.json").read_text())
     assert report["mode"] == "stream" and report["n_results"] > 0
+
+
+def test_serve_reverse_rejects_invalid(spark, lake, tmp_path):
+    """Request-boundary validation: typed errors for bad parameters,
+    per-row drops (counted) for invalid coordinates."""
+    import json
+
+    import jobs.serve_reverse as job
+    from mimirsbrunn_spark.functions.bragi_api import ValidationError
+
+    lake_path, key = lake
+    qdir = tmp_path / "q"
+    _write_query_files(spark, qdir, [[
+        (0, 2.35, 48.85),          # valid
+        (1, 200.0, 48.85),         # lon out of range
+        (2, 2.35, 91.0),           # lat out of range
+        (3, float("nan"), 48.85),  # NaN lon
+    ]])
+    out = str(tmp_path / "out")
+
+    with pytest.raises(ValidationError):
+        job.main(["--lake", lake_path, "--queries", str(qdir), "--out", out,
+                  "--k", "0", "--key-col", key])
+    with pytest.raises(ValidationError):
+        job.main(["--lake", lake_path, "--queries", str(qdir), "--out", out,
+                  "--radius-m", "-5", "--key-col", key])
+
+    job.main(["--lake", lake_path, "--queries", str(qdir), "--out", out,
+              "--k", "2", "--radius-m", "400000", "--res", "5", "--key-col", key])
+    report = json.loads((tmp_path / "out" / "_run_report.json").read_text())
+    assert report["n_queries"] == 1 and report["n_rejected"] == 3
+    got = spark.read.parquet(out)
+    assert got.select("query_id").distinct().collect() == [tuple([0])] or \
+        [r.query_id for r in got.select("query_id").distinct().collect()] == [0]
+
+
+def test_stream_batch_reports(spark, lake, tmp_path):
+    """Every micro-batch leaves a _batch_report.json with its pruning
+    audit; the job's stream report aggregates them."""
+    import json
+
+    import jobs.serve_reverse as job
+
+    lake_path, key = lake
+    qdir = tmp_path / "q"
+    _write_query_files(spark, qdir, [
+        [(0, 2.35, 48.85), (100, 999.0, 0.0)],  # one valid, one rejected
+        [(1, 5.37, 43.30)],
+    ])
+    out = str(tmp_path / "out")
+    job.main(["--lake", lake_path, "--queries", str(qdir), "--out", out,
+              "--stream", "--checkpoint", str(tmp_path / "ck"),
+              "--k", "2", "--radius-m", "400000", "--res", "5", "--key-col", key])
+
+    # availableNow may drain both files in one micro-batch — assert the
+    # totals, not the batching
+    reports = sorted(Path(out).glob("batch_id=*/_batch_report.json"))
+    assert len(reports) >= 1
+    per_batch = [json.loads(p.read_text()) for p in reports]
+    assert all(0.0 <= r["lake_files_pruned_fraction"] <= 1.0 for r in per_batch)
+    assert all(r["n_scan_windows"] > 0 for r in per_batch)
+
+    agg = json.loads((Path(out) / "_run_report.json").read_text())
+    assert agg["mode"] == "stream" and agg["n_batches"] == len(reports)
+    assert agg["n_queries"] == 2 and agg["n_rejected"] == 1
+    assert 0.0 <= agg["lake_files_pruned_fraction"] <= 1.0
+    assert agg["n_results"] > 0
