@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -58,11 +59,16 @@ def main(argv=None) -> None:
 
     spark = get_spark(app_name="serve_reverse", cpus=args.cpus)
 
+    from mimirsbrunn_spark.status import MetricsRegistry, status_response
+
     lake_path = args.lake
     if args.name is not None:
         root = Path(args.lake) / args.name
         pointer = json.loads((root / "_CURRENT").read_text())
         lake_path = str(root / pointer["generation"])
+
+    metrics = MetricsRegistry()
+    t_serve = time.monotonic()
 
     if args.stream:
         if not args.checkpoint:
@@ -93,6 +99,13 @@ def main(argv=None) -> None:
                 sum(r["lake_files_pruned_fraction"] * r["n_queries"] for r in batch_reports) / nq, 4
             ) if nq else None,
         }
+        # one histogram observation per micro-batch, one counter tick per
+        # query (prometheus_handler.rs series; a query row = one /reverse)
+        for r in batch_reports:
+            metrics.inc_request("reverse", status=200, n=r["n_queries"])
+            metrics.inc_request("reverse", status=400, n=r["n_rejected"])
+            if "duration_s" in r:
+                metrics.observe_duration("reverse", r["duration_s"])
     else:
         from mimirsbrunn_spark.functions.bragi_api import coord_validity_condition
         from mimirsbrunn_spark.plans.layout import (
@@ -121,9 +134,19 @@ def main(argv=None) -> None:
                 windows_pruned_fraction(lake_path, info["windows"], args.key_col), 4
             ),
         }
+        metrics.inc_request("reverse", status=200, n=info["n_queries"])
+        metrics.inc_request("reverse", status=400, n=n_in - info["n_queries"])
+        metrics.observe_duration("reverse", time.monotonic() - t_serve)
     # Underscore prefix so Spark's parquet reader skips it when re-reading
     # --out as a dataset (same convention as _SUCCESS).
     Path(args.out, "_run_report.json").write_text(json.dumps(report, indent=2))
+    # /metrics + /status, file-published (handlers.rs:386-414): the .prom
+    # text is scrape-ready; the status body has the reference's exact keys.
+    metrics.write(Path(args.out, "_metrics.prom"))
+    if args.name is not None:
+        Path(args.out, "_status.json").write_text(
+            json.dumps(status_response(spark, args.lake, [args.name]), indent=2)
+        )
     print(json.dumps(report))
 
 

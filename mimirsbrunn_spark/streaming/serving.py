@@ -50,6 +50,7 @@ def reverse_geocode_stream(
     windows, and files-pruned fraction — footer stats are read ONCE at
     stream start and every batch's audit is then pure arithmetic."""
     import json
+    import time
     from pathlib import Path
 
     from ..functions.bragi_api import coord_validity_condition
@@ -64,6 +65,7 @@ def reverse_geocode_stream(
     def _serve(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        t0 = time.monotonic()
         valid = batch.filter(coord_validity_condition())
         n_in = batch.count()
         out, info = reverse_geocode_lake(
@@ -88,6 +90,9 @@ def reverse_geocode_stream(
             "lake_files_pruned_fraction": round(
                 ranges_pruned_fraction(lake_ranges, info["windows"]), 4
             ),
+            # feeds the bragi_http_request_duration_seconds histogram the
+            # driver renders (status.MetricsRegistry; prometheus_handler.rs)
+            "duration_s": round(time.monotonic() - t0, 6),
         }))
 
     stream = (

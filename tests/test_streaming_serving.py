@@ -144,6 +144,15 @@ def test_serve_reverse_job_batch(spark, lake, tmp_path):
     assert report["mode"] == "batch" and report["n_queries"] == 2
     assert report["n_results"] == spark.read.parquet(out).count() > 0
     assert 0.0 <= report["lake_files_pruned_fraction"] <= 1.0
+    # /metrics + /status artifacts (handlers.rs:386-414 port)
+    prom = (tmp_path / "out" / "_metrics.prom").read_text()
+    assert (
+        'bragi_http_requests_total{handler="reverse",method="GET",status="200"} 2'
+        in prom
+    )
+    assert "bragi_http_request_duration_seconds_count" in prom
+    status = json.loads((tmp_path / "out" / "_status.json").read_text())
+    assert status["elasticsearch"]["health"] == "green"
 
 
 def test_serve_reverse_job_stream(spark, lake, tmp_path):
