@@ -840,6 +840,7 @@ QUERIES = {
 from .gate_dedup import DEDUP_QUERIES  # noqa: E402
 from .gate_extra import EXTRA_QUERIES  # noqa: E402
 from .gate_geocode import GEOCODE_QUERIES  # noqa: E402
+from .gate_media import MEDIA_QUERIES  # noqa: E402
 from .gate_octagon import octagon_queries  # noqa: E402
 from .gate_places import PLACES_QUERIES  # noqa: E402
 
@@ -848,3 +849,4 @@ QUERIES.update(PLACES_QUERIES)
 QUERIES.update(octagon_queries())
 QUERIES.update(GEOCODE_QUERIES)
 QUERIES.update(EXTRA_QUERIES)
+QUERIES.update(MEDIA_QUERIES)

@@ -1,0 +1,184 @@
+"""Driver gates for the multimodal plumbing (previously pytest-only).
+
+The codec seam's deterministic fake is a pure function of the payload
+bytes (`operators/multimodal._fake_decode`: a sha256 chain, and the
+video sampler: sha256(blob + k_le32)), and the synthetic media table
+derives payloads as `sha2(media_ref, 256)` ASCII — so the ENTIRE
+pipeline docs → media table → mapInPandas decode → per-element output
+is independently computable by DuckDB from the same `documents`
+parquet, and the comparison can be made integer/string-exact:
+
+- ``media_decode_image`` — spans synthesized from the flat driver docs
+  (one media span per doc), `media_table_from_docs` (S-side explode/
+  distinct/payload derivation), `decode_image(8, 4)` → 32 pixels =
+  exactly one sha round; each float32 pixel is mapped BACK to its source
+  byte with round(pixel*255), so the gate is integer-exact. Oracle:
+  sha256(sha256(media_ref)) hex, bytes via hex-pair arithmetic.
+- ``media_decode_audio`` — the audio path (`decode_audio`, its own
+  repartition + waveform schema) at n=24 samples, exercising the
+  partial-chunk take (n < digest length) branch of the fake chain.
+- ``media_video_frames`` — `sample_video_frames(every_n=2)` over
+  variable-length payloads (1-3 frames per ref), pinning the
+  one-row→many-rows Arrow batch-shape math and the exact frame bytes:
+  frame k = sha256(blob + k.to_bytes(4, 'little')), mirrored in DuckDB
+  as sha256(payload || chr(k) || chr(0)*3) — DuckDB VARCHARs carry NUL
+  bytes and its sha256 hashes the raw bytes, verified byte-identical.
+
+Reference role: mimirsbrunn has no media decode (text-only places);
+these operators are the LLM-pipeline extension the brief mandates, and
+the decode step itself is a documented stub seam (real wheels absent in
+this image) — what IS real, and what these gates pin, is the Spark-side
+plumbing: schemas, partitioning, UDF signatures, batch shapes, and the
+deterministic spec of the seam-filler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_HEXVAL = "strpos('0123456789abcdef', substring(h, {pos}, 1)) - 1"
+
+
+def _docs_with_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-corpus shape synthesized deterministically from the
+    flat driver documents table: one text span + one media span per doc
+    (media_ref = 'm:' || doc_id — mirrored verbatim in the oracles)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    null_s = F.lit(None).cast("string")
+    return docs.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"), F.col("text").alias("text"),
+                null_s.alias("media_ref"), F.lit(0).cast("int").alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"), null_s.alias("text"),
+                F.concat(F.lit("m:"), F.col("doc_id")).alias("media_ref"),
+                F.lit(1).cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+
+
+def _byte_expr(i_expr: str) -> str:
+    """SQL for: i-th byte of the hex digest column ``h`` (0-based)."""
+    hi = _HEXVAL.format(pos=f"2*({i_expr})+1")
+    lo = _HEXVAL.format(pos=f"2*({i_expr})+2")
+    return f"(({hi}) * 16 + ({lo}))::INT"
+
+
+# ---------------------------------------------------------------------------
+# media_decode_image — docs → media table → decode_image(8,4) → bytes
+# ---------------------------------------------------------------------------
+
+def q_media_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import decode_image, media_table_from_docs
+
+    media = media_table_from_docs(_docs_with_spans(spark, sf_dir), kind_cycle=("image",))
+    dec = decode_image(media, width=8, height=4)  # 32 px = one sha round
+    return dec.select(
+        "media_ref", F.posexplode("pixels").alias("pixel_idx", "pixel")
+    ).select(
+        "media_ref",
+        F.col("pixel_idx").cast("int").alias("pixel_idx"),
+        # float32 pixel = byte/255 → exact byte recovery (err << 0.5)
+        F.round(F.col("pixel") * 255).cast("int").alias("pixel_byte"),
+    )
+
+
+MEDIA_DECODE_IMAGE_SQL = f"""
+WITH refs AS (SELECT DISTINCT 'm:' || doc_id AS media_ref FROM documents),
+hx AS (SELECT media_ref, sha256(sha256(media_ref)) AS h FROM refs),
+ii AS (SELECT range::INT AS i FROM range(0, 32))
+SELECT media_ref,
+       i AS pixel_idx,
+       {_byte_expr('i')} AS pixel_byte
+FROM hx CROSS JOIN ii
+"""
+
+
+# ---------------------------------------------------------------------------
+# media_decode_audio — the audio path, n=24 (partial final chunk)
+# ---------------------------------------------------------------------------
+
+def q_media_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import decode_audio, media_table_from_docs
+
+    media = media_table_from_docs(_docs_with_spans(spark, sf_dir), kind_cycle=("audio",))
+    dec = decode_audio(media, sample_rate=16, seconds=1.5)  # n=24 < 32
+    return dec.select(
+        "media_ref", F.posexplode("waveform").alias("sample_idx", "sample")
+    ).select(
+        "media_ref",
+        F.col("sample_idx").cast("int").alias("sample_idx"),
+        # waveform = byte/255 * 2 - 1 (audio maps to [-1, 1]) → invert
+        F.round((F.col("sample") + 1) * 127.5).cast("int").alias("sample_byte"),
+    )
+
+
+MEDIA_DECODE_AUDIO_SQL = f"""
+WITH refs AS (SELECT DISTINCT 'm:' || doc_id AS media_ref FROM documents),
+hx AS (SELECT media_ref, sha256(sha256(media_ref)) AS h FROM refs),
+ii AS (SELECT range::INT AS i FROM range(0, 24))
+SELECT media_ref,
+       i AS sample_idx,
+       {_byte_expr('i')} AS sample_byte
+FROM hx CROSS JOIN ii
+"""
+
+
+# ---------------------------------------------------------------------------
+# media_video_frames — variable-length payloads, 1-3 frames per ref
+# ---------------------------------------------------------------------------
+
+def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import sample_video_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = F.concat(F.lit("m:"), F.col("doc_id"))
+    media = docs.select(
+        ref.alias("media_ref"),
+        F.lit("video").alias("media_kind"),
+        # 64 * (100 + doc_id % 200) ASCII bytes → 1-3 fake frames
+        F.expr(
+            "cast(repeat(sha2(concat('m:', doc_id), 256),"
+            " cast(100 + pmod(doc_id, 200) as int)) as binary)"
+        ).alias("payload"),
+        F.create_map(F.lit("source"), F.lit("synthetic")).alias("meta"),
+    )
+    frames = sample_video_frames(media, every_n=2)
+    return frames.select(
+        "media_ref",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+
+
+# n_frames = max(1, (len//4096)//2 + 1); len = 64*reps, reps<=299 → <=3,
+# so the fixed range(0,3) below covers every k.
+MEDIA_VIDEO_FRAMES_SQL = """
+WITH refs AS (
+  SELECT 'm:' || doc_id AS media_ref, (100 + doc_id % 200)::INT AS reps
+  FROM documents
+),
+pl AS (
+  SELECT media_ref, repeat(sha256(media_ref), reps) AS payload,
+         greatest(1, ((64 * reps) // 4096) // 2 + 1) AS n_frames
+  FROM refs
+),
+ks AS (SELECT range::INT AS k FROM range(0, 3))
+SELECT media_ref,
+       (k * 2)::INT AS frame_idx,
+       sha256(payload || chr(k) || chr(0) || chr(0) || chr(0)) AS frame_hex
+FROM pl CROSS JOIN ks
+WHERE k < n_frames
+"""
+
+
+MEDIA_QUERIES = {
+    "media_decode_image": (q_media_decode_image, MEDIA_DECODE_IMAGE_SQL),
+    "media_decode_audio": (q_media_decode_audio, MEDIA_DECODE_AUDIO_SQL),
+    "media_video_frames": (q_media_video_frames, MEDIA_VIDEO_FRAMES_SQL),
+}
