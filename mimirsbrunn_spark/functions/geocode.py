@@ -483,6 +483,32 @@ def forward_geocode(
     if len(q_tokens) <= 1:
         places = places.filter(F.col("type") != "addr")
 
+    cond, string_score, score = _score_terms(
+        places, q_tokens, query_type, coord, lang, settings
+    )
+
+    return (
+        places.filter(cond)
+        .withColumn("match_score", string_score)
+        .withColumn("score", score)
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def _score_terms(
+    places: DataFrame,
+    q_tokens: list[str],
+    query_type: str,
+    coord: tuple[float, float] | None,
+    lang: str | None,
+    settings: dict | None,
+    explain: bool = False,
+):
+    """The shared score assembly of forward_geocode and its /explain
+    twin. Returns (cond, match_score, score) — or, with ``explain=True``,
+    (cond, terms) where terms maps each additive component to its column
+    (the T10 surface: every DSL clause is a plain column)."""
     s = settings or {}
     cond = matching_condition(q_tokens, query_type, full_label_tokens(places))
     string_score = string_query_score(
@@ -505,7 +531,8 @@ def forward_geocode(
             s.get("proximity_scale_m", 130_000.0),
             s.get("proximity_offset_m", 20_000.0),
         )
-    score = string_score + F.coalesce(type_boost, F.lit(0.0)) + importance_boost(
+    type_boost_t = F.coalesce(type_boost, F.lit(0.0))
+    importance_t = importance_boost(
         query_type, coord,
         proximity_scale_offset=prox_so,
         type_weights=s.get("importance_types"),
@@ -513,21 +540,25 @@ def forward_geocode(
         max_radius=s.get("max_radius"),
         radius_range=s.get("radius_range"),
     )
+    score = string_score + type_boost_t + importance_t
+    proximity_t = F.lit(0.0)
     if coord is not None:
-        score = score + proximity_boost(
+        proximity_t = proximity_boost(
             coord[0], coord[1],
             scale_m=s.get("proximity_scale_m", 130_000.0),
             offset_m=s.get("proximity_offset_m", 20_000.0),
             decay=s.get("proximity_decay", 0.4),
         ) * F.lit(s.get("proximity_weight", PROXIMITY_WEIGHT))
-
-    return (
-        places.filter(cond)
-        .withColumn("match_score", string_score)
-        .withColumn("score", score)
-        .orderBy(F.col("score").desc(), F.col("id").asc())
-        .limit(k)
-    )
+        score = score + proximity_t
+    if explain:
+        return cond, {
+            "match_score": string_score,
+            "type_boost": type_boost_t,
+            "importance": importance_t,
+            "proximity": proximity_t,
+            "score": score,
+        }
+    return cond, string_score, score
 
 
 def autocomplete(
@@ -567,6 +598,73 @@ def autocomplete(
     fuzzy = forward_geocode(places, q, k=k, coord=coord, types=types, lang=lang,
                             query_type="fuzzy", settings=settings)
     return fuzzy, "fuzzy"
+
+
+def forward_geocode_explain(
+    places: DataFrame,
+    q: str,
+    doc_id: str,
+    doc_type: str,
+    coord: tuple[float, float] | None = None,
+    lang: str | None = None,
+    settings: dict | None = None,
+    shape: tuple | None = None,
+) -> DataFrame:
+    """bragi /autocomplete-explain (handlers.rs:307-345,
+    ForwardGeocoderExplainQuery api.rs:32-59): build the PREFIX query
+    for ``q`` and explain its score against ONE document — the ES
+    _explain call degenerates here to selecting the score-term columns
+    (T10) for the (doc_id, doc_type) row.
+
+    Returns one row (or zero if the document does not exist):
+    (id, type, label, matched, match_score, type_boost, importance,
+    proximity, score). ``matched`` folds the T4 matching condition, the
+    T5 house-number gate, and the G14 shape scope — exactly the clauses
+    that would have kept the doc in /autocomplete's result set; the term
+    columns use the SAME expression tree as forward_geocode
+    (``_score_terms``), so explain.score == autocomplete.score
+    bit-for-bit."""
+    from .bragi_api import ValidationError, validate_forward_query
+
+    validate_forward_query(
+        q,
+        lat=coord[1] if coord is not None else None,
+        lon=coord[0] if coord is not None else None,
+        limit=10,
+        lang=lang if lang is not None else "fr",
+    )
+    if not doc_id or not isinstance(doc_id, str):
+        raise ValidationError("doc_id must be a non-empty string")
+    if not doc_type or not isinstance(doc_type, str):
+        raise ValidationError("doc_type must be a non-empty string")
+
+    q_tokens = _query_tokens(q)
+    if not q_tokens:
+        raise ValidationError("q must contain at least one token")
+    doc = places.filter((F.col("id") == doc_id) & (F.col("type") == doc_type))
+
+    # T5: single-word queries never match addresses
+    gate = F.lit(True) if len(q_tokens) > 1 else (F.col("type") != "addr")
+    in_shape = F.lit(True)
+    if shape is not None:
+        kept = shape_filter(doc, shape[0], shape[1]).select(
+            F.col("id").alias("__shape_id")
+        )
+        doc = doc.join(
+            F.broadcast(kept), doc["id"] == F.col("__shape_id"), "left"
+        )
+        in_shape = F.col("__shape_id").isNotNull()
+
+    cond, terms = _score_terms(
+        doc, q_tokens, "prefix", coord, lang, settings, explain=True
+    )
+    return doc.select(
+        "id",
+        "type",
+        "label",
+        (cond & gate & in_shape).alias("matched"),
+        *[v.alias(k) for k, v in terms.items()],
+    )
 
 
 def reverse_geocode_endpoint(
