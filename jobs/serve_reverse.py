@@ -61,11 +61,11 @@ def main(argv=None) -> None:
 
     from mimirsbrunn_spark.status import MetricsRegistry, status_response
 
+    from mimirsbrunn_spark.sources.lifecycle import resolve_generation
+
     lake_path = args.lake
     if args.name is not None:
-        root = Path(args.lake) / args.name
-        pointer = json.loads((root / "_CURRENT").read_text())
-        lake_path = str(root / pointer["generation"])
+        lake_path = str(resolve_generation(Path(args.lake) / args.name))
 
     metrics = MetricsRegistry()
     t_serve = time.monotonic()

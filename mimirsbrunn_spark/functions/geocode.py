@@ -662,7 +662,10 @@ def forward_geocode_explain(
         "id",
         "type",
         "label",
-        (cond & gate & in_shape).alias("matched"),
+        # coalesce: NULL label/name fields make the matching condition
+        # SQL-NULL — /autocomplete's filter() already treats that as
+        # not-matched, so explain must report false, never null
+        F.coalesce(cond & gate & in_shape, F.lit(False)).alias("matched"),
         *[v.alias(k) for k, v in terms.items()],
     )
 

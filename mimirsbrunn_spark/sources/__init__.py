@@ -7,4 +7,4 @@ from .readers import (  # noqa: F401
     read_table,
     resolve_osm_dependencies,
 )
-from .lifecycle import publish_table, read_published, merge_update  # noqa: F401
+from .lifecycle import publish_table, read_published, merge_update, resolve_generation  # noqa: F401

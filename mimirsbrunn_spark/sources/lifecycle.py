@@ -45,13 +45,22 @@ def publish_table(df: DataFrame, base_dir: str, name: str, keep_generations: int
     return str(gen_dir)
 
 
+def resolve_generation(root: str | Path) -> Path:
+    """Resolve a table root's ``_CURRENT`` pointer to its generation
+    directory — the single owner of the pointer format (readers, the
+    serving job, and the status probe all route through here).
+    Raises OSError / ValueError / KeyError / TypeError on a missing or
+    malformed pointer."""
+    root = Path(root)
+    pointer = json.loads((root / "_CURRENT").read_text())
+    return root / pointer["generation"]
+
+
 def read_published(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     """Read whatever generation ``_CURRENT`` points at — the Iceberg-
     snapshot-as-PIT property (SURVEY S7): a concurrent publish never
     mutates the generation a reader already resolved."""
-    root = Path(base_dir) / name
-    pointer = json.loads((root / "_CURRENT").read_text())
-    return spark.read.parquet(str(root / pointer["generation"]))
+    return spark.read.parquet(str(resolve_generation(Path(base_dir) / name)))
 
 
 def merge_update(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:

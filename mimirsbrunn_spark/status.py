@@ -33,7 +33,7 @@ deployment points node_exporter's textfile collector at it).
 
 from __future__ import annotations
 
-import json
+import os
 from pathlib import Path
 
 from mimirsbrunn_spark import __version__
@@ -183,7 +183,12 @@ class MetricsRegistry:
         return "\n".join(lines) + "\n"
 
     def write(self, path: str | Path) -> None:
-        Path(path).write_text(self.render())
+        # tmp + os.replace so a textfile-collector scrape never reads a
+        # truncated exposition (same pattern as lifecycle.publish_table)
+        path = Path(path)
+        tmp = path.with_name(path.name + ".tmp")
+        tmp.write_text(self.render())
+        os.replace(tmp, path)
 
 
 def storage_status(spark, base_dir: str, tables: list[str] | None = None) -> dict:
@@ -209,14 +214,15 @@ def storage_status(spark, base_dir: str, tables: list[str] | None = None) -> dic
             if d.is_dir()
             and ((d / "_CURRENT").exists() or any(d.glob("gen_*")))
         )
+    from mimirsbrunn_spark.sources.lifecycle import resolve_generation
+
     per_table: dict[str, str] = {}
     for name in tables:
-        troot = root / name
         try:
-            pointer = json.loads((troot / "_CURRENT").read_text())
-            gen = troot / pointer["generation"]
-            per_table[name] = "green" if gen.is_dir() else "red"
-        except (OSError, ValueError, KeyError):
+            per_table[name] = (
+                "green" if resolve_generation(root / name).is_dir() else "red"
+            )
+        except (OSError, ValueError, KeyError, TypeError):
             per_table[name] = "red"
     greens = sum(1 for v in per_table.values() if v == "green")
     if per_table and greens == len(per_table):

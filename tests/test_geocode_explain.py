@@ -114,6 +114,17 @@ def test_explain_missing_doc_zero_rows(spark, places):
     assert forward_geocode_explain(places, "place allegre", "addr:999", "addr").count() == 0
 
 
+def test_explain_null_label_matched_is_false_not_null(spark):
+    # a NULL label makes the matching condition SQL-NULL; /autocomplete
+    # filters that row out, so explain must say false — never null
+    places = spark.createDataFrame(
+        [("poi:n", "poi", None, None, 0.2, 1.0, 45.0)],
+        "id string, type string, name string, label string, weight double, lon double, lat double",
+    )
+    row = forward_geocode_explain(places, "any query", "poi:n", "poi").collect()[0]
+    assert row["matched"] is False
+
+
 @pytest.mark.parametrize("kwargs,err", [
     (dict(q="", doc_id="addr:1", doc_type="addr"), ValidationError),
     (dict(q="   ", doc_id="addr:1", doc_type="addr"), ValidationError),

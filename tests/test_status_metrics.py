@@ -140,6 +140,10 @@ def test_storage_status_health_tiers(spark, tmp_path):
     # red again when ONLY broken tables are asked about
     assert storage_status(spark, str(base), ["poi"])["health"] == "red"
 
+    # a pointer that is valid JSON but not an object maps to red, not a crash
+    (bad / "_CURRENT").write_text(json.dumps("gen_nope"))
+    assert storage_status(spark, str(base))["tables"]["poi"] == "red"
+
 
 def test_status_response_body_shape(spark, tmp_path):
     from mimirsbrunn_spark import __version__
