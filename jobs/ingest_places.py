@@ -34,12 +34,38 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 TABLE_FOR_SOURCE = {
     "cosmogony": "admins",
-    "bano": "addresses",
-    "openaddresses": "addresses",
+    # address sources publish per-dataset tables (the reference's
+    # munin_addr_{dataset} indices under one alias,
+    # configuration.rs root_doctype_dataset): bano + openaddresses with
+    # distinct --dataset values coexist; same dataset = replace.
+    "bano": "addresses_{dataset}",
+    "openaddresses": "addresses_{dataset}",
     "osm": "streets",
     "ntfs": "stops",
     "poi": "pois",
 }
+
+
+def read_all_addresses(spark, lake: str):
+    """Union every published addresses_* dataset table (the alias view
+    over per-dataset indices, J8). Returns None when none exist."""
+    from pyspark.sql import DataFrame
+
+    from mimirsbrunn_spark.sources import read_published
+
+    root = Path(lake)
+    if not root.is_dir():
+        return None
+    parts: list[DataFrame] = []
+    for d in sorted(root.iterdir()):
+        if d.is_dir() and d.name.startswith("addresses_") and (d / "_CURRENT").exists():
+            parts.append(read_published(spark, lake, d.name))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def _load_admins(spark, lake: str, admins_table: str):
@@ -63,6 +89,9 @@ def main(argv=None) -> None:
     ap.add_argument("--table", default=None,
                     help="override the published table name (default per --source)")
     ap.add_argument("--admins-table", default="admins")
+    ap.add_argument("--dataset", default="fr",
+                    help="dataset suffix for address tables (the reference's "
+                         "container dataset); distinct values coexist in the lake")
     ap.add_argument("--langs", default="fr,en")
     ap.add_argument("--no-french-id-retrocompatibility", action="store_true")
     ap.add_argument("--country-code", default="fr",
@@ -79,14 +108,17 @@ def main(argv=None) -> None:
     from mimirsbrunn_spark.sources import publish_table
 
     spark = get_spark(app_name=f"{args.source}2mimir", cpus=args.cpus)
-    table = args.table or TABLE_FOR_SOURCE[args.source]
-    langs = tuple(s for s in args.langs.split(",") if s)
+    table = args.table or TABLE_FOR_SOURCE[args.source].format(dataset=args.dataset)
+    langs = tuple(s.strip() for s in args.langs.split(",") if s.strip())
 
     if args.source == "cosmogony":
         from mimirsbrunn_spark.sources.cosmogony import ZONES_SCHEMA, zones_to_admins
         from mimirsbrunn_spark.sources.readers import read_cosmogony_jsonl
 
-        zones = read_cosmogony_jsonl(spark, args.input, schema=ZONES_SCHEMA)
+        # cache: zones_to_admins scans the source from three subtrees
+        # (the slim id-map broadcast, base, and the geometry branch) —
+        # without this the gzip JSONL is parsed three times
+        zones = read_cosmogony_jsonl(spark, args.input, schema=ZONES_SCHEMA).cache()
         out = zones_to_admins(
             zones,
             langs=langs,
@@ -110,18 +142,20 @@ def main(argv=None) -> None:
             raw = read_bano_csv(spark, args.input)
         else:
             raw = read_openaddresses_csv(spark, args.input)
+        # the partitioned refine keys its gather/replay on point_uid
+        # (same pattern as jobs/index_corpus.py)
+        raw = raw.withColumn(
+            "point_uid", F.concat_ws("#", "id", "lon", "lat", "house_number")
+        )
         attached = attach_admins(raw, admins, strategy=args.pip_strategy)
         out = enrich_addresses(
             attach_admin_structs(attached, admins),
             country_code=F.lit(args.country_code),
-        )
-        if args.source == "openaddresses" and args.id_precision > 0:
-            from mimirsbrunn_spark.operators.enrich import addr_id
-
-            out = out.withColumn(
-                "addr_id",
-                addr_id("lon", "lat", "house_number", id_precision=args.id_precision),
-            )
+            # F6 insee/fantoir slicing is a BANO id property; OA ids are
+            # hashes and the reference leaves the fields empty
+            id_is_fantoir=(args.source == "bano"),
+            id_precision=args.id_precision,
+        ).drop("point_uid")
     elif args.source == "osm":
         from mimirsbrunn_spark.operators.places import streets_pipeline
 
@@ -137,14 +171,13 @@ def main(argv=None) -> None:
         out = stops_pipeline(read_ntfs_stops(spark, args.input), admins)
     else:  # poi
         from mimirsbrunn_spark.operators.places import pois_pipeline
-        from mimirsbrunn_spark.sources import read_published
         from mimirsbrunn_spark.sources.readers import read_navitia_pois
 
         admins = _load_admins(spark, args.lake, args.admins_table)
-        try:
-            addresses = read_published(spark, args.lake, "addresses")
-        except (OSError, ValueError, KeyError, TypeError):
-            addresses = None  # reference keeps POIs without an address
+        # no addresses yet is benign (reference keeps POIs without one);
+        # a CORRUPT addresses pointer is NOT — read_all_addresses lets
+        # that propagate instead of masking lake damage as absence
+        addresses = read_all_addresses(spark, args.lake)
         out = pois_pipeline(
             read_navitia_pois(spark, args.input), admins, addresses=addresses
         )

@@ -249,7 +249,8 @@ def attach_admin_structs(attached: DataFrame, admins: DataFrame,
     )
 
 
-def enrich_addresses(attached: DataFrame, country_code: Column | str = "fr") -> DataFrame:
+def enrich_addresses(attached: DataFrame, country_code: Column | str = "fr",
+                     id_is_fantoir: bool = True, id_precision: int = 0) -> DataFrame:
     """The bano2mimir enrichment block (bano.rs:64-150) over attached
     addresses: name/label (C1/C3), zips (C5 + A1 fallback), weight (A4),
     id (C6), insee/fantoir (F6). Expects columns: id, house_number,
@@ -257,9 +258,18 @@ def enrich_addresses(attached: DataFrame, country_code: Column | str = "fr") -> 
 
     ``country_code`` (column or literal, default "fr" — BANO is a French
     dataset) keys the C3 name template; the reference derives it from the
-    attached admins' ISO codes the same way."""
+    attached admins' ISO codes the same way.
+
+    ``id_is_fantoir``: the F6 insee/fantoir slicing is a property of
+    BANO's FANTOIR-shaped ids — OpenAddresses ids are hashes, so its
+    indexer leaves both fields empty (openaddresses.rs has no F6);
+    pass False for OA-shaped sources. ``id_precision`` feeds the C6
+    fixed-point addr_id variant (openaddresses.rs:101-117)."""
     name = format_addr_name("house_number", "street", country_code)
-    insee, fantoir = insee_fantoir("id")
+    if id_is_fantoir:
+        insee, fantoir = insee_fantoir("id")
+    else:
+        insee, fantoir = F.lit(None).cast("string"), F.lit(None).cast("string")
     own_zips = split_zip_codes("zip")
     zips = F.when(F.size(own_zips) > 0, own_zips).otherwise(zip_codes_from_admins())
     return (
@@ -269,5 +279,8 @@ def enrich_addresses(attached: DataFrame, country_code: Column | str = "fr") -> 
         .withColumn("weight", weight_from_city())
         .withColumn("insee", insee)
         .withColumn("fantoir", fantoir)
-        .withColumn("addr_id", addr_id("lon", "lat", "house_number"))
+        .withColumn(
+            "addr_id",
+            addr_id("lon", "lat", "house_number", id_precision=id_precision),
+        )
     )

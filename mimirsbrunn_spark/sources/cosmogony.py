@@ -89,9 +89,11 @@ def _boundary_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             cents.append((None, None))
             continue
         # Arrow hands nested lists as object-dtype ndarrays; numpy 2
-        # refuses direct asarray on those, so stack point-wise
+        # refuses direct asarray on those, so stack point-wise. [:2]
+        # drops the optional GeoJSON altitude — a 3-wide ring would
+        # corrupt the 2-double-per-point WKB layout.
         mp = [
-            [np.stack([np.asarray(p, dtype=np.float64) for p in ring])
+            [np.stack([np.asarray(p, dtype=np.float64)[:2] for p in ring])
              for ring in poly]
             for poly in coords
         ]

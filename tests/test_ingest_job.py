@@ -61,6 +61,12 @@ def world(tmp_path_factory):
         "190050000C0003,9,,,,bano,45.5,1.5\n"  # empty street -> dropped
     )
 
+    (d / "oa").mkdir()
+    (d / "oa" / "oa.csv").write_text(
+        "LON,LAT,NUMBER,STREET,UNIT,CITY,DISTRICT,REGION,POSTCODE,ID,HASH\n"
+        "1.7,45.7,5,Chemin Vert,,Ville-Test,,,19240,af83e0b9-cafe,h1\n"
+    )
+
     (d / "poi").mkdir()
     (d / "poi" / "poi.txt").write_text(
         "poi_id;poi_type_id;poi_name;poi_lat;poi_lon\n"
@@ -114,7 +120,7 @@ def test_ingest_chain(spark, world, tmp_path_factory):
 
     # ---- bano2mimir ----------------------------------------------------
     _run("bano", world / "bano", lake)
-    addrs = {r["id"]: r for r in read_published(spark, str(lake), "addresses").collect()}
+    addrs = {r["id"]: r for r in read_published(spark, str(lake), "addresses_fr").collect()}
     assert len(addrs) == 2  # empty-street row dropped (F4)
     a1 = addrs["190050000A0001"]
     assert a1["name"] == "14 Rue des Vignes"          # C3 fr: hn-first
@@ -125,6 +131,19 @@ def test_ingest_chain(spark, world, tmp_path_factory):
     a2 = addrs["190050000B0002"]
     assert a2["zip_codes"] == ["19999"]               # own zip wins (C5)
     assert a1["weight"] == pytest.approx(1e6 / 1.4e9)  # A4 city weight
+
+    # ---- openaddresses2mimir (distinct dataset; partitioned PIP) -------
+    _run("openaddresses", world / "oa", lake,
+         "--dataset", "oa", "--id-precision", "7",
+         "--pip-strategy", "partitioned")
+    oa = read_published(spark, str(lake), "addresses_oa").collect()
+    assert len(oa) == 1
+    assert oa[0]["insee"] is None and oa[0]["fantoir"] is None  # no F6 for OA
+    assert oa[0]["addr_id"] == "addr:1.7000000;45.7000000:5"    # C6 fixed-point
+    # both datasets coexist (munin_addr_{dataset} under one alias)
+    import jobs.ingest_places as jobmod
+
+    assert jobmod.read_all_addresses(spark, str(lake)).count() == 3
 
     # ---- osm2mimir (streets, pre-converted parquet) --------------------
     from mimirsbrunn_spark.schemas import STREETS_RAW
