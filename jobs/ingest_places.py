@@ -49,23 +49,9 @@ TABLE_FOR_SOURCE = {
 def read_all_addresses(spark, lake: str):
     """Union every published addresses_* dataset table (the alias view
     over per-dataset indices, J8). Returns None when none exist."""
-    from pyspark.sql import DataFrame
+    from mimirsbrunn_spark.sources.lifecycle import read_published_union
 
-    from mimirsbrunn_spark.sources import read_published
-
-    root = Path(lake)
-    if not root.is_dir():
-        return None
-    parts: list[DataFrame] = []
-    for d in sorted(root.iterdir()):
-        if d.is_dir() and d.name.startswith("addresses_") and (d / "_CURRENT").exists():
-            parts.append(read_published(spark, lake, d.name))
-    if not parts:
-        return None
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p, allowMissingColumns=True)
-    return out
+    return read_published_union(spark, lake, "addresses_")
 
 
 def _load_admins(spark, lake: str, admins_table: str):

@@ -63,6 +63,27 @@ def read_published(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(str(resolve_generation(Path(base_dir) / name)))
 
 
+def read_published_union(spark: SparkSession, base_dir: str, prefix: str) -> DataFrame | None:
+    """Union every published ``{prefix}*`` table (the reference's
+    per-dataset indices under one alias, configuration.rs
+    root_doctype_dataset → the munin_addr alias). None when none exist;
+    a CORRUPT pointer on a present table raises rather than masking lake
+    damage as absence."""
+    root = Path(base_dir)
+    if not root.is_dir():
+        return None
+    parts = []
+    for d in sorted(root.iterdir()):
+        if d.is_dir() and d.name.startswith(prefix) and (d / "_CURRENT").exists():
+            parts.append(read_published(spark, base_dir, d.name))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def merge_update(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     """MERGE semantics (update-by-id partial documents): rows in ``updates``
     replace same-key rows in ``target`` column-wise (non-null update

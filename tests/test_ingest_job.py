@@ -185,6 +185,54 @@ def test_ingest_chain(spark, world, tmp_path_factory):
     assert pois[0]["label"] == "Mairie (Ville-Test)"
 
 
+def test_query_and_ctl_cli(spark, world, tmp_path_factory, capsys):
+    """src/bin/query.rs + ctlmimir.rs over the lake: the union view from
+    published tables, T1-T9 autocomplete from the CLI, GeocodeJSON out,
+    template install + config/status echo."""
+    import jobs.ctl as ctl
+    import jobs.ingest_places  # noqa: F401  (registers sys.path)
+    import jobs.query as q
+
+    lake = tmp_path_factory.mktemp("qlake")
+    _run("cosmogony", world / "zones.jsonl", lake)
+    _run("bano", world / "bano", lake)
+    capsys.readouterr()  # drain the ingest report lines
+
+    # line output: the BANO address ranks first for its own street query
+    # (the union view carries the C6 addr_id as the place id)
+    q.main(["14 rue des vignes", "--lake", str(lake)])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t")[1:4] == [
+        "addr", "addr:1.5;45.5:14", "14 Rue des Vignes (Ville-Test)"
+    ]
+
+    # GeocodeJSON FeatureCollection (C10)
+    q.main(["ville-test", "--lake", str(lake), "--type", "admin", "--json"])
+    body = json.loads(capsys.readouterr().out)
+    assert body["type"] == "FeatureCollection"
+    assert body["geocoding"]["query"] == "ville-test"
+    props = body["features"][0]["properties"]["geocoding"]
+    assert props["id"] == "admin:fr:19005"
+
+    # typed rejection exits non-zero (lat without lon)
+    with pytest.raises(SystemExit):
+        q.main(["x", "--lake", str(lake), "--lat", "45.0"])
+
+    # ctl: config echo, template install (no Iceberg jar → DDL persisted
+    # with the lake), status green
+    ctl.main(["config", "--lake", str(lake)])
+    cfg = json.loads(capsys.readouterr().out)
+    assert cfg["tables"] == ["admins", "docs"]
+    ctl.main(["run", "--lake", str(lake)])
+    res = json.loads(capsys.readouterr().out)
+    assert res["applied"] == [] and len(res["written"]) == 2
+    ddl = (lake / "_templates" / "docs.sql").read_text()
+    assert "USING iceberg" in ddl and "bucket(256, doc_id)" in ddl
+    ctl.main(["status", "--lake", str(lake)])
+    status = json.loads(capsys.readouterr().out)
+    assert status["elasticsearch"]["health"] == "green"
+
+
 def test_zones_without_boundary_or_id_are_handled(spark, tmp_path):
     from mimirsbrunn_spark.sources.cosmogony import ZONES_SCHEMA, zones_to_admins
     from mimirsbrunn_spark.sources.readers import read_cosmogony_jsonl
