@@ -58,15 +58,23 @@ def main(argv=None) -> None:
         print(json.dumps(status_response(spark, args.lake), indent=2))
         return
 
-    # run: update_templates. Iceberg catalog present → execute; else
-    # persist the DDL with the lake so a catalog-enabled deployment can
-    # apply it verbatim.
+    # run: update_templates. Iceberg catalog present → execute; only the
+    # catalog-ABSENT condition falls back to persisting the DDL with the
+    # lake — any other failure (missing namespace, permissions, bad
+    # catalog config) propagates, as the reference's update_templates
+    # fails loudly rather than pretending the install happened.
     applied, written = [], []
     for name, stmt in sorted(ddl.items()):
         try:
             spark.sql(stmt)
             applied.append(name)
-        except Exception:
+        except Exception as e:
+            msg = str(e)
+            jar_absent = "DATA_SOURCE_NOT_FOUND" in msg or (
+                "iceberg" in msg.lower() and "data source" in msg.lower()
+            )
+            if not jar_absent:
+                raise
             out = Path(args.lake) / "_templates" / f"{name}.sql"
             out.parent.mkdir(parents=True, exist_ok=True)
             out.write_text(stmt + "\n")

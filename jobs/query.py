@@ -25,9 +25,21 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def build_places(spark, lake: str, types=None):
-    from pyspark.sql import functions as F
+# rich columns forwarded through the union when a table carries them, so
+# --lang i18n matching (T3 names/labels best-of-fields), the house-number
+# boost, and the full C10 Feature (admins/insee/level) all work from the
+# CLI, not just the indexer path
+RICH_COLS = [
+    # NOT zip_codes_str: the zip_codes array already rides in PLACE_COLS
+    # and a typed-null zip_codes_str column would shadow the array path
+    # in full_label_tokens
+    "names", "labels", "alt_name", "loc_name",
+    "house_number", "street", "insee", "level", "zone_type", "admins",
+    "poi_type",
+]
 
+
+def build_places(spark, lake: str, types=None):
     from mimirsbrunn_spark.operators.union_view import places_view
     from mimirsbrunn_spark.sources import read_published
     from mimirsbrunn_spark.sources.lifecycle import read_published_union
@@ -38,19 +50,15 @@ def build_places(spark, lake: str, types=None):
         except FileNotFoundError:
             return None
 
-    stops = opt("stops")
-    if stops is not None and "stop_id" not in stops.columns:
-        stops = stops.withColumn(
-            "stop_id", F.concat(F.lit("stop_area:"), F.col("stop_area_id"))
-        )
     return places_view(
         spark,
         addrs=read_published_union(spark, lake, "addresses_"),
         streets=opt("streets"),
         admins=opt("admins"),
         pois=opt("pois"),
-        stops=stops,
+        stops=opt("stops"),
         types=types,
+        extra_cols=RICH_COLS,
     )
 
 
@@ -72,7 +80,30 @@ def main(argv=None) -> None:
     from mimirsbrunn_spark.functions.bragi_api import (
         InvalidRequestError,
         ValidationError,
+        validate_forward_query,
     )
+
+    ENGINE_TYPES = {"addr", "street", "admin", "poi", "stop"}
+    coord = None
+    if args.lat is not None or args.lon is not None:
+        coord = (args.lon, args.lat)  # validation rejects a lone one
+    # validate BEFORE any Spark/lake work: a malformed request must not
+    # pay SparkSession startup + footer reads of every published table
+    try:
+        if args.types:
+            bad = set(args.types) - ENGINE_TYPES
+            if bad:
+                raise ValidationError(
+                    f"unknown place types {sorted(bad)}; valid: {sorted(ENGINE_TYPES)}"
+                )
+        validate_forward_query(
+            args.q,
+            lat=args.lat, lon=args.lon,
+            limit=args.limit, lang=args.lang,
+        )
+    except (ValidationError, InvalidRequestError) as e:
+        raise SystemExit(f"invalid query: {e}")
+
     from mimirsbrunn_spark.session import get_spark
 
     spark = get_spark(app_name="query", cpus=args.cpus)
@@ -80,9 +111,6 @@ def main(argv=None) -> None:
 
     from mimirsbrunn_spark.functions.geocode import autocomplete
 
-    coord = None
-    if args.lat is not None or args.lon is not None:
-        coord = (args.lon, args.lat)  # validation rejects a lone one
     try:
         hits, mode = autocomplete(
             places, args.q, k=args.limit, coord=coord,

@@ -311,9 +311,13 @@ def full_label_tokens(df: DataFrame) -> Column:
                 lambda z: F.lower(z),
             )
         )
-    out = parts[0]
+    # null-safe fold: copy_to semantics — a NULL field contributes no
+    # tokens; a bare concat would instead nullify the whole full_label
+    # (and with it the matching condition) whenever any part is NULL
+    empty = F.array().cast("array<string>")
+    out = F.coalesce(parts[0], empty)
     for p in parts[1:]:
-        out = F.concat(out, p)
+        out = F.concat(out, F.coalesce(p, empty))
     return out
 
 

@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 PLACE_COLS = ["id", "type", "name", "label", "weight", "lon", "lat", "zip_codes"]
 
 
-def _project(df: DataFrame, type_name: str, mapping: dict[str, str]) -> DataFrame:
+def _project(df: DataFrame, type_name: str, mapping: dict[str, str],
+             extra_types: dict[str, str] | None = None) -> DataFrame:
     cols = []
     for target in PLACE_COLS:
         if target == "type":
@@ -37,6 +38,11 @@ def _project(df: DataFrame, type_name: str, mapping: dict[str, str]) -> DataFram
             cols.append(F.lit(0.0).alias("weight"))
         else:
             cols.append(F.lit(None).cast("string").alias(target))
+    for name, dtype in (extra_types or {}).items():
+        if name in df.columns:
+            cols.append(F.col(name))
+        else:
+            cols.append(F.lit(None).cast(dtype).alias(name))
     return df.select(*cols)
 
 
@@ -49,6 +55,7 @@ def places_view(
     stops: DataFrame | None = None,
     types: list[str] | None = None,
     visibility: dict[str, str] | None = None,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Union of the requested place types in the shared projection.
 
@@ -74,6 +81,22 @@ def places_view(
     unknown = set(visibility) - set(candidates)
     if unknown:
         raise ValueError(f"visibility for unknown types: {sorted(unknown)}")
+    if types is not None:
+        bad = set(types) - set(candidates)
+        if bad:
+            raise ValueError(f"unknown place types: {sorted(bad)}")
+    # rich passthrough columns (i18n names/labels, admins structs, …):
+    # each keeps the dtype of the first table that carries it; tables
+    # without it contribute typed nulls so the union stays aligned
+    extra_types: dict[str, str] = {}
+    if extra_cols:
+        for name in dict.fromkeys(c for c in extra_cols if c not in PLACE_COLS):
+            for df, _ in candidates.values():
+                if df is not None and name in df.columns:
+                    extra_types[name] = df.schema[name].dataType.simpleString()
+                    break
+            else:
+                extra_types[name] = "string"
     parts = []
     for t, (df, mapping) in candidates.items():
         if df is None:
@@ -84,7 +107,7 @@ def places_view(
             continue  # private: only reachable by explicit request
         if t == "admin" and "lon" not in df.columns and "coord" in df.columns:
             df = df.withColumn("lon", F.col("coord.lon")).withColumn("lat", F.col("coord.lat"))
-        parts.append(_project(df, t, mapping))
+        parts.append(_project(df, t, mapping, extra_types))
     if not parts:
         raise ValueError("no place tables supplied (or all pruned by types)")
     out = parts[0]

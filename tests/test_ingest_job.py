@@ -206,17 +206,31 @@ def test_query_and_ctl_cli(spark, world, tmp_path_factory, capsys):
         "addr", "addr:1.5;45.5:14", "14 Rue des Vignes (Ville-Test)"
     ]
 
-    # GeocodeJSON FeatureCollection (C10)
-    q.main(["ville-test", "--lake", str(lake), "--type", "admin", "--json"])
+    # GeocodeJSON FeatureCollection (C10) — rich columns survive the
+    # union, so the Feature carries admins/citycode/housenumber
+    q.main(["14 rue des vignes", "--lake", str(lake), "--json"])
     body = json.loads(capsys.readouterr().out)
     assert body["type"] == "FeatureCollection"
-    assert body["geocoding"]["query"] == "ville-test"
+    assert body["geocoding"]["query"] == "14 rue des vignes"
     props = body["features"][0]["properties"]["geocoding"]
-    assert props["id"] == "admin:fr:19005"
+    assert props["id"] == "addr:1.5;45.5:14"
+    assert props["housenumber"] == "14"
+    assert props["citycode"] == "19005"
+    assert props["city"] == "Ville-Test"
+    assert [a["id"] for a in props["administrative_regions"]] == [
+        "admin:fr:19005", "admin:osm:relation:200", "admin:osm:relation:300"
+    ]
 
-    # typed rejection exits non-zero (lat without lon)
+    # --lang reaches the i18n labels through the union (T3 labels.{lang})
+    q.main(["testville", "--lake", str(lake), "--type", "admin", "--lang", "en"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out and out[0].split("\t")[2] == "admin:fr:19005"
+
+    # typed rejections exit non-zero BEFORE any Spark work
     with pytest.raises(SystemExit):
-        q.main(["x", "--lake", str(lake), "--lat", "45.0"])
+        q.main(["x", "--lake", str(lake), "--lat", "45.0"])  # lone lat
+    with pytest.raises(SystemExit):
+        q.main(["x", "--lake", str(lake), "--type", "house"])  # unknown type
 
     # ctl: config echo, template install (no Iceberg jar → DDL persisted
     # with the lake), status green
