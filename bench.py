@@ -56,7 +56,11 @@ def _host_cpu_sec() -> float:
 
 def _tree_cpu_sec() -> float:
     """cpu-seconds of this process + all live descendants (the Spark JVM
-    and its python workers) from /proc/*/stat."""
+    and its python workers) from /proc/*/stat. Each process contributes
+    utime+stime PLUS cutime+cstime: a worker that exits mid-rep vanishes
+    from the live tree, but its time moves into its reaped parent's
+    cutime/cstime, so the tree sum stays monotone and the rep delta never
+    misattributes our own dead-child CPU to an external co-tenant."""
     tck = os.sysconf("SC_CLK_TCK")
     procs: dict[int, tuple[int, float]] = {}
     for p in Path("/proc").iterdir():
@@ -70,7 +74,7 @@ def _tree_cpu_sec() -> float:
         rest = st.rsplit(")", 1)[-1].split()
         try:
             ppid = int(rest[1])
-            cpu = (float(rest[11]) + float(rest[12])) / tck
+            cpu = sum(float(rest[i]) for i in (11, 12, 13, 14)) / tck
         except (ValueError, IndexError):
             continue
         procs[int(p.name)] = (ppid, cpu)

@@ -82,11 +82,17 @@ def main(argv=None) -> None:
             target_id=args.target_id,
         )
         q.awaitTermination()
-        n_results = spark.read.parquet(args.out).count()
         batch_reports = [
             json.loads(p.read_text())
             for p in sorted(Path(args.out).glob("batch_id=*/_batch_report.json"))
         ]
+        # a clean zero-batch run (empty/new queries dir) never creates
+        # --out; report n_results=0 instead of a PATH_NOT_FOUND crash
+        n_results = (
+            spark.read.parquet(args.out).count()
+            if any(Path(args.out).glob("batch_id=*"))
+            else 0
+        )
         nq = sum(r["n_queries"] for r in batch_reports)
         report = {
             "mode": "stream",
@@ -138,7 +144,9 @@ def main(argv=None) -> None:
         metrics.inc_request("reverse", status=400, n=n_in - info["n_queries"])
         metrics.observe_duration("reverse", time.monotonic() - t_serve)
     # Underscore prefix so Spark's parquet reader skips it when re-reading
-    # --out as a dataset (same convention as _SUCCESS).
+    # --out as a dataset (same convention as _SUCCESS). A zero-batch
+    # stream run never created --out; the reports still belong there.
+    Path(args.out).mkdir(parents=True, exist_ok=True)
     Path(args.out, "_run_report.json").write_text(json.dumps(report, indent=2))
     # /metrics + /status, file-published (handlers.rs:386-414): the .prom
     # text is scrape-ready; the status body has the reference's exact keys.

@@ -587,10 +587,14 @@ POI_CLASSIFY_SQL = """
 
 
 def _gate_tmp(sf_dir: str, kind: str) -> str:
+    # pid-keyed so concurrent sessions over the same fixture (e.g. the
+    # sf1 gate harness racing a dev suite run) never clobber each other's
+    # scratch; each q_* call writes then reads within one process
+    import os
     import re
 
     slug = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
-    return f"/tmp/mim_gate_srcfiles/{slug}/{kind}"
+    return f"/tmp/mim_gate_srcfiles/{slug}/pid{os.getpid()}/{kind}"
 
 
 def q_bano_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -118,11 +118,20 @@ def skew_report(
     reports (BASELINE.md asks for partition/skew stats).
 
     ``sample_fraction``: when set (0 < f < 1), compute the histogram on a
-    seeded sample — the skew RATIO is scale-invariant under uniform
-    sampling, and a metrics dict must not cost a full-corpus aggregation
-    at 10^12 rows (VERDICT r04 item 5). None/1.0 keeps the exact path."""
-    if sample_fraction is not None and 0.0 < sample_fraction < 1.0:
-        points = points.sample(fraction=sample_fraction, seed=42)
+    seeded sample — a metrics dict must not cost a full-corpus
+    aggregation at 10^12 rows (VERDICT r04 item 5). Sampled counts are
+    rescaled by 1/f so max_cell/median_cell stay comparable across runs
+    with different fractions; they are then ESTIMATES (the median scales
+    unbiasedly in expectation, a sample max is biased slightly low), so
+    skew_ratio from a sampled run is approximate. None/1.0 keeps the
+    exact path."""
+    f = (
+        sample_fraction
+        if sample_fraction is not None and 0.0 < sample_fraction < 1.0
+        else 1.0
+    )
+    if f < 1.0:
+        points = points.sample(fraction=f, seed=42)
     counts = (
         points.select(grid_cell_col(lon_col, lat_col, res).alias("cell"))
         .groupBy("cell")
@@ -135,16 +144,16 @@ def skew_report(
         .collect()[0]
     )
     # an empty points table (e.g. every doc filtered out upstream)
-    # aggregates to NULL max/median — report zeros, not a crash
-    mx = counts["max_cell"] or 0
-    med = counts["median_cell"] or 0
+    # aggregates to NULL max/median — report zeros, not a crash.
+    # Rescale sampled counts to occupancy estimates (cells below ~1/f
+    # expected rows stay noisy; max/median targets are far above that).
+    mx = round((counts["max_cell"] or 0) / f)
+    med = round((counts["median_cell"] or 0) / f)
     return {
         "res": res,
         "n_cells": counts["n_cells"],
         "max_cell": mx,
         "median_cell": med,
         "skew_ratio": round(mx / max(med, 1), 1),
-        "sample_fraction": sample_fraction if (
-            sample_fraction is not None and 0.0 < sample_fraction < 1.0
-        ) else 1.0,
+        "sample_fraction": f,
     }

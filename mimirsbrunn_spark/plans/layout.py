@@ -80,6 +80,10 @@ def bbox_scan(
     quad ranges — `tiles.morton_window` per covering quad) with an
     optional exact refine predicate on top; the window disjunction still
     pushes to the scan."""
+    # no windows = nothing can match: emit an empty, schema-correct scan
+    # instead of filter(None) (an all-rejected serving batch hits this)
+    if not windows:
+        return spark.read.parquet(path).filter(F.lit(False))
     cond = None
     for lo, hi in windows:
         c = F.col(key_col).between(int(lo), int(hi))
@@ -178,7 +182,10 @@ def derive_query_windows(
         # worst-case cos over the radius band (|lat|+dlat), so the lon
         # padding is conservative at any latitude in the disk
         coslat = max(_m.cos(_m.radians(min(abs(lat) + dlat, 89.9999))), 1e-9)
-        dlon = radius_m / (111_320.0 * coslat)
+        # near the poles coslat -> 0 blows dlon into the millions of
+        # degrees; past 180 deg the wrap already covers every lon quad,
+        # so cap there (bounds the loop at ~2/quad_w iterations per row)
+        dlon = min(radius_m / (111_320.0 * coslat), 180.0)
         for lo_ in _steps(lon - dlon, lon + dlon, quad_w):
             for la_ in _steps(lat - dlat, lat + dlat, quad_h):
                 wins.add(

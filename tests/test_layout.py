@@ -269,3 +269,32 @@ def test_compact_published_preserves_cluster_key(spark, tmp_path):
     # rows survive both paths
     assert read_published(spark, base, "a").count() == n
     assert read_published(spark, base, "b").count() == n
+
+
+def test_bbox_scan_empty_windows_is_empty_not_crash(spark, clustered):
+    """No windows = nothing can match: an all-rejected serving batch
+    derives [] and must get a schema-correct empty scan, not
+    filter(None)."""
+    path, key = clustered
+    out = bbox_scan(spark, path, [], key)
+    assert out.count() == 0
+    assert out.schema == spark.read.parquet(path).schema
+
+
+def test_derive_query_windows_polar_query_bounded(spark):
+    """A near-pole query's lon padding caps at the full wrap (180 deg)
+    instead of spinning the driver through millions of quad steps; the
+    capped window set still covers every lon at the query latitude."""
+    import time as _t
+
+    from mimirsbrunn_spark.plans.layout import derive_query_windows
+
+    t0 = _t.monotonic()
+    wins = derive_query_windows([(0.0, 89.95)], radius_m=400_000.0)
+    assert _t.monotonic() - t0 < 5.0
+    # bounded: at most the full quad grid row count x lat rows, far
+    # below the millions the uncapped dlon produced
+    assert 0 < len(wins) <= 4096
+    for lon in (-179.5, -90.0, 0.0, 90.0, 179.5):
+        k = morton_window(lon, 89.95, res=12, prefix_bits=6)
+        assert any(lo <= k[0] and k[1] <= hi for lo, hi in wins), lon

@@ -85,3 +85,31 @@ def test_split_cells_to_children_covers_and_keys_fine_res(spark):
     child_set = set(children)
     assert len(salted) > 1
     assert all(r["salted_cell"] in child_set for r in salted)
+
+
+def test_skew_report_sampled_counts_rescaled(spark):
+    """A sampled skew_report must emit occupancy ESTIMATES comparable to
+    the exact report (counts rescaled by 1/f), not raw sample counts —
+    otherwise run_report.json numbers silently change meaning with the
+    --skew-sample knob."""
+    from mimirsbrunn_spark.operators.skew import skew_report
+
+    pts = _skewed_points(spark, n_cold=2000, n_hot=4000)
+    exact = skew_report(pts, res=5)
+    sampled = skew_report(pts, res=5, sample_fraction=0.5)
+    assert exact["sample_fraction"] == 1.0
+    assert sampled["sample_fraction"] == 0.5
+    # rescaled estimate lands near the true max (seeded sample, 4000-row
+    # hot cell: well within 20%), not at ~half of it
+    assert abs(sampled["max_cell"] - exact["max_cell"]) <= 0.2 * exact["max_cell"]
+    assert sampled["median_cell"] >= 1
+
+
+def test_skew_report_empty_input(spark):
+    from mimirsbrunn_spark.operators.skew import skew_report
+
+    empty = spark.range(0).select(
+        F.lit(0.0).alias("lon"), F.lit(0.0).alias("lat")
+    )
+    rep = skew_report(empty, res=5, sample_fraction=0.05)
+    assert rep["max_cell"] == 0 and rep["median_cell"] == 0

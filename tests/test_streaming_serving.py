@@ -238,3 +238,40 @@ def test_stream_batch_reports(spark, lake, tmp_path):
     assert agg["n_queries"] == 2 and agg["n_rejected"] == 1
     assert 0.0 <= agg["lake_files_pruned_fraction"] <= 1.0
     assert agg["n_results"] > 0
+
+
+def test_stream_all_rejected_and_zero_batch_runs(spark, lake, tmp_path):
+    """Crash-path regressions: (a) a micro-batch where EVERY row fails
+    coord validation must not kill the stream (empty window set ->
+    schema-correct empty scan, not filter(None)); (b) a run that drains
+    zero micro-batches (empty queries dir) must exit cleanly with
+    n_results=0 instead of PATH_NOT_FOUND on --out."""
+    import json
+
+    import jobs.serve_reverse as job
+
+    lake_path, key = lake
+
+    # (a) the only batch is all-invalid
+    qdir = tmp_path / "q"
+    _write_query_files(spark, qdir, [[(0, 999.0, 0.0), (1, 2.35, 95.0)]])
+    out = str(tmp_path / "out")
+    job.main(["--lake", lake_path, "--queries", str(qdir), "--out", out,
+              "--stream", "--checkpoint", str(tmp_path / "ck"),
+              "--k", "2", "--radius-m", "400000", "--res", "5",
+              "--key-col", key])
+    rep = json.loads((Path(out) / "_run_report.json").read_text())
+    assert rep["n_results"] == 0
+    assert rep["n_queries"] == 0 and rep["n_rejected"] == 2
+    assert rep["n_batches"] >= 1
+
+    # (b) zero batches: nothing to drain at all
+    qdir2 = tmp_path / "q2"
+    qdir2.mkdir()
+    out2 = str(tmp_path / "out2")
+    job.main(["--lake", lake_path, "--queries", str(qdir2), "--out", out2,
+              "--stream", "--checkpoint", str(tmp_path / "ck2"),
+              "--k", "2", "--radius-m", "400000", "--res", "5",
+              "--key-col", key])
+    rep2 = json.loads((Path(out2) / "_run_report.json").read_text())
+    assert rep2["n_results"] == 0 and rep2["n_batches"] == 0
