@@ -58,8 +58,16 @@ ZONE_TYPE_RANK = {
 }
 
 
+# a zone_type string outside the cosmogony enum (malformed dump, future
+# variant) must not KeyError inside an executor: rank it after every
+# known variant (least specific), ties broken downstream by id — the
+# reference's serde enum would reject the row at read time, but our
+# readers project the raw string, so the guard belongs here
+_UNKNOWN_ZONE_RANK = len(ZONE_TYPE_RANK)
+
+
 def zone_rank(zone_type: str | None) -> int:
-    return -1 if zone_type is None else ZONE_TYPE_RANK[zone_type]
+    return -1 if zone_type is None else ZONE_TYPE_RANK.get(zone_type, _UNKNOWN_ZONE_RANK)
 
 
 @dataclass

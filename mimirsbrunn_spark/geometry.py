@@ -242,15 +242,18 @@ def simplify_mp(mp: MultiPolygon, tolerance_deg: float) -> MultiPolygon:
     out = []
     for poly in mp:
         rings = []
-        for k, ring in enumerate(poly):
+        for ring in poly:
             r = np.asarray(ring, dtype=np.float64)
-            # rings whose whole extent sits under the tolerance are noise
-            # at this resolution: holes drop, exteriors stay as-is (an
-            # admin is never deleted by simplification)
+            # rings whose whole extent sits under the tolerance pass
+            # through VERBATIM — exteriors so an admin is never deleted,
+            # holes so the banded-exact refine (pip.py arrow_refine)
+            # keeps its invariant: dropping a hole would leave no
+            # boundary to band against, and a point inside the dropped
+            # hole (e.g. a tiny enclave) would silently flip to "inside"
+            # with no exact recheck
             diag = float(np.hypot(r[:, 0].ptp(), r[:, 1].ptp()))
             if diag < tolerance_deg:
-                if k == 0:
-                    rings.append(r)
+                rings.append(r)
                 continue
             if len(r) <= 4:
                 rings.append(r)

@@ -58,27 +58,38 @@ def reverse_geocode(
     ``res`` must be coarse enough that one disk stays small; the ring
     count is derived per query row from its latitude.
     """
-    # Disk enumeration in pure Catalyst — integer cell math +
-    # explode(sequence(-k, k)) twice. No Python anywhere in the plan, so
-    # the same operator is safe with millions of query rows (the G8
-    # POI→address join runs it with broadcast_queries=False).
+    # Disk enumeration in pure Catalyst — integer cell math + one
+    # explode over a per-row cell array built with JVM higher-order
+    # functions. No Python anywhere in the plan, so the same operator is
+    # safe with millions of query rows (the G8 POI→address join runs it
+    # with broadcast_queries=False).
+    #
+    # Ring counts are DECOUPLED per axis (mirrors
+    # tiles._radius_ring_counts — same rule): __ki column rings from the
+    # lon cell width at the query latitude, __kj row rings from the
+    # fixed meridional height. A polar 1 km query then widens only the
+    # lon direction (full wrap: ~size cells x a few rows) instead of
+    # squaring a huge k into millions of cells. floor(delta/width)+1
+    # rings cover the radius from any in-cell offset; +1 more pads the
+    # cos-at-query-lat underestimate. __ki clamps at size//2 (full lon
+    # wrap); __kj clamps at size (one over-pole reflection each way).
+    # Rows past a pole REFLECT (jj mirrored, columns shifted half the
+    # circle) — the over-the-pole neighbors the old row-clamp silently
+    # dropped — and array_distinct removes the antipodal-column alias a
+    # full wrap produces, so each (query, cell) pair is emitted once.
     n = _grid_n(res)
     size = 1 << n
     cell_h_m = 180.0 / size * M_PER_DEG
     coslat = F.greatest(F.cos(F.radians(F.col("lat"))), F.lit(1e-9))
     cell_w_m = F.lit(360.0 / size * M_PER_DEG) * coslat
-    # floor(delta/width)+1 rings cover the radius from any in-cell offset;
-    # +1 safety ring for the cos-at-query-lat underestimate (see
-    # tiles.radius_disk_k — same rule); clamp so the ring never wraps the
-    # full longitude circle (which would duplicate cells).
-    k_rings = (
-        F.greatest(
-            F.floor(F.lit(radius_m) / F.lit(cell_h_m)),
-            F.floor(F.lit(radius_m) / cell_w_m),
-        ).cast("int")
-        + F.lit(2)
-    )
-    k_rings = F.least(k_rings, F.lit(max((size - 1) // 2, 0)))
+    # clamp BEFORE narrowing to int: a planet-scale radius makes the
+    # floor() a large BIGINT and ANSI mode would overflow the cast
+    ki = F.least(
+        F.floor(F.lit(radius_m) / cell_w_m) + F.lit(2), F.lit(size // 2)
+    ).cast("int")
+    kj = F.least(
+        F.floor(F.lit(radius_m) / F.lit(cell_h_m)) + F.lit(2), F.lit(size)
+    ).cast("int")
     i0 = F.least(
         F.greatest(F.floor((F.col("lon") + 180.0) / 360.0 * size), F.lit(0)),
         F.lit(size - 1),
@@ -87,32 +98,62 @@ def reverse_geocode(
         F.greatest(F.floor((F.col("lat") + 90.0) / 180.0 * size), F.lit(0)),
         F.lit(size - 1),
     )
+
+    # Output rows are exactly the pole-clipped direct range — a reflected
+    # row jj' = 2*size-1-jr (north) or -1-jr (south) always lands back
+    # inside [max(j0-kj,0), min(j0+kj,size-1)], so enumerating jj from
+    # that interval (one exploded row per DISTINCT jj) cannot duplicate a
+    # row. Reflection therefore only contributes COLUMNS: a row whose
+    # reflected preimage is within the dj budget also gets the
+    # half-circle-shifted column set. The per-row array is bounded by
+    # 2*(2*ki+1) <= 2*size+2 elements (never the (2ki+1)(2kj+1) product),
+    # so even a planet-radius polar query streams instead of
+    # materializing one giant array.
+    jlo = F.greatest(F.col("__j0") - F.col("__kj").cast("long"), F.lit(0))
+    jhi = F.least(F.col("__j0") + F.col("__kj").cast("long"), F.lit(size - 1))
+    di_arr = F.sequence(-F.col("__ki"), F.col("__ki"))
+    direct_cols = F.transform(
+        di_arr, lambda di: F.pmod(F.col("__i0") + di.cast("long"), F.lit(size))
+    )
+    refl_cols = F.transform(
+        di_arr,
+        lambda di: F.pmod(
+            F.col("__i0") + di.cast("long") + F.lit(size // 2), F.lit(size)
+        ),
+    )
+    # north preimage jr = 2*size-1-jj needs jr <= j0+kj; south preimage
+    # jr = -1-jj needs jr >= j0-kj
+    has_refl = (
+        F.col("__jj") >= F.lit(2 * size - 1) - F.col("__j0") - F.col("__kj")
+    ) | (F.col("__jj") <= F.col("__kj") - F.col("__j0") - F.lit(1))
     q = (
         queries.select(
             F.col(query_id).alias("__qid"),
             F.col("lon").alias("__qlon"),
             F.col("lat").alias("__qlat"),
-            k_rings.alias("__k"),
+            ki.alias("__ki"),
+            kj.alias("__kj"),
             i0.cast("long").alias("__i0"),
             j0.cast("long").alias("__j0"),
         )
-        .select(
-            "__qid", "__qlon", "__qlat", "__k", "__i0", "__j0",
-            F.explode(F.sequence(-F.col("__k"), F.col("__k"))).alias("__di"),
+        .withColumn("__jj", F.explode(F.sequence(jlo, jhi)))
+        .withColumn(
+            "__ii",
+            F.explode(
+                F.array_distinct(
+                    F.when(has_refl, F.concat(direct_cols, refl_cols)).otherwise(
+                        direct_cols
+                    )
+                )
+            ),
         )
-        .select(
-            "__qid", "__qlon", "__qlat", "__i0", "__j0", "__di",
-            F.explode(F.sequence(-F.col("__k"), F.col("__k"))).alias("__dj"),
-        )
-        .withColumn("__jj", F.col("__j0") + F.col("__dj"))
-        .filter((F.col("__jj") >= 0) & (F.col("__jj") < size))  # poles clamp
         .select(
             "__qid", "__qlon", "__qlat",
             (
                 F.lit(res).cast("long") * F.lit(_RES_SHIFT)
-                + F.pmod(F.col("__i0") + F.col("__di"), F.lit(size)) * F.lit(_I_SHIFT)
+                + F.col("__ii") * F.lit(_I_SHIFT)
                 + F.col("__jj")
-            ).alias("__cell"),  # antimeridian wrap via pmod
+            ).alias("__cell"),  # antimeridian wrap via pmod above
         )
     )
     if broadcast_queries:

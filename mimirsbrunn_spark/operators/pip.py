@@ -206,7 +206,12 @@ def _dim_rows(admins: DataFrame) -> list[tuple]:
 
 
 def _dim_token(rows: list[tuple]) -> str:
-    """Stable driver-side digest of the admin dimension's content."""
+    """Stable driver-side digest of the admin dimension's content — the
+    FULL WKB, not a prefix: a boundary edit past the first vertices with
+    an unchanged vertex count must change the token, or a long-lived
+    worker's _FINDER_CACHE would serve the stale finder (blake2b streams
+    at GB/s, so the full hash is noise next to the collect that built
+    ``rows``)."""
     import hashlib
 
     h = hashlib.blake2b(digest_size=16)
@@ -216,7 +221,7 @@ def _dim_token(rows: list[tuple]) -> str:
             h.update(b"\x00")
         h.update(len(wkb or b"").to_bytes(8, "little"))
         if wkb:
-            h.update(wkb[:64])
+            h.update(wkb)
     return h.hexdigest()
 
 
@@ -425,17 +430,27 @@ def attach_admins_partitioned(
     the tolerance, or None to force full-geometry classification.
     """.format(mv=AUTO_SIMPLIFY_MIN_VERTICES, k=AUTO_SIMPLIFY_EDGE_FACTOR)
     from ..geometry import EDGE_POLYS_TYPE, edge_polys_inside_sql, mp_to_edge_polys
-    from ..geometry import mp_bbox as _bb
     from .skew import salted_mod_col
 
     spark = SparkSession.getActiveSession()
-    cover = admin_cell_cover(admins)
+    # persist the cover: the res_levels collect below is a full cover
+    # compute (WKB parse + cell enumeration per admin) and the pairs join
+    # would otherwise recompute the same lineage — persisting the slim
+    # (cell, id, bbox) rows halves the dim-side work (plus AQE retries).
+    # Left persisted for the job's lifetime: the output DataFrame is
+    # lazy, so there is no safe unpersist point inside this function.
+    cover = admin_cell_cover(admins).persist()
 
     # live cover resolutions (one per admin size class actually present)
     res_levels = [
         int(r["res"])
         for r in cover.select((F.col("cell") / F.lit(2**58)).cast("long").alias("res")).distinct().collect()
     ] or list(AdminGeoFinder.RES_CANDIDATES)
+
+    # the refine/replay Arrow schemas carry the CALLER's id dtype — a
+    # bigint point id must not crash at Arrow conversion against a
+    # hardcoded string field
+    uid_dt = points.schema[point_id_col].dataType.simpleString()
 
     pts = points.select(
         F.col(point_id_col).alias("point_uid"),
@@ -566,14 +581,12 @@ def attach_admins_partitioned(
                 return empty
             aidx = int(key[0])
             mp = wkb_to_mp(bytes(geom_pdf["boundary_wkb"].iloc[0]))
-            bb = _bb(mp)
+            # no bbox recheck: stage 1 already applied the identical
+            # envelope filter JVM-side (same mp_bbox values, carried on
+            # the cover), so every pair row here has passed it
             lon = pairs_pdf["__plon"].to_numpy(dtype=np.float64)
             lat = pairs_pdf["__plat"].to_numpy(dtype=np.float64)
-            m = (lon >= bb[0]) & (lon <= bb[2]) & (lat >= bb[1]) & (lat <= bb[3])
-            if not m.any():
-                return empty
-            lon, lat = lon[m], lat[m]
-            uids = pairs_pdf["point_uid"].to_numpy()[m]
+            uids = pairs_pdf["point_uid"].to_numpy()
             tol = simplify_tolerance
             if tol == "auto":  # per-polygon: dense rings only (r04 #1)
                 tol = _auto_simplify_tolerance(mp)
@@ -605,7 +618,7 @@ def attach_admins_partitioned(
         flags = (
             pairs.groupBy("__aidx", "__salt")
             .cogroup(geom.groupBy("__aidx", "__salt"))
-            .applyInPandas(arrow_refine, schema="point_uid string, cand int")
+            .applyInPandas(arrow_refine, schema=f"point_uid {uid_dt}, cand int")
         )
     else:
         raise ValueError(f"unknown refine {refine!r} (jvm|arrow)")
@@ -662,7 +675,9 @@ def attach_admins_partitioned(
                 out.append(res)
             yield pd.DataFrame({"point_uid": pdf["point_uid"], "admin_ids": out})
 
-    attached = gathered.mapInPandas(replay, schema="point_uid string, admin_ids array<string>")
+    attached = gathered.mapInPandas(
+        replay, schema=f"point_uid {uid_dt}, admin_ids array<string>"
+    )
     return points.join(
         attached.withColumnRenamed("point_uid", point_id_col), point_id_col, "left"
     ).withColumn(

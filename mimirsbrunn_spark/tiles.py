@@ -115,27 +115,64 @@ def grid_disk(cell: int, k: int) -> list[int]:
 M_PER_DEG = 2.0 * np.pi * 6_371_000.0 / 360.0
 
 
-def radius_disk_k(lat: float, radius_m: float, res: int) -> int:
-    """Chebyshev ring count k such that the (2k+1)^2 cell disk is a
-    guaranteed superset of the metric radius around any point at ``lat``.
+def _radius_ring_counts(lat: float, radius_m: float, res: int) -> tuple[int, int]:
+    """Per-axis ring counts (ki columns, kj rows) whose rectangle covers
+    the metric radius around any in-cell position at ``lat``.
 
     floor(delta/width)+1 rings are required to cover an offset of delta
     from an arbitrary in-cell position; +1 more is a safety ring for the
     lon-width underestimate at the disk's far latitudes (cos evaluated at
     the query latitude only). Extras are free: the exact haversine refine
-    filters them."""
+    filters them. The counts are DECOUPLED: near a pole the shrinking lon
+    cell width widens only ki (clamped at the full wrap, size//2 — past
+    that every column is already covered), while kj stays radius/height
+    (clamped at size: one over-pole reflection each way spans the globe).
+    A coupled square k at lat 90 would iterate (2k+1)^2 ~ 10^11 cells."""
     n = _grid_n(res)
-    cell_h_m = 180.0 / (1 << n) * M_PER_DEG  # meridional cell height
+    size = 1 << n
+    cell_h_m = 180.0 / size * M_PER_DEG  # meridional cell height
     coslat = max(np.cos(np.radians(lat)), 1e-9)
-    cell_w_m = 360.0 / (1 << n) * M_PER_DEG * coslat
-    return int(max(np.floor(radius_m / cell_h_m), np.floor(radius_m / cell_w_m))) + 2
+    cell_w_m = 360.0 / size * M_PER_DEG * coslat
+    ki = int(np.floor(radius_m / cell_w_m)) + 2
+    kj = int(np.floor(radius_m / cell_h_m)) + 2
+    return min(ki, size // 2), min(kj, size)
+
+
+def radius_disk_k(lat: float, radius_m: float, res: int) -> int:
+    """Chebyshev ring count for a SQUARE disk superset (legacy shape;
+    grid_cells_for_radius uses the decoupled rectangle). Clamped at the
+    full lon wrap so a polar latitude cannot return an astronomical k."""
+    ki, kj = _radius_ring_counts(lat, radius_m, res)
+    return max(ki, kj)
 
 
 def grid_cells_for_radius(lon: float, lat: float, radius_m: float, res: int) -> list[int]:
-    """Disk of cells covering a metric radius around a point (kNN pruning,
-    role of ``geo_distance`` filter in
-    ``/root/reference/libs/mimir/src/adapters/primary/common/dsl.rs:391-423``)."""
-    return grid_disk(grid_cell(lon, lat, res), radius_disk_k(lat, radius_m, res))
+    """Cells covering a metric radius around a point (kNN pruning, role
+    of ``geo_distance`` filter in ``/root/reference/libs/mimir/src/
+    adapters/primary/common/dsl.rs:391-423``): decoupled ki×kj rectangle,
+    antimeridian wrap via modulo, rows past a pole reflected (jj
+    mirrored, columns shifted half the circle), set-deduped. The exact
+    twin of the Catalyst enumeration in operators/knn.reverse_geocode."""
+    n = _grid_n(res)
+    size = 1 << n
+    ki, kj = _radius_ring_counts(lat, radius_m, res)
+    c = grid_cell(lon, lat, res)
+    rem = c % _RES_SHIFT
+    i = rem // _I_SHIFT
+    j = rem % _I_SHIFT
+    out = set()
+    for dj in range(-kj, kj + 1):
+        jr = j + dj
+        if jr < 0:
+            jj, shift = -1 - jr, size // 2
+        elif jr >= size:
+            jj, shift = 2 * size - 1 - jr, size // 2
+        else:
+            jj, shift = jr, 0
+        for di in range(-ki, ki + 1):
+            ii = (i + di + shift) % size
+            out.add(res * _RES_SHIFT + ii * _I_SHIFT + jj)
+    return sorted(out)
 
 
 # ---------------------------------------------------------------------------
@@ -401,17 +438,21 @@ def geohash_sql_expr(lon_expr: str, lat_expr: str, precision: int = 6) -> str:
         f"least(greatest(CAST(floor(({lat_expr} + 90.0) / 180.0 * {float(1 << nlat)}) "
         f"AS BIGINT), 0), {(1 << nlat) - 1})"
     )
-    terms = []
-    for k in range(nbits):  # k = position from the MSB; even → lon bit
-        src, sh = (li, nlon - 1 - k // 2) if k % 2 == 0 else (la, nlat - 1 - k // 2)
-        bit = f"(CAST(floor({src} / {float(1 << sh)}) AS BIGINT) % 2)"
-        terms.append(f"{bit} * {1 << (nbits - 1 - k)}")
-    val = "(" + " + ".join(terms) + ")"
-    chars = [
-        f"substr('{GEOHASH_BASE32}', "
-        f"CAST(CAST(floor({val} / {float(1 << (5 * (precision - 1 - c)))}) AS BIGINT) % 32 AS INT) + 1, 1)"
-        for c in range(precision)
-    ]
+    # assemble each output character's 5-bit group directly (values
+    # 0..31) instead of one 5p-bit integer: a full-width val reaches
+    # 2^55..2^60 at precision 11-12 and the BIGINT→double division
+    # rounds away the low bits — per-group, every operand stays < 2^30
+    # at ANY precision, so the double math really is exact
+    chars = []
+    for c in range(precision):
+        terms = []
+        for b in range(5):
+            k = 5 * c + b  # bit position from the MSB; even → lon bit
+            src, sh = (li, nlon - 1 - k // 2) if k % 2 == 0 else (la, nlat - 1 - k // 2)
+            bit = f"(CAST(floor({src} / {float(1 << sh)}) AS BIGINT) % 2)"
+            terms.append(f"{bit} * {1 << (4 - b)}")
+        group = "(" + " + ".join(terms) + ")"
+        chars.append(f"substr('{GEOHASH_BASE32}', CAST({group} AS INT) + 1, 1)")
     return "(" + " || ".join(chars) + ")"
 
 
@@ -465,12 +506,19 @@ def s2_cell_pandas_udf(level: int = 16):
 # The engine's Catalyst/SQL cell paths (grid_cell_col / grid_cell_sql and
 # the oracle gates) are quadtree-by-design: the encoding must be
 # expressible identically in Spark SQL and DuckDB SQL, which real H3 is
-# not. The *python-side* consumers (AdminGeoFinder cover + candidate
-# lookup — the whole broadcast-PIP cell logic — and ad-hoc tooling) go
-# through `get_cell_ops()`, so a cluster that has the `h3` wheel
-# (genuinely absent from this image: `import h3` fails) gets true H3
-# hexagons for those paths with no code change — set
-# SPARK_GRAFT_GRID_BACKEND=h3, or leave the default "auto".
+# not. The PIP finder's cover + candidate lookup are likewise quadtree
+# on purpose — its budgeted bbox decomposition and the cross-engine gate
+# oracles are built on the rectangular grid and do NOT route through
+# this facade. What the facade provides: the true-H3 adapters below
+# (cell_np / parent_np / disk / cells_for_radius) with the SAME
+# signatures as their quadtree twins, pinned by the golden conformance
+# pack (tests/test_h3_conformance.py) so a real `h3` wheel (genuinely
+# absent from this image: `import h3` fails) is validated the moment it
+# is importable. Callers doing cell analytics pick a backend via
+# `get_cell_ops()` / SPARK_GRAFT_GRID_BACKEND; swapping the finder
+# itself to hexagons would additionally need an H3 polygon cover
+# (h3.polygon_to_cells) and is out of scope while the wheel cannot be
+# tested here.
 
 
 def _import_h3():

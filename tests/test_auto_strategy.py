@@ -62,3 +62,83 @@ def test_auto_equals_explicit_both_regimes(spark, fixtures, admins):
                                 broadcast_budget_bytes=16))
     assert got_b == want
     assert got_p == want
+
+
+def test_partitioned_accepts_non_string_point_ids(spark):
+    """The refine/replay Arrow schemas carry the caller's id dtype (r5
+    review): a bigint point id must survive the partitioned path and
+    match broadcast, not crash at Arrow conversion."""
+    import numpy as np
+
+    from mimirsbrunn_spark.geometry import mp_to_wkb
+
+    sq = np.array([(-5.0, -5.0), (5.0, -5.0), (5.0, 5.0), (-5.0, 5.0)])
+    admins = spark.createDataFrame(
+        [
+            ("r:c", "country", None, mp_to_wkb([[sq]])),
+            ("r:t", "city", "r:c", mp_to_wkb([[sq * 0.4]])),
+        ],
+        "id string, zone_type string, parent_id string, boundary_wkb binary",
+    )
+    pts = spark.range(200).select(
+        F.col("id").alias("point_uid"),  # LongType id
+        ((F.col("id") % 20) * 0.45 - 4.0).alias("lon"),
+        ((F.col("id") / 20).cast("int") * 0.9 - 4.0).alias("lat"),
+    )
+    full = {
+        r["point_uid"]: sorted(r["admin_ids"])
+        for r in attach_admins(pts, admins, strategy="broadcast").collect()
+    }
+    part = {
+        r["point_uid"]: sorted(r["admin_ids"])
+        for r in attach_admins(pts, admins, strategy="partitioned").collect()
+    }
+    assert full == part and len(full) == 200
+    assert any(v for v in full.values())
+
+
+def test_unknown_zone_type_ranks_after_known_not_keyerror(spark):
+    """A zone_type outside the cosmogony enum (malformed dump, future
+    variant) must not KeyError inside executors: it ranks after every
+    known variant, ties broken by id (r5 review)."""
+    from mimirsbrunn_spark.geofinder import zone_rank
+    from mimirsbrunn_spark.operators.pip import attach_admins
+    from mimirsbrunn_spark.geometry import mp_to_wkb
+    import numpy as np
+
+    assert zone_rank("country_subdivision") > zone_rank("non_administrative")
+    assert zone_rank(None) < zone_rank("suburb")
+
+    sq = np.array([(-5.0, -5.0), (5.0, -5.0), (5.0, 5.0), (-5.0, 5.0)])
+    admins = spark.createDataFrame(
+        [
+            ("u:a", "country_subdivision", None, mp_to_wkb([[sq]])),
+            ("u:b", "city", "u:a", mp_to_wkb([[sq * 0.5]])),
+        ],
+        "id string, zone_type string, parent_id string, boundary_wkb binary",
+    )
+    pts = spark.createDataFrame(
+        [("p1", 0.0, 0.0)], "point_uid string, lon double, lat double"
+    )
+    for strategy in ("broadcast", "partitioned"):
+        got = attach_admins(pts, admins, strategy=strategy).collect()
+        # city ranks before the unknown type in the result order
+        assert [r["admin_ids"] for r in got] == [["u:b", "u:a"]], strategy
+
+
+def test_dim_token_sees_late_wkb_edits():
+    """_dim_token digests the FULL boundary WKB (r5 review): moving a
+    vertex past the first ring coordinates with unchanged length must
+    change the token, or a long-lived worker's finder cache would serve
+    stale geometry."""
+    from mimirsbrunn_spark.operators.pip import _dim_token
+    from mimirsbrunn_spark.geometry import mp_to_wkb
+    import numpy as np
+
+    ring_a = np.array([(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (2.0, 5.0), (0.0, 4.0)])
+    ring_b = ring_a.copy()
+    ring_b[3] = (2.0, 6.0)  # edit the 4th vertex only (byte offset > 64)
+    rows_a = [("x", "city", None, mp_to_wkb([[ring_a]]))]
+    rows_b = [("x", "city", None, mp_to_wkb([[ring_b]]))]
+    assert len(rows_a[0][3]) == len(rows_b[0][3])
+    assert _dim_token(rows_a) != _dim_token(rows_b)

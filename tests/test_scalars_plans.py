@@ -247,3 +247,37 @@ def test_forward_geocode_plan_is_topk_no_shuffle(spark):
     assert "Exchange" not in plan, plan
     for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_node not in plan, plan
+
+
+def test_knn_over_pole_and_no_duplicate_pairs(spark):
+    """r5 review regressions on the kNN disk: (1) an in-radius neighbor
+    on the OTHER side of the pole (antipodal column, same lat row) must
+    be found — the old row-clamp silently dropped it; (2) the full-wrap
+    clamp must not emit the antipodal column twice, so each (query,
+    target) pair appears exactly once; (3) a polar query must not
+    explode a square polar disk (ki stays per-axis)."""
+    from pyspark.sql import functions as F2
+
+    from mimirsbrunn_spark.operators.knn import reverse_geocode
+
+    # (1) over-the-pole nearest neighbor: ~889.6 m over the pole
+    q = spark.createDataFrame([(0, 0.0, 89.996)], "query_id int, lon double, lat double")
+    t = spark.createDataFrame(
+        [(77, 180.0, 89.996), (78, 0.0, 89.0)],
+        "target_id int, lon double, lat double",
+    )
+    got = reverse_geocode(q, t, k=2, radius_m=1000.0, res=7).collect()
+    assert [r["target_id"] for r in got] == [77]
+    assert abs(got[0]["distance_m"] - 889.559) < 0.01
+
+    # (2) no duplicate pairs at full wrap: dense polar targets, one query
+    targets = spark.range(400).select(
+        F2.col("id").alias("target_id"),
+        (F2.col("id") * 0.9 - 180.0).alias("lon"),
+        F2.lit(89.9971).alias("lat"),
+    )
+    r = reverse_geocode(q, targets, k=400, radius_m=5000.0, res=7)
+    dup = r.groupBy("query_id", "target_id").count().filter("count > 1").count()
+    assert dup == 0
+    # every one of the 400 ring targets is within 5 km of the pole query
+    assert r.count() == 400

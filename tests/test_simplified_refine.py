@@ -161,3 +161,52 @@ def test_auto_banded_refine_is_default_and_exact(spark):
     lon = np.array([(i % 80) * 0.0008 + 4.96 for i in range(n)])
     lat = np.array([(i // 80) * 0.22 - 5.5 for i in range(n)])
     assert (points_in_multipolygon(lon, lat, mp) != points_in_multipolygon(lon, lat, s)).any()
+
+
+def test_banded_refine_exact_inside_subtolerance_hole(spark):
+    """Regression (r5 review): simplify_mp used to DROP hole rings whose
+    extent sat under the tolerance, so a point inside a tiny enclave of a
+    dense (auto-banded) polygon classified 'inside' on the simplified
+    geometry with no boundary left to band against — silently diverging
+    from the broadcast path. Holes now pass through verbatim and the
+    partitioned-auto result must stay identical to broadcast, including
+    probes INSIDE the hole."""
+    from mimirsbrunn_spark.geometry import mp_to_wkb as _wkb
+    from mimirsbrunn_spark.operators.pip import (
+        _auto_simplify_tolerance,
+        attach_admins,
+    )
+
+    ring = _zigzag_square(0.0, 0.0, teeth=400, amp=0.01)  # >=512 vertices
+    # enclave hole centred at origin, far smaller than the auto tolerance
+    hole = np.array(
+        [(-0.004, -0.004), (0.004, -0.004), (0.004, 0.004), (-0.004, 0.004)]
+    )
+    mp = [[ring, hole]]
+    tol = _auto_simplify_tolerance(mp)
+    assert tol is not None and tol > 0.016, "hole must sit under the tolerance"
+    s = simplify_mp(mp, tol)
+    assert len(s[0]) == 2, "hole must survive simplification"
+    admins = spark.createDataFrame(
+        [
+            ("h:c", "country", None, _wkb([[_zigzag_square(0.0, 0.0, half=20.0)]])),
+            ("h:t", "city", "h:c", _wkb(mp)),
+        ],
+        "id string, zone_type string, parent_id string, boundary_wkb binary",
+    )
+    # probes: dead centre of the hole, just outside the hole, deep interior
+    pts = spark.createDataFrame(
+        [("in_hole", 0.0, 0.0), ("near_hole", 0.02, 0.0), ("deep", 3.0, 3.0)],
+        "point_uid string, lon double, lat double",
+    )
+    full = {
+        r["point_uid"]: sorted(r["admin_ids"])
+        for r in attach_admins(pts, admins, strategy="broadcast").collect()
+    }
+    auto = {
+        r["point_uid"]: sorted(r["admin_ids"])
+        for r in attach_admins(pts, admins, strategy="partitioned").collect()
+    }
+    assert full == auto
+    assert "h:t" not in full["in_hole"], full["in_hole"]
+    assert "h:t" in full["near_hole"] and "h:t" in full["deep"]

@@ -368,7 +368,10 @@ def test_geohash_canonical_vectors_and_engine_parity(spark):
 def test_simplify_mp_dp():
     """Douglas–Peucker: a noisy circle shrinks to few vertices at coarse
     tolerance; interior containment is preserved; fine tolerance is a
-    near-no-op; holes below 3 vertices drop, exteriors never do."""
+    near-no-op; sub-tolerance rings (exteriors AND holes) pass through
+    verbatim — a dropped hole would break the banded-exact refine's
+    invariant (pip.py arrow_refine): points inside it would flip to
+    'inside' with no boundary to band against."""
     import numpy as np
 
     from mimirsbrunn_spark.geometry import (
@@ -390,10 +393,16 @@ def test_simplify_mp_dp():
     assert not points_in_multipolygon(probes_out[:, 0], probes_out[:, 1], sm).any()
     # near-no-op at fine tolerance
     assert len(simplify_mp(mp, 1e-9)[0][0]) >= 395
-    # tiny hole drops at coarse tolerance, exterior survives
+    # tiny hole survives VERBATIM at coarse tolerance (banded-exactness
+    # invariant), exterior still simplifies
     hole = np.array([(0.0, 0.0), (0.1, 0.0), (0.1, 0.1), (0.05, 0.11), (0.0, 0.1)])
     sm2 = simplify_mp([[ring, hole]], 0.5)
-    assert len(sm2[0]) == 1  # hole gone, exterior kept
+    assert len(sm2[0]) == 2
+    assert np.array_equal(sm2[0][1], hole)
+    # a point inside the kept hole stays OUTSIDE the simplified polygon
+    assert not points_in_multipolygon(
+        np.array([0.05]), np.array([0.05]), sm2
+    ).any()
 
 
 def test_simplify_admin_boundaries_operator(spark, fixtures_dir):
@@ -417,3 +426,38 @@ def test_simplify_admin_boundaries_operator(spark, fixtures_dir):
         "point_uid", F.to_json("admin_ids").alias("x")
     )
     assert a.alias("a").join(b.alias("b"), "point_uid").filter(F.expr("a.x <> b.x")).count() == 0
+
+
+def test_geohash_exact_at_max_precision(spark):
+    """r5 review regression: the one-big-integer SQL form rounded away
+    the trailing base32 characters at precision >= 11 (val reached
+    2^55-2^60, past double's 2^53 exactness). The per-character 5-bit
+    groups keep every operand < 2^30, so precision 12 (standard geohash
+    max) must match the int64 numpy path in BOTH engines."""
+    import duckdb
+    import numpy as np
+
+    from mimirsbrunn_spark.tiles import geohash_col, geohash_np, geohash_sql_expr
+
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    for p in (11, 12):
+        want = list(geohash_np(lon, lat, p))
+        # DuckDB
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (SELECT unnest(?) lon, unnest(?) lat)",
+            [lon.tolist(), lat.tolist()],
+        )
+        duck = [r[0] for r in con.execute(
+            f"SELECT {geohash_sql_expr('lon', 'lat', p)} FROM t"
+        ).fetchall()]
+        assert duck == want, f"duckdb diverges at precision {p}"
+        # Spark
+        df = spark.createDataFrame(
+            [(float(lon[i]), float(lat[i])) for i in range(len(lon))],
+            "lon double, lat double",
+        )
+        got = [r[0] for r in df.select(geohash_col("lon", "lat", p)).collect()]
+        assert got == want, f"spark diverges at precision {p}"
