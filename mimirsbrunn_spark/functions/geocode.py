@@ -58,6 +58,7 @@ MIN_RADIUS_PREFIX = {"admin": 0.12, "factor": 0.4, "missing": 0.0}
 MIN_RADIUS_FUZZY = {"admin": 0.03, "factor": 0.15, "missing": 0.0}
 MAX_RADIUS = {"admin": 0.03, "factor": 0.75, "missing": 0.0}
 PROXIMITY_WEIGHT = 0.4
+PROXIMITY_WEIGHT_FUZZY = 0.4  # proximity.weight_fuzzy, default.toml:52
 
 # T1 — the reference's synonym groups (mimir-base.json:~synonyms), each
 # alias mapped to its canonical token. Short aliases NOT in this list
@@ -65,8 +66,11 @@ PROXIMITY_WEIGHT = 0.4
 # instead — exactly how the reference resolves them (edge-ngram .prefix
 # field), see the alias examples in features/addresses/limousin.feature.
 SYNONYMS = {
+    # values are stored PRE-TOKENIZED (space-separated, no hyphens): doc
+    # tokens are split on '-', so an expansion like "lieu-dit" could
+    # never match anything
     "cc": "centre commercial",
-    "ld": "lieu-dit",
+    "ld": "lieu dit",
     "st": "saint",
     "ste": "sainte",
     "bvd": "boulevard",
@@ -82,7 +86,7 @@ SYNONYMS = {
     "chu": "hopital",
     "chr": "hopital",
     "mairie": "hotel de ville",
-    "grandchamp": "grand-champ",
+    "grandchamp": "grand champ",
 }
 
 
@@ -124,6 +128,7 @@ def load_query_settings(path: str) -> dict:
         "min_radius_fuzzy": {k: float(v) for k, v in w["min_radius_fuzzy"].items()},
         "max_radius": {k: float(v) for k, v in w["max_radius"].items()},
         "proximity_weight": float(iq["proximity"]["weight"]),
+        "proximity_weight_fuzzy": float(iq["proximity"]["weight_fuzzy"]),
         "proximity_scale_m": float(decay["scale"]) * 1000.0,  # config unit: km
         "proximity_offset_m": float(decay["offset"]) * 1000.0,
         "proximity_decay": float(decay["decay"]),
@@ -157,12 +162,22 @@ def expand_synonyms(tokens: Column) -> Column:
     )
 
 
-def _query_tokens(q: str) -> list[str]:
-    import unicodedata
+# python mirror of normalize_text's fold table — query- and doc-side
+# analysis MUST agree char-for-char or identical text fails to match
+# itself (the old query-side NFD strip folded š that the doc table
+# keeps, and could not decompose the œ/æ ligatures the table folds)
+_FOLD_TABLE = str.maketrans(
+    "àáâãäåçèéêëìíîïñòóôõöùúûüýÿœæ", "aaaaaaceeeeiiiinooooouuuuyyoa"
+)
 
-    folded = "".join(
-        c for c in unicodedata.normalize("NFD", q.lower()) if unicodedata.category(c) != "Mn"
-    )
+
+def _query_tokens(q: str) -> list[str]:
+    import re
+
+    folded = q.lower().translate(_FOLD_TABLE)
+    # elision BEFORE punctuation strip, exactly like normalize_text —
+    # otherwise l'eglise leaves a stray "l" token that ANDs to nothing
+    folded = re.sub(r"\b[ld]'", "", folded)
     for ch in "-'(),.;:":
         folded = folded.replace(ch, " ")
     out = []
@@ -482,9 +497,24 @@ def forward_geocode(
     if shape is not None:
         places = shape_filter(places, shape[0], shape[1])
 
-    # T5 — single-word queries never match addresses (house-number gate,
-    # dsl.rs:218-258 build_house_number_condition)
+    # T5 — the house-number gate, BOTH halves of dsl.rs:219-263
+    # build_house_number_condition: single-word queries never match
+    # addresses; multi-word queries match an address only if its
+    # house_number matches a query token (ES `match` on the analyzed
+    # house_number field = any-token overlap). Tables without a
+    # house_number column cannot satisfy the match half, mirroring the
+    # reference where a missing field never matches.
     if len(q_tokens) <= 1:
+        places = places.filter(F.col("type") != "addr")
+    elif "house_number" in places.columns:
+        q_arr = F.array(*[F.lit(t) for t in q_tokens])
+        hn_match = F.exists(
+            _tokens_of("house_number"), lambda x: F.array_contains(q_arr, x)
+        )
+        places = places.filter(
+            (F.col("type") != "addr") | F.coalesce(hn_match, F.lit(False))
+        )
+    else:
         places = places.filter(F.col("type") != "addr")
 
     cond, string_score, score = _score_terms(
@@ -547,12 +577,20 @@ def _score_terms(
     score = string_score + type_boost_t + importance_t
     proximity_t = F.lit(0.0)
     if coord is not None:
+        # dsl.rs build_boosts:162-165 — PREFIX|SEARCH boost the decay by
+        # proximity.weight, FUZZY by the separate proximity.weight_fuzzy
+        # (both 0.4 in the shipped default.toml, but independently
+        # overridable settings keys)
+        if query_type == "fuzzy":
+            prox_w = s.get("proximity_weight_fuzzy", PROXIMITY_WEIGHT_FUZZY)
+        else:
+            prox_w = s.get("proximity_weight", PROXIMITY_WEIGHT)
         proximity_t = proximity_boost(
             coord[0], coord[1],
             scale_m=s.get("proximity_scale_m", 130_000.0),
             offset_m=s.get("proximity_offset_m", 20_000.0),
             decay=s.get("proximity_decay", 0.4),
-        ) * F.lit(s.get("proximity_weight", PROXIMITY_WEIGHT))
+        ) * F.lit(prox_w)
         score = score + proximity_t
     if explain:
         return cond, {
@@ -647,8 +685,17 @@ def forward_geocode_explain(
         raise ValidationError("q must contain at least one token")
     doc = places.filter((F.col("id") == doc_id) & (F.col("type") == doc_type))
 
-    # T5: single-word queries never match addresses
-    gate = F.lit(True) if len(q_tokens) > 1 else (F.col("type") != "addr")
+    # T5 house-number gate, both halves (mirrors forward_geocode)
+    if len(q_tokens) <= 1:
+        gate = F.col("type") != "addr"
+    elif "house_number" in places.columns:
+        q_arr = F.array(*[F.lit(t) for t in q_tokens])
+        gate = (F.col("type") != "addr") | F.coalesce(
+            F.exists(_tokens_of("house_number"), lambda x: F.array_contains(q_arr, x)),
+            F.lit(False),
+        )
+    else:
+        gate = F.col("type") != "addr"
     in_shape = F.lit(True)
     if shape is not None:
         kept = shape_filter(doc, shape[0], shape[1]).select(
@@ -708,9 +755,13 @@ def shape_filter(places: DataFrame, shape_mp, scope_types: list[str]) -> Column 
     through unfiltered (the should-of-must/must_not structure).
 
     The shape is a query-side multipolygon (geometry.MultiPolygon). The
-    bbox prefilter runs JVM-side; only the scoped, bbox-passing rows pay
-    the exact vectorized point-in-polygon (Arrow-batched pandas UDF —
-    boundary-inclusive like ES geo_shape intersects)."""
+    plan is a two-branch union: unscoped rows pass through a pure-JVM
+    filter; only the scoped, bbox-passing branch pays the exact
+    vectorized point-in-polygon (Arrow-batched pandas UDF —
+    boundary-inclusive like ES geo_shape intersects). Putting the UDF
+    inside one OR filter instead would make Catalyst extract it into an
+    ArrowEvalPython node evaluated for EVERY input row, defeating the
+    bbox prefilter entirely."""
     from ..geometry import mp_bbox, points_intersect_multipolygon
 
     bb = mp_bbox(shape_mp)
@@ -726,4 +777,8 @@ def shape_filter(places: DataFrame, shape_mp, scope_types: list[str]) -> Column 
             points_intersect_multipolygon(lon.to_numpy(), lat.to_numpy(), shape_mp)
         )
 
-    return places.filter(~in_scope | (bbox_ok & _intersects(F.col("lon"), F.col("lat"))))
+    passthrough = places.filter(~in_scope)
+    scoped = places.filter(in_scope & bbox_ok).filter(
+        _intersects(F.col("lon"), F.col("lat"))
+    )
+    return passthrough.unionByName(scoped)

@@ -40,6 +40,7 @@ from .functions.geocode import (
     GLOBAL_BOOST,
     IMPORTANCE_TYPES,
     PROXIMITY_WEIGHT,
+    PROXIMITY_WEIGHT_FUZZY,
     STRING_BOOSTS,
     STRING_GLOBAL,
     TYPE_BOOSTS,
@@ -273,8 +274,19 @@ def geocode_oracle_sql(
         lam = math.log(0.4) / 130_000.0
         hav = haversine_sql(repr(coord[0]), repr(coord[1]), "lon", "lat")
         prox = f"exp({lam!r} * greatest(({hav}) - 20000.0, 0.0))"
-        score = f"({score}) + ({prox}) * {PROXIMITY_WEIGHT!r}"
-    addr_gate = "" if len(q_tokens) > 1 else "AND type <> 'addr'"
+        # FUZZY boosts the decay by weight_fuzzy (dsl.rs:162-165)
+        prox_w = PROXIMITY_WEIGHT_FUZZY if query_type == "fuzzy" else PROXIMITY_WEIGHT
+        score = f"({score}) + ({prox}) * {prox_w!r}"
+    # both halves of build_house_number_condition (dsl.rs:219-263):
+    # single-word → no addresses at all; multi-word → an address must
+    # have a house_number token among the query tokens
+    if len(q_tokens) > 1:
+        toks_lit = "[" + ", ".join(f"'{t}'" for t in q_tokens) + "]"
+        addr_gate = (
+            f"AND (type <> 'addr' OR len(list_intersect(hn_toks, {toks_lit})) > 0)"
+        )
+    else:
+        addr_gate = "AND type <> 'addr'"
     fr_col = (
         ", (CASE WHEN id % 3 = 0 THEN label || ' le bourg' END) AS fr_label" if lang else ""
     )

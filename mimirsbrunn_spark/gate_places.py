@@ -322,7 +322,9 @@ STREETS_DEDUP_SQL = f"""
 # ---------------------------------------------------------------------------
 
 _MODES = ["Bus", "Tramway", "Metro", "RapidTransit", "Ferry"]
-_MODE_W = {"Bus": 1.0, "Tramway": 2.0, "Metro": 5.0, "RapidTransit": 10.0, "Ferry": 3.0}
+# reference config values (config/ntfs2mimir/default.toml): RapidTransit
+# and Ferry are both 8.0 there
+_MODE_W = {"Bus": 1.0, "Tramway": 2.0, "Metro": 5.0, "RapidTransit": 8.0, "Ferry": 8.0}
 
 
 def q_stop_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,8 +360,11 @@ def q_stop_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MODE_CASE = "CASE ck % 5 WHEN 0 THEN 1.0 WHEN 1 THEN 2.0 WHEN 2 THEN 5.0 WHEN 3 THEN 10.0 ELSE 3.0 END"
+_MODE_CASE = "CASE ck % 5 WHEN 0 THEN 1.0 WHEN 1 THEN 2.0 WHEN 2 THEN 5.0 WHEN 3 THEN 8.0 ELSE 8.0 END"
 
+# make_weight parity (stops.rs:138-160): the RAW per-area mode sum is
+# averaged with the city weight — no max normalization anywhere in the
+# reference path (its count/max initialize_weights has no callers)
 STOP_WEIGHTS_SQL = f"""
     WITH base AS (
         SELECT c_custkey AS ck,
@@ -372,13 +377,12 @@ STOP_WEIGHTS_SQL = f"""
                CAST(floor((lon + 180.0) / {_CITY_W}) AS INT) AS ti,
                CAST(floor((lat + 90.0) / {_CITY_H}) AS INT) AS tj
         FROM base
-    ),
-    mx AS (SELECT max(mode_sum) AS max_mode FROM pts)
+    )
     SELECT 'SA:' || CAST(ck AS VARCHAR) AS stop_area_id,
            n_sp AS n_stop_points,
-           round(mode_sum / max_mode, 6) AS mode_weight,
-           round((mode_sum / max_mode + {_CITY_W8}) / 2.0, 6) AS weight
-    FROM pts, mx
+           round(mode_sum, 6) AS mode_weight,
+           round((mode_sum + {_CITY_W8}) / 2.0, 6) AS weight
+    FROM pts
 """
 
 

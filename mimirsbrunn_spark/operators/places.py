@@ -53,13 +53,21 @@ def middle_out_order(n: int) -> list[int]:
 def attach_street_admins(
     streets: DataFrame, admins: DataFrame, max_zone: str = "city"
 ) -> DataFrame:
-    """G6 + G11 — per street: walk nodes middle-out; first node whose
-    ``get_admins_if(zone_type <= city)`` yields branches wins; output one
-    row per branch (street crossing a boundary → one row per city,
-    osm2mimir.rs:336-348), with the branch's admin ids attached.
+    """G6 + G11 — per street: the FIRST RESOLVABLE node in middle-out
+    order is probed with ``get_admins_if(zone_type <= city)`` and its
+    result — possibly empty — is accepted (street.rs:316-345:
+    ``filter_map(obj_map.get).find_map(coords)`` picks one node, then
+    one geofinder call; a street whose probe node lies outside every
+    boundary is emitted admin-less, it does NOT keep probing other
+    nodes). Output one row per branch (street crossing a boundary → one
+    row per city, osm2mimir.rs:336-348), with the branch's admin ids
+    attached; ``city_id`` is the branch's first ``is_city()`` admin,
+    falling back to the branch leaf (get_street_city_or_relation,
+    street.rs:78-85 — a street in an arrondissement dedups under Paris,
+    not the arrondissement).
 
     Broadcast the admin dim (as in attach_admins) and evaluate per way in
-    a vectorized batch UDF; per-way candidate work is tiny (few nodes ×
+    a vectorized batch UDF; per-way candidate work is tiny (one node ×
     few candidate admins)."""
     from .pip import broadcast_admin_dim, finder_for_broadcast
 
@@ -83,18 +91,24 @@ def attach_street_admins(
                 branches = []
                 for idx in middle_out_order(len(nodes)):
                     node = nodes[idx]
+                    if node is None or node["lon"] is None or node["lat"] is None:
+                        continue  # unresolvable node: try the next one
+                    # ONE geofinder call on the first resolvable node;
+                    # an empty result is accepted (street.rs:316-345)
                     branches = finder.get_admins_if(node["lon"], node["lat"], cond)
-                    if branches:
-                        break
+                    break
                 base = {c: getattr(rec, c) for c in in_cols}
                 if not branches:
                     out_rows.append({**base, "branch_admin_ids": [], "city_id": None})
                 for br in branches:
+                    city_id = next(
+                        (a.id for a in br if a.zone_type == "city"), br[0].id
+                    )
                     out_rows.append(
                         {
                             **base,
                             "branch_admin_ids": [a.id for a in br],
-                            "city_id": br[0].id,
+                            "city_id": city_id,
                         }
                     )
             if out_rows:
@@ -225,17 +239,29 @@ def pois_pipeline(pois: DataFrame, admins: DataFrame, addresses: DataFrame | Non
 # Stops (src/stops.rs)
 # ---------------------------------------------------------------------------
 
-# stop physical-mode weights (config/ntfs2mimir defaults, stops.rs:97-136)
+# stop physical-mode weights — the FULL config/ntfs2mimir/default.toml
+# table (:21-75); ids are compared lowercased (stops.rs:104,117), unknown
+# modes contribute 0.0 (stops.rs:118-124)
 PHYSICAL_MODE_WEIGHT = {
-    "Bus": 1.0, "Tramway": 2.0, "Metro": 5.0, "RapidTransit": 10.0, "LocalTrain": 10.0,
-    "Train": 10.0, "Ferry": 3.0,
+    "rapidtransit": 8.0, "train": 8.0, "air": 8.0, "boat": 8.0, "ferry": 8.0,
+    "localtrain": 8.0, "longdistancetrain": 8.0,
+    "metro": 5.0, "busrapidtransit": 5.0,
+    "coach": 3.0,
+    "tramway": 2.0, "railshuttle": 2.0, "funicular": 2.0, "shuttle": 2.0,
+    "suspendedcablecar": 2.0,
+    "bus": 1.0,
 }
 
 
 def stops_pipeline(stops: DataFrame, admins: DataFrame) -> DataFrame:
-    """A6/A7/J7 — count-based weight (count(stop_points)/max) combined
-    with mode-weight sum and the admin city weight:
-    final = (mode_sum_norm + admin_city_weight) / 2 (stops.rs:138-160)."""
+    """A6/A7/J7 — make_weight (stops.rs:138-160): the per-area physical-
+    mode weight sum (build_stop_area_weight, :97-136) averaged with the
+    first CITY admin's weight — final = (mode_sum + admin_city_weight)/2
+    when the area has stop points, admin_city_weight alone otherwise.
+    The RAW sum is used, exactly as in the reference (the count/max
+    initialize_weights form exists in stops.rs:81-95 but has NO callers
+    there; n_stop_points is still emitted as a diagnostic column).
+    ``mode_weight`` is the raw per-area sum."""
     from .enrich import attach_admin_structs, format_label, weight_from_city, zip_codes_from_admins
     from .pip import attach_admins
 
@@ -243,23 +269,20 @@ def stops_pipeline(stops: DataFrame, admins: DataFrame) -> DataFrame:
     with_counts = stops.withColumn("n_stop_points", F.size("stop_point_ids")).withColumn(
         "mode_weight_sum",
         F.aggregate(
-            "physical_modes", F.lit(0.0), lambda acc, m: acc + F.coalesce(mode_map[m], F.lit(0.0))
+            "physical_modes", F.lit(0.0),
+            lambda acc, m: acc + F.coalesce(mode_map[F.lower(m)], F.lit(0.0)),
         ),
-    )
-    maxima = with_counts.agg(
-        F.max("n_stop_points").alias("c"), F.max("mode_weight_sum").alias("m")
-    ).collect()[0]
-    max_count = maxima["c"] or 1
-    max_mode = maxima["m"] or 1.0
-    weighted = with_counts.withColumn(
-        "count_weight", F.col("n_stop_points") / F.lit(float(max_count))
-    ).withColumn("mode_weight", F.col("mode_weight_sum") / F.lit(float(max_mode)))
+    ).withColumn("mode_weight", F.col("mode_weight_sum"))
     attached = attach_admin_structs(
-        attach_admins(weighted, admins, strategy="broadcast"), admins
+        attach_admins(with_counts, admins, strategy="broadcast"), admins
     )
     return (
         attached.withColumn(
-            "weight", (F.col("mode_weight") + weight_from_city()) / F.lit(2.0)
+            "weight",
+            F.when(
+                F.col("n_stop_points") > 0,
+                (F.col("mode_weight_sum") + weight_from_city()) / F.lit(2.0),
+            ).otherwise(weight_from_city()),
         )
         .withColumn("zip_codes", zip_codes_from_admins())
         .withColumn("label", format_label("name"))

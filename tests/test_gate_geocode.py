@@ -42,13 +42,26 @@ def test_places_matches_sql(spark, places):
 
 
 def test_single_token_excludes_addresses(spark, places):
-    """T5 — dsl.rs:218-258: a one-word query never returns addr docs."""
+    """T5 — dsl.rs:219-263, BOTH halves: a one-word query never returns
+    addr docs; a multi-word query returns an addr only when its
+    house_number matches a query token."""
     out = forward_geocode(places, "marche", k=50, query_type="prefix")
     types = {r["type"] for r in out.select("type").collect()}
     assert types and "addr" not in types
-    # the same vocabulary word with a second token does reach addresses
-    out2 = forward_geocode(places, "marche 75", k=200, query_type="prefix")
-    assert out2.filter(F.col("type") == "addr").count() > 0
+    # pick an addr whose number is '75' — the token also prefix-matches
+    # every '750xx' zip, so the matching condition can't mask the gate
+    addr = places.filter(
+        (F.col("type") == "addr") & (F.col("house_number") == "75")
+    ).orderBy("id").first()
+    assert addr is not None, "fixture must contain an addr with hn 75"
+    tok = addr["label"].split()[0]
+    out2 = forward_geocode(places, f"{tok} 75", k=500, query_type="prefix")
+    hns = {r["house_number"] for r in out2.filter(F.col("type") == "addr").collect()}
+    assert "75" in hns, "the matching-number addr must pass the gate"
+    assert hns == {"75"}, f"addrs with other numbers must be excluded, got {hns}"
+    # multi-word query with NO number token: no addr can pass
+    out3 = forward_geocode(places, f"{tok} ville", k=500, query_type="prefix")
+    assert out3.filter(F.col("type") == "addr").count() == 0
 
 
 def test_oracle_single_token_gate_matches(spark):

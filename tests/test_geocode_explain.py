@@ -32,18 +32,20 @@ EXPLAIN_COLS = [
 @pytest.fixture(scope="module")
 def places(spark):
     rows = [
-        ("addr:1", "addr", "14 Place Allègre", "14 Place Allègre (Allassac)", 0.1, 1.476, 45.258),
-        ("street:1", "street", "Rue du Puy Grasset", "Rue du Puy Grasset (Argentat)", 0.3, 1.938, 45.093),
-        ("admin:1", "admin", "Allassac", "Allassac", 0.6, 1.476, 45.258),
-        ("poi:1", "poi", "Gare d'Allassac", "Gare d'Allassac (Allassac)", 0.2, 1.477, 45.259),
+        ("addr:1", "addr", "14 Place Allègre", "14 Place Allègre (Allassac)", "14", 0.1, 1.476, 45.258),
+        ("street:1", "street", "Rue du Puy Grasset", "Rue du Puy Grasset (Argentat)", None, 0.3, 1.938, 45.093),
+        ("admin:1", "admin", "Allassac", "Allassac", None, 0.6, 1.476, 45.258),
+        ("poi:1", "poi", "Gare d'Allassac", "Gare d'Allassac (Allassac)", None, 0.2, 1.477, 45.259),
     ]
     return spark.createDataFrame(
-        rows, "id string, type string, name string, label string, weight double, lon double, lat double"
+        rows,
+        "id string, type string, name string, label string, house_number string, "
+        "weight double, lon double, lat double",
     )
 
 
 def test_explain_score_matches_autocomplete(spark, places):
-    q = "place allegre"
+    q = "14 place allegre"
     top = {
         r["id"]: (r["match_score"], r["score"])
         for r in forward_geocode(places, q, k=10).collect()
@@ -66,11 +68,11 @@ def test_explain_score_matches_autocomplete(spark, places):
 
 def test_explain_with_coord_adds_proximity(spark, places):
     row = forward_geocode_explain(
-        places, "place allegre", "addr:1", "addr", coord=(1.476, 45.258)
+        places, "14 place allegre", "addr:1", "addr", coord=(1.476, 45.258)
     ).collect()[0]
     assert row["proximity"] > 0.0
     top = {r["id"]: r["score"] for r in
-           forward_geocode(places, "place allegre", k=10, coord=(1.476, 45.258)).collect()}
+           forward_geocode(places, "14 place allegre", k=10, coord=(1.476, 45.258)).collect()}
     assert row["score"] == top["addr:1"]
 
 

@@ -16,28 +16,31 @@ from pyspark.sql import functions as F
 @pytest.fixture(scope="module")
 def limousin_places(spark):
     rows = [
-        # addresses (label style "{hn} {street} ({city})")
-        ("addr:1", "addr", "14 Place Allègre", "14 Place Allègre (Allassac)", 0.1, 1.476, 45.258),
-        ("addr:2", "addr", "1470 Rue du Puy Grasset", "1470 Rue du Puy Grasset (Argentat-sur-Dordogne)", 0.1, 1.938, 45.093),
-        ("addr:3", "addr", "32Bis Avenue du Limousin", "32Bis Avenue du Limousin (Arnac-Pompadour)", 0.1, 1.372, 45.411),
-        ("addr:4", "addr", "2 Route du Chastang", "2 Route du Chastang (Argentat-sur-Dordogne)", 0.1, 1.935, 45.09),
-        ("addr:5", "addr", "1042 Ruelle Bridaine", "1042 Ruelle Bridaine (Argentat-sur-Dordogne)", 0.1, 1.936, 45.091),
+        # addresses (label style "{hn} {street} ({city})"); house_number
+        # carried as its own field, as the reference addr index does —
+        # the T5 gate's multi-word half matches query tokens against it
+        ("addr:1", "addr", "14 Place Allègre", "14 Place Allègre (Allassac)", "14", 0.1, 1.476, 45.258),
+        ("addr:2", "addr", "1470 Rue du Puy Grasset", "1470 Rue du Puy Grasset (Argentat-sur-Dordogne)", "1470", 0.1, 1.938, 45.093),
+        ("addr:3", "addr", "32Bis Avenue du Limousin", "32Bis Avenue du Limousin (Arnac-Pompadour)", "32Bis", 0.1, 1.372, 45.411),
+        ("addr:4", "addr", "2 Route du Chastang", "2 Route du Chastang (Argentat-sur-Dordogne)", "2", 0.1, 1.935, 45.09),
+        ("addr:5", "addr", "1042 Ruelle Bridaine", "1042 Ruelle Bridaine (Argentat-sur-Dordogne)", "1042", 0.1, 1.936, 45.091),
         # decoys with overlapping tokens
-        ("addr:9", "addr", "15 Place Allègre", "15 Place Allègre (Allassac)", 0.1, 1.4761, 45.2581),
+        ("addr:9", "addr", "15 Place Allègre", "15 Place Allègre (Allassac)", "15", 0.1, 1.4761, 45.2581),
         # streets
-        ("street:osm:relation:10811956", "street", "Rue de Pont-l'Abbé", "Rue de Pont-l'Abbé (Quimper)", 0.2, -4.11, 47.99),
+        ("street:osm:relation:10811956", "street", "Rue de Pont-l'Abbé", "Rue de Pont-l'Abbé (Quimper)", None, 0.2, -4.11, 47.99),
         # admins
-        ("admin:creuse", "admin", "Creuse", "Creuse", 0.5, 2.0, 46.0),
-        ("admin:hv", "admin", "Haute-Vienne", "Haute-Vienne", 0.5, 1.25, 45.9),
-        ("admin:limoges", "admin", "Limoges", "Limoges", 0.45, 1.26, 45.83),
-        ("admin:stj", "admin", "Saint-Junien", "Saint-Junien", 0.3, 0.9, 45.88),
-        ("admin:aubusson", "admin", "Aubusson", "Aubusson", 0.25, 2.16, 45.95),
+        ("admin:creuse", "admin", "Creuse", "Creuse", None, 0.5, 2.0, 46.0),
+        ("admin:hv", "admin", "Haute-Vienne", "Haute-Vienne", None, 0.5, 1.25, 45.9),
+        ("admin:limoges", "admin", "Limoges", "Limoges", None, 0.45, 1.26, 45.83),
+        ("admin:stj", "admin", "Saint-Junien", "Saint-Junien", None, 0.3, 0.9, 45.88),
+        ("admin:aubusson", "admin", "Aubusson", "Aubusson", None, 0.25, 2.16, 45.95),
         # poi
-        ("poi:osm:node:6923972478", "poi", "Parking", "Parking (Saint-Merd-les-Oussines)", 0.2, 2.0703, 45.5973),
+        ("poi:osm:node:6923972478", "poi", "Parking", "Parking (Saint-Merd-les-Oussines)", None, 0.2, 2.0703, 45.5973),
     ]
     df = spark.createDataFrame(
         rows,
-        "id string, type string, name string, label string, weight double, lon double, lat double",
+        "id string, type string, name string, label string, house_number string, "
+        "weight double, lon double, lat double",
     )
     df = df.withColumn("zone_type", F.when(F.col("id").isin("admin:creuse", "admin:hv"), "state_district")
                        .when(F.col("type") == "admin", "city"))
@@ -155,17 +158,21 @@ def idf_places(spark):
         # street with a loc_name
         ("street:osm:way:champs", "street", "Avenue des Champs-Élysées", None,
          "les Champs", "Avenue des Champs-Élysées (Paris)", {}, 0.5, 2.307, 48.87),
-        # addr (baseline.feature:34-35)
+        # addr (baseline.feature:34-35) — addr docs always carry their
+        # house_number field in the reference index (the T5 gate's
+        # multi-word half requires it to match a query token)
         ("addr:2.37715;48.846781:20", "addr", "20 Rue Hector Malot",
-         None, None, "20 Rue Hector Malot (Paris)", {}, 0.1, 2.37715, 48.846781),
+         None, None, "20 Rue Hector Malot (Paris)", {}, 0.1, 2.37715, 48.846781, "20"),
         # the dsl.rs:291-292 misspelt-one-word case target
         ("admin:osm:relation:vaureal", "admin", "Vauréal", None, None, "Vauréal",
-         {}, 0.2, 2.03, 49.03),
+         {}, 0.2, 2.03, 49.03, None),
     ]
+    rows = [r if len(r) == 11 else r + (None,) for r in rows]
     df = spark.createDataFrame(
         rows,
         "id string, type string, name string, alt_name string, loc_name string, "
-        "label string, labels map<string,string>, weight double, lon double, lat double",
+        "label string, labels map<string,string>, weight double, lon double, lat double, "
+        "house_number string",
     )
     return df.cache()
 
@@ -349,13 +356,15 @@ def idf_addr_places(spark):
     rows = []
     for i, (street, hn, zipc, city, lon, lat) in enumerate(_IDF_ADDRS):
         name = f"{hn} {street}"
-        rows.append((f"addr:main:{i}", "addr", name, f"{name} ({city})", [zipc], 0.1, lon, lat))
+        # house_number carried as its own field, as in the reference addr
+        # index — the T5 gate's multi-word half matches against it
+        rows.append((f"addr:main:{i}", "addr", name, f"{name} ({city})", [zipc], hn, 0.1, lon, lat))
         # decoy twin: same hn+street in Meaux, different zip, ~40 km away
-        rows.append((f"addr:meaux:{i}", "addr", name, f"{name} (Meaux)", ["77100"], 0.1, lon + 0.55, lat + 0.08))
+        rows.append((f"addr:meaux:{i}", "addr", name, f"{name} (Meaux)", ["77100"], hn, 0.1, lon + 0.55, lat + 0.08))
     return spark.createDataFrame(
         rows,
         "id string, type string, name string, label string, zip_codes array<string>, "
-        "weight double, lon double, lat double",
+        "house_number string, weight double, lon double, lat double",
     ).cache()
 
 

@@ -136,13 +136,14 @@ def test_forward_geocode_fixture_examples(spark):
 
     places = spark.createDataFrame(
         [
-            ("addr:1", "addr", "14 Place Allegre", "14 Place Allegre (Allassac)", 0.1, 1.47, 45.25),
-            ("addr:2", "addr", "2 Route du Chastang", "2 Route du Chastang (Allassac)", 0.1, 1.48, 45.26),
-            ("street:1", "street", "Place Allegre", "Place Allegre (Allassac)", 0.2, 1.47, 45.25),
-            ("admin:1", "admin", "Allassac", "Allassac", 0.5, 1.475, 45.255),
-            ("poi:1", "poi", "Théâtre de Paris", "Théâtre de Paris (Paris)", 0.4, 2.33, 48.87),
+            ("addr:1", "addr", "14 Place Allegre", "14 Place Allegre (Allassac)", "14", 0.1, 1.47, 45.25),
+            ("addr:2", "addr", "2 Route du Chastang", "2 Route du Chastang (Allassac)", "2", 0.1, 1.48, 45.26),
+            ("street:1", "street", "Place Allegre", "Place Allegre (Allassac)", None, 0.2, 1.47, 45.25),
+            ("admin:1", "admin", "Allassac", "Allassac", None, 0.5, 1.475, 45.255),
+            ("poi:1", "poi", "Théâtre de Paris", "Théâtre de Paris (Paris)", None, 0.4, 2.33, 48.87),
         ],
-        "id string, type string, name string, label string, weight double, lon double, lat double",
+        "id string, type string, name string, label string, house_number string, "
+        "weight double, lon double, lat double",
     )
     # limousin.feature: "14 Place Allègre" → the addr in top 1
     top = forward_geocode(places, "14 Place Allègre", k=1).collect()
@@ -513,10 +514,11 @@ def test_geocode_zip_codes_array_matching(spark):
 
     places = spark.createDataFrame(
         [
-            ("addr:a", "addr", "25 Quai de Montebello", "25 Quai de Montebello (Paris)", ["75005"], 0.1, 2.3477, 48.8525),
-            ("addr:b", "addr", "25 Quai de Montebello", "25 Quai de Montebello (Lyon)", ["69001"], 0.1, 4.83, 45.77),
+            ("addr:a", "addr", "25 Quai de Montebello", "25 Quai de Montebello (Paris)", ["75005"], "25", 0.1, 2.3477, 48.8525),
+            ("addr:b", "addr", "25 Quai de Montebello", "25 Quai de Montebello (Lyon)", ["69001"], "25", 0.1, 4.83, 45.77),
         ],
-        "id string, type string, name string, label string, zip_codes array<string>, weight double, lon double, lat double",
+        "id string, type string, name string, label string, zip_codes array<string>, "
+        "house_number string, weight double, lon double, lat double",
     )
     df, mode = autocomplete(places, "25 Quai de Montebello 75005", k=2)
     got = [r["id"] for r in df.collect()]

@@ -113,10 +113,13 @@ def test_stops_weights(spark, octagon_admins):
     ]
     df = spark.createDataFrame(rows, STOPS_RAW)
     out = {r["stop_area_id"]: r for r in stops_pipeline(df, octagon_admins).collect()}
-    # mode sums: 6.0 and 1.0 → normalized 1.0 and 1/6; city weight 0.2
-    assert out["SA:1"]["mode_weight"] == 1.0
-    assert abs(out["SA:2"]["mode_weight"] - 1 / 6) < 1e-9
-    assert abs(out["SA:1"]["weight"] - (1.0 + 0.2) / 2) < 1e-9
+    # make_weight parity (stops.rs:138-160): RAW mode sums 6.0 and 1.0
+    # (Metro 5 + Bus 1; Bus 1) averaged with the city weight 0.2 — the
+    # reference never normalizes by the corpus max
+    assert out["SA:1"]["mode_weight"] == 6.0
+    assert out["SA:2"]["mode_weight"] == 1.0
+    assert abs(out["SA:1"]["weight"] - (6.0 + 0.2) / 2) < 1e-9
+    assert abs(out["SA:2"]["weight"] - (1.0 + 0.2) / 2) < 1e-9
     assert out["SA:1"]["label"] == "Gare (city0_0_0)"
 
 
