@@ -40,6 +40,8 @@ def main(argv=None) -> None:
     ap.add_argument("--radius-m", type=float, default=1000.0)
     ap.add_argument("--res", type=int, default=7)
     ap.add_argument("--key-col", default="z_12")
+    ap.add_argument("--key-res", type=int, default=None,
+                    help="Morton res of --key-col; derived from its z_<res> name when omitted")
     ap.add_argument("--prefix-bits", type=int, default=6)
     ap.add_argument("--target-id", default="target_id")
     ap.add_argument("--cpus", type=int, default=None)
@@ -78,7 +80,8 @@ def main(argv=None) -> None:
         q = reverse_geocode_stream(
             spark, args.queries, lake_path, args.out, args.checkpoint,
             k=args.k, radius_m=args.radius_m, res=args.res,
-            key_col=args.key_col, prefix_bits=args.prefix_bits,
+            key_col=args.key_col, key_res=args.key_res,
+            prefix_bits=args.prefix_bits,
             target_id=args.target_id,
         )
         q.awaitTermination()
@@ -125,7 +128,8 @@ def main(argv=None) -> None:
         out, info = reverse_geocode_lake(
             spark, lake_path, valid,
             k=args.k, radius_m=args.radius_m, res=args.res,
-            key_col=args.key_col, prefix_bits=args.prefix_bits,
+            key_col=args.key_col, key_res=args.key_res,
+            prefix_bits=args.prefix_bits,
             target_id=args.target_id, return_scan_info=True,
         )
         out.write.mode("overwrite").parquet(args.out)

@@ -765,7 +765,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 GOPHER_QUALITY_SQL = r"""
     WITH base AS (
         SELECT doc_id, text,
-               (length(trim(text)) = 0) AS empty,
+               (text IS NULL OR length(trim(text)) = 0) AS empty,
                regexp_split_to_array(trim(text), '\s+') AS words,
                string_split(text, chr(10)) AS lines
         FROM documents
@@ -775,14 +775,17 @@ GOPHER_QUALITY_SQL = r"""
                (CASE WHEN empty THEN 0
                      ELSE list_sum(list_transform(words, w -> length(w))) END)::BIGINT
                  AS total_word_len,
-               len(regexp_extract_all(text, '#|\.\.\.'))::BIGINT AS n_sym,
+               (CASE WHEN empty THEN 0
+                     ELSE len(regexp_extract_all(text, '#|\.\.\.')) END)::BIGINT AS n_sym,
                (CASE WHEN empty THEN 0
                      ELSE len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) END)::BIGINT
                  AS n_alpha_words,
-               len(lines)::BIGINT AS n_lines,
-               len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))::BIGINT
+               (CASE WHEN empty THEN 0 ELSE len(lines) END)::BIGINT AS n_lines,
+               (CASE WHEN empty THEN 0
+                     ELSE len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) END)::BIGINT
                  AS n_bullet_lines,
-               len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$')))::BIGINT
+               (CASE WHEN empty THEN 0
+                     ELSE len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$'))) END)::BIGINT
                  AS n_ellipsis_lines,
                (CASE WHEN empty THEN 0
                      ELSE len(list_filter(words, w -> list_contains(

@@ -93,6 +93,11 @@ def cell_coverage_join(raster: DataFrame, admins: DataFrame, res: int) -> DataFr
     cover = admin_cell_cover(admins).select(
         F.col("cell").alias("cov_cell"), F.col("id").alias("admin_id")
     )
+    # the cover lineage is a per-admin WKB parse + Python cell
+    # enumeration — without a persist it recomputes once for the
+    # distinct-res collect plus once per resolution branch below (the
+    # same reason attach_admins_partitioned persists its cover)
+    cover = cover.persist()
     cov_res_levels = [
         int(r["cres"])
         for r in cover.select(

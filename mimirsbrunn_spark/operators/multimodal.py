@@ -220,9 +220,17 @@ def image_features(decoded: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in batches:
             feats = []
             for px in pdf["pixels"]:
-                arr = np.asarray(px, dtype=np.float32)
+                arr = np.asarray(px if px is not None else [], dtype=np.float32)
                 blocks = np.array_split(arr, dim)
-                feats.append(np.array([b.mean() for b in blocks], dtype=np.float32).tolist())
+                # a pixel array shorter than dim leaves empty blocks —
+                # mean() of an empty slice is NaN, which would silently
+                # poison every downstream cosine; pool to 0.0 instead
+                # (same guard as audio_features' bands)
+                feats.append(
+                    np.array(
+                        [b.mean() if len(b) else 0.0 for b in blocks], dtype=np.float32
+                    ).tolist()
+                )
             yield pd.DataFrame({"media_ref": pdf["media_ref"], "embedding": feats})
 
     return decoded.mapInPandas(gen, schema="media_ref string, embedding array<float>")
@@ -312,8 +320,13 @@ def audio_features(decoded: DataFrame, n_bands: int = 8, frame: int = 512) -> Da
         for pdf in batches:
             feats = []
             for wv in pdf["waveform"]:
-                arr = np.asarray(wv, dtype=np.float32)
-                eff = min(frame, max(len(arr), 1))  # short clips: one frame
+                arr = np.asarray(wv if wv is not None else [], dtype=np.float32)
+                if len(arr) == 0:
+                    # empty waveform: reshape(1, 1) of a size-0 slice
+                    # raises; emit the all-zero embedding directly
+                    feats.append([0.0] * n_bands)
+                    continue
+                eff = min(frame, len(arr))  # short clips: one frame
                 n_frames = max(1, len(arr) // eff)
                 rms = np.sqrt(
                     np.square(arr[: n_frames * eff].reshape(n_frames, eff)).mean(axis=1)

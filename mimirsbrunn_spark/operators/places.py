@@ -57,14 +57,17 @@ def attach_street_admins(
     order is probed with ``get_admins_if(zone_type <= city)`` and its
     result — possibly empty — is accepted (street.rs:316-345:
     ``filter_map(obj_map.get).find_map(coords)`` picks one node, then
-    one geofinder call; a street whose probe node lies outside every
-    boundary is emitted admin-less, it does NOT keep probing other
-    nodes). Output one row per branch (street crossing a boundary → one
+    one geofinder call; it does NOT keep probing other nodes on an empty
+    result). Output one row per branch (street crossing a boundary → one
     row per city, osm2mimir.rs:336-348), with the branch's admin ids
-    attached; ``city_id`` is the branch's first ``is_city()`` admin,
-    falling back to the branch leaf (get_street_city_or_relation,
-    street.rs:78-85 — a street in an arrondissement dedups under Paris,
-    not the arrondissement).
+    attached. A street with ZERO branches — probe outside every
+    boundary, or no resolvable node at all — produces NO output row,
+    exactly as in the reference, where ``get_street_admin`` returns an
+    empty Vec and the caller's ``for admins in …`` loop (street.rs
+    :255-266, :282-289) then never builds the street. ``city_id`` is the
+    branch's first ``is_city()`` admin, falling back to the branch leaf
+    (get_street_city_or_relation, street.rs:78-85 — a street in an
+    arrondissement dedups under Paris, not the arrondissement).
 
     Broadcast the admin dim (as in attach_admins) and evaluate per way in
     a vectorized batch UDF; per-way candidate work is tiny (one node ×
@@ -85,9 +88,10 @@ def attach_street_admins(
         for pdf in batches:
             out_rows = []
             for rec in pdf.itertuples(index=False):
-                nodes = rec.node_points
-                if nodes is None or len(nodes) == 0:
-                    continue
+                # a missing node list and an all-unresolvable one are the
+                # same situation (nothing to probe) and take the same
+                # path: zero branches below → no output row
+                nodes = rec.node_points if rec.node_points is not None else []
                 branches = []
                 for idx in middle_out_order(len(nodes)):
                     node = nodes[idx]
@@ -98,8 +102,8 @@ def attach_street_admins(
                     branches = finder.get_admins_if(node["lon"], node["lat"], cond)
                     break
                 base = {c: getattr(rec, c) for c in in_cols}
-                if not branches:
-                    out_rows.append({**base, "branch_admin_ids": [], "city_id": None})
+                # zero branches → the street is not built at all
+                # (street.rs:255-266/:282-289 loop over an empty Vec)
                 for br in branches:
                     city_id = next(
                         (a.id for a in br if a.zone_type == "city"), br[0].id
@@ -147,7 +151,6 @@ def streets_pipeline(streets: DataFrame, admins: DataFrame) -> DataFrame:
             F.when(F.col("kind") == "relation", F.lit(0)).otherwise(F.lit(1)) * F.lit(10**12)
             + F.col("osm_id"),
         )
-        .withColumn("city_id", F.coalesce("city_id", F.lit("")))
     )
     return dedup_streets(prepared)
 

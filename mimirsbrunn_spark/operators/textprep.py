@@ -198,19 +198,29 @@ def gopher_quality_flags(
     shuffle — the shape that survives a 100-TB corpus unchanged."""
     text = F.col(text_col)
     words = F.split(F.trim(text), r"\s+")
-    empty = F.length(F.trim(text)) == 0
+    # null-safe: a NULL text must count as empty, not leak NULL through
+    # the guard (size(split(NULL)) is -1, regexp_count(NULL) is NULL —
+    # a null-text doc would otherwise emit n_words=-1 and
+    # ok_bullet_lines=true instead of empty-doc zeros)
+    empty = text.isNull() | (F.length(F.trim(text)) == 0)
     n_words = F.when(empty, F.lit(0)).otherwise(F.size(words)).cast("long")
     total_wl = F.when(empty, F.lit(0)).otherwise(
         F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
     ).cast("long")
-    n_sym = F.regexp_count(text, F.lit(r"#|\.\.\.")).cast("long")
+    n_sym = F.when(empty, F.lit(0)).otherwise(
+        F.regexp_count(text, F.lit(r"#|\.\.\."))
+    ).cast("long")
     n_alpha = F.when(empty, F.lit(0)).otherwise(
         F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
     ).cast("long")
     lines = F.split(text, "\n")
-    n_lines = F.size(lines).cast("long")
-    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))).cast("long")
-    n_ellipsis = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$"))).cast("long")
+    n_lines = F.when(empty, F.lit(0)).otherwise(F.size(lines)).cast("long")
+    n_bullet = F.when(empty, F.lit(0)).otherwise(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    ).cast("long")
+    n_ellipsis = F.when(empty, F.lit(0)).otherwise(
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$")))
+    ).cast("long")
     stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS])
     n_stop = F.when(empty, F.lit(0)).otherwise(
         F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))

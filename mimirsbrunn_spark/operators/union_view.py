@@ -21,6 +21,15 @@ from pyspark.sql import functions as F
 # the shared projection every place table must be able to produce
 PLACE_COLS = ["id", "type", "name", "label", "weight", "lon", "lat", "zip_codes"]
 
+# known dtypes for the shared columns: a table missing one contributes a
+# null of the RIGHT type — a string-typed null lon would make
+# unionByName silently coerce every branch's lon to string, breaking
+# numeric predicates downstream
+_PLACE_COL_TYPES = {
+    "id": "string", "name": "string", "label": "string",
+    "weight": "double", "lon": "double", "lat": "double",
+}
+
 
 def _project(df: DataFrame, type_name: str, mapping: dict[str, str],
              extra_types: dict[str, str] | None = None) -> DataFrame:
@@ -37,7 +46,9 @@ def _project(df: DataFrame, type_name: str, mapping: dict[str, str],
         elif target == "weight":
             cols.append(F.lit(0.0).alias("weight"))
         else:
-            cols.append(F.lit(None).cast("string").alias(target))
+            cols.append(
+                F.lit(None).cast(_PLACE_COL_TYPES.get(target, "string")).alias(target)
+            )
     for name, dtype in (extra_types or {}).items():
         if name in df.columns:
             cols.append(F.col(name))

@@ -68,13 +68,12 @@ def compact_published(
     With a key, the rewrite is repartitionByRange + sortWithinPartitions
     on it — one range shuffle, same cost shape as the original clustered
     write, tight per-file ranges restored."""
-    from ..sources.lifecycle import publish_table, read_published
+    from ..sources.lifecycle import publish_table, read_published, resolve_generation
 
-    root = Path(base_dir) / name
-    import json
-
-    pointer = json.loads((root / "_CURRENT").read_text())
-    gen = root / pointer["generation"]
+    # the pointer format has a single owner (lifecycle.resolve_generation)
+    # — re-parsing _CURRENT here would silently diverge from the read
+    # path if the protocol ever changes
+    gen = resolve_generation(Path(base_dir) / name)
     total = sum(f.stat().st_size for f in gen.rglob("*.parquet"))
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     df = read_published(spark, base_dir, name)

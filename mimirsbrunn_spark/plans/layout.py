@@ -22,6 +22,7 @@ the ES geo_bounding_box prefilter (dsl.rs reverse/shape queries).
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -213,7 +214,7 @@ def reverse_geocode_lake(
     radius_m: float = 1000.0,
     res: int = 7,
     key_col: str = "z_12",
-    key_res: int = 12,
+    key_res: int | None = None,
     prefix_bits: int = 6,
     query_id: str = "query_id",
     target_id: str = "target_id",
@@ -237,6 +238,20 @@ def reverse_geocode_lake(
     """
     from ..operators.knn import reverse_geocode
 
+    # the scan windows are derived in the key column's Morton space —
+    # a res mismatch (e.g. a z_10 lake filtered with res-12 windows)
+    # silently returns empty results, so key_res follows key_col's
+    # write_spatially_clustered naming unless the caller overrides it
+    if key_res is None:
+        m = re.fullmatch(r"z_(\d+)", key_col)
+        if not m:
+            raise ValueError(
+                f"cannot derive key_res from key_col {key_col!r} (expected "
+                "the write_spatially_clustered 'z_<res>' convention); pass "
+                "key_res explicitly"
+            )
+        key_res = int(m.group(1))
+
     # one bounded collect: limit(max+1) both detects oversize batches and
     # caps driver transfer even when the input is corpus-sized
     rows = (
@@ -251,9 +266,21 @@ def reverse_geocode_lake(
             "driver-side — use reverse_geocode on a full scan for "
             "corpus-sized query sides"
         )
-    merged = derive_query_windows(
-        [(r.lon, r.lat) for r in rows], radius_m, key_res, prefix_bits
-    )
+    # a single null/NaN/out-of-range coordinate must not kill the whole
+    # batch with a driver TypeError inside window derivation — drop it
+    # here (the streaming wrapper pre-filters with
+    # coord_validity_condition; direct batch callers get the same guard)
+    # and surface the count in the scan info
+    import math as _m
+
+    pts = [
+        (r.lon, r.lat)
+        for r in rows
+        if r.lon is not None and r.lat is not None
+        and _m.isfinite(r.lon) and _m.isfinite(r.lat)
+        and -180.0 <= r.lon <= 180.0 and -90.0 <= r.lat <= 90.0
+    ]
+    merged = derive_query_windows(pts, radius_m, key_res, prefix_bits)
     targets = bbox_scan(spark, path, merged, key_col)
     out = reverse_geocode(
         queries, targets, k=k, radius_m=radius_m, res=res,
@@ -262,5 +289,9 @@ def reverse_geocode_lake(
     if return_scan_info:
         # windows + batch size from the one collect above, so callers
         # (jobs, streaming batch reports) never re-collect the queries
-        return out, {"windows": merged, "n_queries": len(rows)}
+        return out, {
+            "windows": merged,
+            "n_queries": len(rows),
+            "n_invalid_coords": len(rows) - len(pts),
+        }
     return out

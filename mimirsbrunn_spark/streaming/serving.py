@@ -36,6 +36,7 @@ def reverse_geocode_stream(
     radius_m: float = 1000.0,
     res: int = 7,
     key_col: str = "z_12",
+    key_res: int | None = None,
     prefix_bits: int = 6,
     target_id: str = "target_id",
     max_files_per_trigger: int = 4,
@@ -76,6 +77,10 @@ def reverse_geocode_stream(
             radius_m=radius_m,
             res=res,
             key_col=key_col,
+            # None lets reverse_geocode_lake derive the Morton-space res
+            # from key_col's z_<res> name — a lake clustered at res 10
+            # served with res-12 windows would silently return nothing
+            key_res=key_res,
             prefix_bits=prefix_bits,
             target_id=target_id,
             return_scan_info=True,

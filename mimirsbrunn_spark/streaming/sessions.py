@@ -101,9 +101,15 @@ def _sessionize_user(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
     the batch operator."""
     user_id = key[0]
     if state.hasTimedOut:
-        # watermark passed the open session's gap horizon: flush it
+        # watermark passed the open session's gap horizon: flush it —
+        # but KEEP the session_idx counter in state (sentinel last_us=-1
+        # = no open session). state.remove() here would restart the
+        # user's numbering at 1 after every idle flush, emitting
+        # duplicate (user_id, session_idx) rows for perfectly in-order
+        # data. The kept state is 4 longs per user with no timeout set,
+        # bounded by the distinct-user count.
         last_us, start_us, n_events, session_idx = state.get
-        state.remove()
+        state.update((-1, -1, 0, session_idx))
         yield _session_rows(user_id, [(session_idx, n_events, last_us - start_us)])
         return
 

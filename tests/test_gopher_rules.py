@@ -59,3 +59,17 @@ def test_stop_word_rule(spark):
     # min_stop_words=0 disables the rule (non-English corpora)
     f3 = _flags(spark, [zero], min_words=5, min_stop_words=0)["d0"]
     assert f3["ok_stop_words"] is True and f3["gopher_pass"] is True
+
+
+def test_null_and_blank_text_count_as_empty(spark):
+    """NULL text must take the empty-doc path (all-zero stats), not leak
+    NULL through the guard (size(split(NULL)) is -1 and would have made
+    n_words=-1 with ok_bullet_lines=true); space-only text is the same
+    empty case (trim is space-only in BOTH engines, so text containing
+    just a newline is deliberately NOT empty — the engines agree)."""
+    f = _flags(spark, [None, "     ", GOOD])
+    for d in ("d0", "d1"):
+        assert f[d]["n_words"] == 0 and f[d]["n_lines"] == 0
+        assert f[d]["n_sym"] == 0 and f[d]["n_bullet_lines"] == 0
+        assert f[d]["gopher_pass"] is False  # fails ok_word_count
+    assert f["d2"]["gopher_pass"] is True

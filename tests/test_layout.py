@@ -212,6 +212,66 @@ def test_reverse_geocode_lake_equals_full_scan(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_reverse_geocode_lake_key_res_follows_key_col(spark, tmp_path):
+    """A lake clustered at res 10 must be scanned with res-10 windows:
+    key_res now derives from the z_<res> column name, so the default no
+    longer silently filters z_10 keys against res-12 windows (empty
+    results). A non-convention key_col without an explicit key_res is
+    refused loudly."""
+    from mimirsbrunn_spark.operators.knn import reverse_geocode
+    from mimirsbrunn_spark.plans.layout import reverse_geocode_lake
+
+    rng = np.random.default_rng(7)
+    n = 800
+    targets = spark.createDataFrame(
+        [(int(i), float(rng.uniform(-10, 10)), float(rng.uniform(-10, 10))) for i in range(n)],
+        "target_id long, lon double, lat double",
+    )
+    path = str(tmp_path / "lake_r10")
+    key = write_spatially_clustered(targets, path, res=10, n_files=4)
+    assert key == "z_10"
+    queries = spark.createDataFrame(
+        [(0, 0.5, 0.5), (1, -5.0, 3.0)], "query_id long, lon double, lat double"
+    )
+    full = reverse_geocode(
+        queries, spark.read.parquet(path), k=2, radius_m=300_000.0, res=4
+    )
+    lake = reverse_geocode_lake(
+        spark, path, queries, k=2, radius_m=300_000.0, res=4,
+        key_col=key, prefix_bits=6,
+    )
+    a = sorted(tuple(r) for r in full.collect())
+    b = sorted(tuple(r) for r in lake.collect())
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="key_res"):
+        reverse_geocode_lake(spark, path, queries, key_col="morton")
+
+
+def test_reverse_geocode_lake_tolerates_invalid_coords(spark, tmp_path):
+    """A null/NaN/out-of-range coordinate in the batch must not kill the
+    whole job with a driver TypeError inside window derivation — the row
+    is dropped and counted in the scan info."""
+    from mimirsbrunn_spark.plans.layout import reverse_geocode_lake
+
+    targets = spark.createDataFrame(
+        [(i, 1.0 + i * 0.001, 1.0) for i in range(50)],
+        "target_id long, lon double, lat double",
+    )
+    path = str(tmp_path / "lake_inv")
+    write_spatially_clustered(targets, path, res=12, n_files=2)
+    queries = spark.createDataFrame(
+        [(0, 1.0, 1.0), (1, None, 1.0), (2, float("nan"), 1.0), (3, 999.0, 1.0)],
+        "query_id long, lon double, lat double",
+    )
+    out, info = reverse_geocode_lake(
+        spark, path, queries, k=1, radius_m=100_000.0, res=4,
+        return_scan_info=True,
+    )
+    assert info["n_queries"] == 4 and info["n_invalid_coords"] == 3
+    got = {r["query_id"] for r in out.collect()}
+    assert 0 in got
+
+
 def test_reverse_geocode_lake_refuses_corpus_batch(spark, tmp_path):
     from mimirsbrunn_spark.plans.layout import reverse_geocode_lake
 

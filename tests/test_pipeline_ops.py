@@ -461,6 +461,15 @@ def test_streaming_stateful_sessionize_matches_batch(spark, tmp_path):
         k = (r["user_id"], r["n_events"], r["duration_us"])
         assert batch_key.get(k, 0) > 0, f"stream session {k} not in batch result"
         batch_key[k] -= 1
+    # numbering continuity across idle timeout flushes: session_idx is
+    # unique per user (state.remove() on timeout used to restart the
+    # counter at 1, emitting duplicate (user_id, session_idx) pairs for
+    # in-order data; the kernel now keeps the counter under a sentinel)
+    seen_idx = set()
+    for r in got:
+        k = (r["user_id"], r["session_idx"])
+        assert k not in seen_idx, f"duplicate session numbering {k}"
+        seen_idx.add(k)
 
 
 def test_ivf_topk_recall_vs_bruteforce(spark):

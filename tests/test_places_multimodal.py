@@ -64,6 +64,34 @@ def test_street_boundary_crossing_one_row_per_city(spark, octagon_admins):
     assert cities == ["admin:osm:overlap:a", "admin:osm:overlap:b"]
 
 
+def test_street_zero_branches_not_built(spark, octagon_admins):
+    """street.rs:255-266/:282-289: get_street_admin returning an empty
+    Vec means the caller's `for admins in …` loop never builds the
+    street — an ocean probe, an all-unresolvable node list, and a
+    missing node list all produce no output row."""
+    from mimirsbrunn_spark.operators.places import streets_pipeline
+
+    rows = [
+        # probe node far outside every fixture octagon
+        (3001, "way", "Rue Ocean", "residential", None, [{"lon": 0.0, "lat": -89.0}]),
+        # empty node list
+        (3002, "way", "Rue Vide", "residential", None, []),
+        # null node list (nullable schema variant: a reader that allows it)
+        (3003, "way", "Rue Nulle", "residential", None, None),
+        # all nodes unresolvable (null coords)
+        (3004, "way", "Rue Irres", "residential", None, [{"lon": None, "lat": None}]),
+        # control: resolvable node inside city0_0_0
+        (3005, "way", "Rue OK", "residential", None, [{"lon": -154.4, "lat": -14.4}]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "osm_id long, kind string, name string, highway string, "
+        "public_transport string, node_points array<struct<lon:double,lat:double>>",
+    )
+    out = streets_pipeline(df, octagon_admins).collect()
+    assert [r["name"] for r in out] == ["Rue OK"]
+
+
 def test_poi_classification_first_match_and_fallbacks(spark, octagon_admins):
     from mimirsbrunn_spark.operators.places import classify_pois, pois_pipeline
     from mimirsbrunn_spark.schemas import POIS_RAW
@@ -326,3 +354,31 @@ def test_codec_backend_selection_with_injected_modules():
     # forced fake even WITH a wheel available
     forced = image_decoder(4, 2, backend="fake", image_mod=_FakePIL())
     assert forced(b"abc") == fallback(b"abc")
+
+
+def test_feature_extractors_tolerate_empty_inputs(spark):
+    """Degenerate decode outputs must not crash a task or poison
+    downstream cosines: an empty/null waveform yields the all-zero
+    embedding (reshape of a size-0 slice used to raise), and a pixel
+    array shorter than dim pools its empty blocks to 0.0 instead of NaN
+    (mean() of an empty slice)."""
+    import math
+
+    from mimirsbrunn_spark.operators.multimodal import audio_features, image_features
+
+    decoded_audio = spark.createDataFrame(
+        [("a:empty", [], 16000), ("a:null", None, 16000), ("a:ok", [0.5, -0.5, 0.25, -0.25], 16000)],
+        "media_ref string, waveform array<float>, sample_rate int",
+    )
+    af = {r["media_ref"]: r["embedding"] for r in audio_features(decoded_audio, n_bands=4).collect()}
+    assert af["a:empty"] == [0.0] * 4 and af["a:null"] == [0.0] * 4
+    assert all(math.isfinite(v) for v in af["a:ok"])
+
+    decoded_img = spark.createDataFrame(
+        [("i:short", [0.5, 1.0], 2, 1), ("i:empty", [], 0, 0)],
+        "media_ref string, pixels array<float>, width int, height int",
+    )
+    imf = {r["media_ref"]: r["embedding"] for r in image_features(decoded_img, dim=8).collect()}
+    assert len(imf["i:short"]) == 8
+    assert all(math.isfinite(v) for v in imf["i:short"])
+    assert imf["i:empty"] == [0.0] * 8

@@ -30,6 +30,21 @@ def test_places_view_union_and_pruning(spark):
     with pytest.raises(ValueError):
         places_view(spark, addrs=addrs, types=["stop"])
 
+    # a table missing shared numeric columns contributes typed nulls —
+    # a string-typed null lon used to make unionByName coerce the whole
+    # view's lon/lat/weight to string, breaking numeric predicates
+    stops = spark.createDataFrame(
+        [("stop:1", "Gare", "Gare (P)")], "stop_id string, name string, label string"
+    )
+    mixed = places_view(spark, addrs=addrs, stops=stops)
+    dtypes = dict(mixed.dtypes)
+    assert dtypes["lon"] == "double" and dtypes["lat"] == "double"
+    assert dtypes["weight"] == "double"
+    got = {r["type"]: r for r in mixed.collect()}
+    assert got["stop"]["lon"] is None and got["addr"]["lon"] == 1.0
+    # numeric predicate still works through the union
+    assert mixed.filter(F.col("lon") >= 0.5).count() == 1
+
 
 def test_partitioned_attach_still_matches_broadcast(spark, fixtures_dir):
     """Regression for the geom-cache + live-res-level optimizations."""
