@@ -152,7 +152,15 @@ def normalize_text(col: Column | str) -> Column:
 
 
 def expand_synonyms(tokens: Column) -> Column:
-    """Token-level synonym expansion (flatMap through the synonym map)."""
+    """Token-level synonym canonicalization (flatMap through the synonym
+    map). Applied to DOC-side token arrays: the reference's ``synonym``
+    filter sits in the ``prefix``/``prefix_elision``/
+    ``ngram_with_synonyms`` analyzers (mimir-base.json), which run at
+    BOTH index and search time — the engine's query side canonicalizes
+    in ``_query_tokens``, so the doc side must canonicalize identically
+    or a doc labeled "Bd Diderot" is unreachable by the query
+    "bd diderot" (the query expands to "boulevard", the doc keeps "bd",
+    and neither exact nor prefix nor 3-gram matching can bridge it)."""
     mapping = F.create_map(*[F.lit(x) for kv in SYNONYMS.items() for x in kv])
     return F.flatten(
         F.transform(
@@ -187,7 +195,12 @@ def _query_tokens(q: str) -> list[str]:
 
 
 def _tokens_of(col_name: str) -> Column:
-    return F.filter(F.split(normalize_text(col_name), " +"), lambda x: x != "")
+    """Doc-side token array: T1 analyzer + synonym canonicalization (the
+    same SYNONYMS map `_query_tokens` applies query-side, so both sides
+    always agree — see expand_synonyms)."""
+    return expand_synonyms(
+        F.filter(F.split(normalize_text(col_name), " +"), lambda x: x != "")
+    )
 
 
 def _auto_fuzz(token: str, low: int = 3, high: int = 6) -> int:
@@ -197,11 +210,16 @@ def _auto_fuzz(token: str, low: int = 3, high: int = 6) -> int:
     return 0 if n < low else (1 if n < high else 2)
 
 
-def field_score(q_tokens: list[str], field: str, fuzzy: bool = False) -> Column:
+def field_score(
+    q_tokens: list[str], field: str, fuzzy: bool = False, toks: Column | None = None
+) -> Column:
     """Per-field token-coverage score: +1 exact token, +0.5 prefix hit
     (the edge-ngram .prefix role), and with ``fuzzy`` +0.7 within the
-    AUTO edit budget. Null fields score 0."""
-    toks = _tokens_of(field)
+    AUTO edit budget. Null fields score 0. ``toks`` supplies a prebuilt
+    token array (the i18n map-value variants), keeping one scoring
+    expression for every field."""
+    if toks is None:
+        toks = _tokens_of(field)
     score = F.lit(0.0)
     for t in q_tokens:
         exact = F.array_contains(toks, t).cast("double")
@@ -237,13 +255,10 @@ def string_query_score(
     def lang_variant(map_col: str) -> list[Column]:
         if lang and map_col in cols:
             tmp = F.try_element_at(F.col(map_col), F.lit(lang))
-            toks = F.filter(F.split(normalize_text(tmp), " +"), lambda x: x != "")
-            score = F.lit(0.0)
-            for t in q_tokens:
-                exact = F.array_contains(toks, t).cast("double")
-                prefix = F.exists(toks, lambda x: x.startswith(t)).cast("double") * F.lit(0.5)
-                score = score + F.greatest(exact, prefix)
-            return [F.coalesce(score, F.lit(0.0))]
+            toks = expand_synonyms(
+                F.filter(F.split(normalize_text(tmp), " +"), lambda x: x != "")
+            )
+            return [field_score(q_tokens, map_col, toks=toks)]
         return []
 
     groups = []
@@ -257,7 +272,13 @@ def string_query_score(
     if "zip_codes_str" in cols:
         groups.append(field_score(q_tokens, "zip_codes_str") * B["zip_codes"])
     elif "zip_codes" in cols:
-        zt = F.coalesce(F.col("zip_codes"), F.array().cast("array<string>"))
+        # lowercase like full_label_tokens does for the SAME array — raw
+        # values here would let an alphanumeric postcode ('1234AB') pass
+        # the T4 gate yet contribute 0 to this score group
+        zt = F.transform(
+            F.coalesce(F.col("zip_codes"), F.array().cast("array<string>")),
+            lambda z: F.lower(z),
+        )
         zscore = F.lit(0.0)
         for t in q_tokens:
             zscore = zscore + F.array_contains(zt, t).cast("double")
@@ -292,12 +313,16 @@ def _msm_fuzzy(n: int) -> int:
 
 
 def _msm_search(n: int) -> int:
-    """minimum_should_match "4<-1 7<-25%" (SEARCH on full_label_extra)."""
+    """minimum_should_match "4<-1 7<-25%" (SEARCH on full_label_extra,
+    dsl.rs:307). ES negative-percentage semantics: "-25%" bounds the
+    MISSING clauses, so for n > 7 the requirement is n - floor(0.25*n)
+    (e.g. 8 tokens → 6 required), NOT floor(0.25*n) — the inverted
+    reading would admit documents sharing only 2 of 8 words."""
     if n <= 4:
         return n
     if n <= 7:
         return n - 1
-    return max(1, int(n * 0.25))
+    return max(1, n - int(n * 0.25))
 
 
 def full_label_tokens(df: DataFrame) -> Column:
@@ -313,7 +338,9 @@ def full_label_tokens(df: DataFrame) -> Column:
             F.flatten(
                 F.transform(
                     F.coalesce(F.map_values(F.col("labels")), F.array().cast("array<string>")),
-                    lambda v: F.filter(F.split(normalize_text(v), " +"), lambda x: x != ""),
+                    lambda v: expand_synonyms(
+                        F.filter(F.split(normalize_text(v), " +"), lambda x: x != "")
+                    ),
                 )
             )
         )
@@ -470,6 +497,22 @@ def score_expr(q_tokens: list[str], label_col: str = "label") -> Column:
     return field_score(q_tokens, label_col)
 
 
+def _house_number_gate(columns, q_tokens: list[str]) -> Column:
+    """T5 — BOTH halves of build_house_number_condition (dsl.rs:219-263)
+    as one Column, shared by forward_geocode and its /explain twin so
+    the two can never desynchronize: single-word queries never match
+    addresses; multi-word queries match an address only if its
+    house_number matches a query token (ES `match` on the analyzed
+    house_number field = any-token overlap). Tables without a
+    house_number column cannot satisfy the match half, mirroring the
+    reference where a missing field never matches."""
+    if len(q_tokens) <= 1 or "house_number" not in columns:
+        return F.col("type") != "addr"
+    q_arr = F.array(*[F.lit(t) for t in q_tokens])
+    hn_match = F.exists(_tokens_of("house_number"), lambda x: F.array_contains(q_arr, x))
+    return (F.col("type") != "addr") | F.coalesce(hn_match, F.lit(False))
+
+
 def forward_geocode(
     places: DataFrame,
     q: str,
@@ -497,25 +540,8 @@ def forward_geocode(
     if shape is not None:
         places = shape_filter(places, shape[0], shape[1])
 
-    # T5 — the house-number gate, BOTH halves of dsl.rs:219-263
-    # build_house_number_condition: single-word queries never match
-    # addresses; multi-word queries match an address only if its
-    # house_number matches a query token (ES `match` on the analyzed
-    # house_number field = any-token overlap). Tables without a
-    # house_number column cannot satisfy the match half, mirroring the
-    # reference where a missing field never matches.
-    if len(q_tokens) <= 1:
-        places = places.filter(F.col("type") != "addr")
-    elif "house_number" in places.columns:
-        q_arr = F.array(*[F.lit(t) for t in q_tokens])
-        hn_match = F.exists(
-            _tokens_of("house_number"), lambda x: F.array_contains(q_arr, x)
-        )
-        places = places.filter(
-            (F.col("type") != "addr") | F.coalesce(hn_match, F.lit(False))
-        )
-    else:
-        places = places.filter(F.col("type") != "addr")
+    # T5 house-number gate (shared Column — see _house_number_gate)
+    places = places.filter(_house_number_gate(places.columns, q_tokens))
 
     cond, string_score, score = _score_terms(
         places, q_tokens, query_type, coord, lang, settings
@@ -635,8 +661,14 @@ def autocomplete(
     )
     strict = forward_geocode(places, q, k=k, coord=coord, types=types, lang=lang,
                              query_type="prefix", settings=settings)
+    # persist before the existence probe: take(1) executes the full
+    # scan+score+top-k; without the persist the caller's collect() would
+    # run the whole PREFIX plan a second time. The persisted set is at
+    # most k rows (forward_geocode limits), so the cache is tiny.
+    strict = strict.persist()
     if len(strict.take(1)) > 0:  # existence probe, not a full count
         return strict, "prefix"
+    strict.unpersist()
     fuzzy = forward_geocode(places, q, k=k, coord=coord, types=types, lang=lang,
                             query_type="fuzzy", settings=settings)
     return fuzzy, "fuzzy"
@@ -685,17 +717,8 @@ def forward_geocode_explain(
         raise ValidationError("q must contain at least one token")
     doc = places.filter((F.col("id") == doc_id) & (F.col("type") == doc_type))
 
-    # T5 house-number gate, both halves (mirrors forward_geocode)
-    if len(q_tokens) <= 1:
-        gate = F.col("type") != "addr"
-    elif "house_number" in places.columns:
-        q_arr = F.array(*[F.lit(t) for t in q_tokens])
-        gate = (F.col("type") != "addr") | F.coalesce(
-            F.exists(_tokens_of("house_number"), lambda x: F.array_contains(q_arr, x)),
-            F.lit(False),
-        )
-    else:
-        gate = F.col("type") != "addr"
+    # T5 house-number gate — the SAME Column forward_geocode filters on
+    gate = _house_number_gate(places.columns, q_tokens)
     in_shape = F.lit(True)
     if shape is not None:
         kept = shape_filter(doc, shape[0], shape[1]).select(

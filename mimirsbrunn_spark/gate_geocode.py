@@ -43,6 +43,7 @@ from .functions.geocode import (
     PROXIMITY_WEIGHT_FUZZY,
     STRING_BOOSTS,
     STRING_GLOBAL,
+    SYNONYMS,
     TYPE_BOOSTS,
     _auto_fuzz,
     _char_ngrams,
@@ -130,14 +131,28 @@ _TRANS_SRC = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿœæ"
 _TRANS_DST = "aaaaaaceeeeiiiinooooouuuuyyoa"
 
 
+def _syn_sql(toks: str) -> str:
+    """DuckDB mirror of geocode.expand_synonyms: per-token CASE through
+    the same SYNONYMS constant, flattened (doc-side canonicalization —
+    the synonym filter runs index-side in the reference analyzers)."""
+    cases = " ".join(
+        "WHEN '{a}' THEN [{words}]".format(
+            a=a, words=", ".join(f"'{w}'" for w in c.split())
+        )
+        for a, c in SYNONYMS.items()
+    )
+    return f"flatten(list_transform({toks}, t -> CASE t {cases} ELSE [t] END))"
+
+
 def _toks_sql(col_sql: str) -> str:
-    """DuckDB mirror of geocode._tokens_of: T1 analyzer then split."""
+    """DuckDB mirror of geocode._tokens_of: T1 analyzer, split, synonym
+    canonicalization."""
     norm = (
         f"regexp_replace(trim(regexp_replace(translate(lower({col_sql}), "
         f"'{_TRANS_SRC}', '{_TRANS_DST}'), '\\b[ld]''', '', 'g')), "
         "'[-''(),.;:]', ' ', 'g')"
     )
-    return f"list_filter(regexp_split_to_array({norm}, ' +'), x -> x <> '')"
+    return _syn_sql(f"list_filter(regexp_split_to_array({norm}, ' +'), x -> x <> '')")
 
 
 def _field_score_sql(q_tokens: list[str], toks: str, fuzzy: bool = False) -> str:

@@ -89,6 +89,16 @@ def merge_update(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     replace same-key rows in ``target`` column-wise (non-null update
     columns win), other rows pass through."""
     upd_cols = [c for c in updates.columns if c != key]
+    # a duplicate key in `updates` (e.g. a replayed batch) would fan the
+    # left join out and silently publish duplicate documents — refuse it
+    # up front, like apply_dotted_updates does for (key, ident)
+    dup = updates.groupBy(key).count().filter(F.col("count") > 1).limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"updates contain multiple rows for key {dup[0][0]!r}; "
+            "dedupe the update batch before merge_update (duplicate keys "
+            "would multiply target rows)"
+        )
     joined = target.alias("t").join(updates.alias("u"), key, "left")
     merged = joined.select(
         F.col(key),
@@ -165,8 +175,15 @@ def apply_dotted_updates(target: DataFrame, updates: DataFrame, key: str) -> Dat
     the LAST write must win deterministically. If ``updates`` carries a
     ``seq`` column, the pivot keeps max_by(value, seq); without one,
     multiple ops on the same (key, ident) are rejected up front rather
-    than resolved by a nondeterministic first()."""
-    idents = [r["ident"] for r in updates.select("ident").distinct().collect()]
+    than resolved by a nondeterministic first(). Across DIFFERENT idents
+    the ops are applied depth-then-name sorted — a whole-struct Set
+    lands before nested Sets layer on top of it — so overlapping paths
+    (``properties`` + ``properties.image``) resolve the same way on
+    every run instead of racing on collect() order."""
+    idents = sorted(
+        (r["ident"] for r in updates.select("ident").distinct().collect()),
+        key=lambda i: (i.count("."), i),
+    )
     for ident in idents:
         path = ident.split(".")
         dtype = target.schema[path[0]].dataType

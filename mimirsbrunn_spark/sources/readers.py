@@ -213,7 +213,12 @@ def read_navitia_pois(spark: SparkSession, path: str) -> DataFrame:
         F.col("poi_type_name"),
     )
     out = (
-        poi.join(F.broadcast(types), "poi_type_id", "left")
+        # INNER join: a poi_type_id absent from poi_type.txt fails
+        # into_poi with Error::UnrecognizedPoiType and the reference's
+        # `.filter_map(|r| r.ok())` silently skips that POI
+        # (pois.rs:149,192-196) — a left join would publish type-less
+        # POIs the reference never indexes
+        poi.join(F.broadcast(types), "poi_type_id")
         .select(
             F.col("poi_id").alias("osm_id"),
             F.lit("navitia").alias("kind"),
@@ -221,8 +226,8 @@ def read_navitia_pois(spark: SparkSession, path: str) -> DataFrame:
             F.col("poi_lon").try_cast("double").alias("lon"),
             F.col("poi_lat").try_cast("double").alias("lat"),
             F.struct(
-                F.coalesce(F.col("poi_type_id"), F.lit("")).alias("id"),
-                F.coalesce(F.col("poi_type_name"), F.lit("")).alias("name"),
+                F.col("poi_type_id").alias("id"),
+                F.col("poi_type_name").alias("name"),
             ).alias("poi_type"),
         )
         .filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
@@ -232,6 +237,11 @@ def read_navitia_pois(spark: SparkSession, path: str) -> DataFrame:
         props = (
             spark.read.options(sep=";", header=True, mode="DROPMALFORMED")
             .csv(props_path)
+            # duplicate (poi_id, key) rows would crash map_from_entries
+            # under Spark's default mapKeyDedupPolicy=EXCEPTION; keep one
+            # value deterministically (max — order-free in a shuffle)
+            .groupBy("poi_id", "key")
+            .agg(F.max("value").alias("value"))
             .groupBy("poi_id")
             .agg(F.map_from_entries(F.collect_list(F.struct("key", "value"))).alias("props"))
             .withColumnRenamed("poi_id", "osm_id")
@@ -239,11 +249,17 @@ def read_navitia_pois(spark: SparkSession, path: str) -> DataFrame:
         out = out.join(props, "osm_id", "left")
     else:
         out = out.withColumn("props", F.lit(None).cast("map<string,string>"))
-    # tags = properties overlaid with the poi name (name fallback source)
+    # tags = properties overlaid with the poi name (name fallback source).
+    # Strip any 'name' property first: map_concat with a duplicate key
+    # throws under mapKeyDedupPolicy=EXCEPTION, and the poi.txt name
+    # field is the authoritative one (NavitiaPoi.name, pois.rs:183)
     return out.withColumn(
         "tags",
         F.map_concat(
-            F.coalesce(F.col("props"), F.expr("map()")),
+            F.map_filter(
+                F.coalesce(F.col("props"), F.expr("map()")),
+                lambda k, _v: k != F.lit("name"),
+            ),
             F.create_map(F.lit("name"), F.col("poi_name")),
         ),
     ).drop("props", "poi_name")

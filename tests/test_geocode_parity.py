@@ -263,7 +263,9 @@ def test_minimum_should_match_tiers():
 
     assert [_msm_fuzzy(n) for n in (1, 2, 3, 4, 9, 10, 20, 21, 40)] == [
         1, 1, 2, 2, 7, 6, 16, 5, 10]
-    assert [_msm_search(n) for n in (1, 4, 5, 7, 8, 12)] == [1, 4, 4, 6, 2, 3]
+    # negative "-25%" bounds the MISSING clauses (ES semantics): for
+    # n > 7 the requirement is n - floor(0.25n), e.g. 8 → 6, 12 → 9
+    assert [_msm_search(n) for n in (1, 4, 5, 7, 8, 12)] == [1, 4, 4, 6, 6, 9]
 
 
 def test_importance_radius_interpolation():
@@ -504,3 +506,42 @@ def test_idf_baseline_feature_table(idf_places, dtype, query, expected):
 
     df, _ = autocomplete(idf_places, query, k=1, types=[dtype])
     assert [r["id"] for r in df.collect()] == [expected], (dtype, query)
+
+
+def test_doc_side_synonyms_canonicalize(spark):
+    """The synonym filter runs in the reference's prefix/ngram analyzers
+    at BOTH index and search time (mimir-base.json) — a doc labeled with
+    an alias must be reachable by the alias query (identical text) AND by
+    the canonical form. Before r5 the expansion was query-side only, so
+    'bd diderot' could never match a doc tokenized [bd, diderot]."""
+    from mimirsbrunn_spark.functions.geocode import forward_geocode
+
+    places = spark.createDataFrame(
+        [
+            ("street:bd", "street", "Bd Diderot", "Bd Diderot (Paris)", None, 0.3, 2.39, 48.85),
+            ("street:av", "street", "Av Mozart", "Av Mozart (Paris)", None, 0.3, 2.27, 48.85),
+            ("poi:st", "poi", "St Martin", "St Martin (Paris)", None, 0.2, 2.35, 48.87),
+        ],
+        "id string, type string, name string, label string, house_number string, "
+        "weight double, lon double, lat double",
+    )
+    # alias query — identical text must match itself
+    got = [r["id"] for r in forward_geocode(places, "bd diderot", k=3).collect()]
+    assert got[:1] == ["street:bd"], got
+    # canonical query reaches the alias-labeled doc
+    got = [r["id"] for r in forward_geocode(places, "boulevard diderot", k=3).collect()]
+    assert got[:1] == ["street:bd"], got
+    # and the other direction: canonical doc text, alias query
+    got = [r["id"] for r in forward_geocode(places, "saint martin", k=3).collect()]
+    assert got[:1] == ["poi:st"], got
+
+
+def test_search_msm_rejects_low_overlap(idf_places):
+    """dsl.rs:307 '4<-1 7<-25%' with ES negative-percentage semantics:
+    an 8-token /search query needs 6 matching words — a doc sharing only
+    2 of 8 must NOT pass the T4 gate (the inverted reading admitted it)."""
+    from mimirsbrunn_spark.functions.geocode import forward_geocode
+
+    q = "rue hector aaa bbb ccc ddd eee fff"  # 8 tokens, only 2 plausible
+    df = forward_geocode(idf_places, q, k=10, query_type="search")
+    assert df.count() == 0

@@ -283,15 +283,29 @@ def test_navitia_poi_reader_through_pois_pipeline(spark, tmp_path):
         "P:1;amenity:townhall;Mairie;45.25;1.47\n"
         "P:2;leisure:park;;45.30;1.50\n"          # empty name → type-name fallback
         "P:bad;amenity:parking;Nowhere;;\n"        # unparsable coords dropped
+        # unrecognized poi_type_id → into_poi fails, filter_map(.ok())
+        # skips the POI (pois.rs:149,192-196) even with valid coords
+        "P:untyped;bogus:type;Ghost;45.26;1.48\n"
     )
     (root / "poi_type.txt").write_text(
         "poi_type_id;poi_type_name\namenity:townhall;town hall\nleisure:park;park\n"
     )
     (root / "poi_properties.txt").write_text(
-        "poi_id;key;value\nP:1;addr:postcode;19240\nP:1;wheelchair;yes\n"
+        "poi_id;key;value\n"
+        "P:1;addr:postcode;19240\n"
+        "P:1;wheelchair;yes\n"
+        # a 'name' property must not crash map_concat (duplicate map key
+        # under mapKeyDedupPolicy=EXCEPTION); the poi.txt name field wins
+        "P:1;name;Hotel de Ville\n"
+        # duplicate (poi_id, key) rows must not crash map_from_entries
+        "P:2;wheelchair;no\n"
+        "P:2;wheelchair;yes\n"
     )
     pois = read_navitia_pois(spark, str(root))
     assert pois.count() == 2
+    tags1 = {r["osm_id"]: r["tags"] for r in pois.collect()}
+    assert tags1["P:1"]["name"] == "Mairie"  # poi.txt field authoritative
+    assert tags1["P:2"]["wheelchair"] == "yes"  # deterministic max dedup
     out = {r["osm_id"]: r for r in pois_pipeline(pois, rect_admins_df(spark)).collect()}
     assert out["P:1"]["name"] == "Mairie"
     assert out["P:1"]["zip_codes"] == ["19240"]           # property override
@@ -695,6 +709,42 @@ def test_apply_dotted_updates_ordering(spark):
     )
     got = apply_dotted_updates(target, seq, "id").collect()
     assert got[0]["name"] == "last"
+
+
+def test_apply_dotted_updates_two_nested_sets_same_root(spark):
+    """Two Set ops on different nested paths of the SAME root struct in
+    one batch must both land (the second withColumn layers on the first
+    update, never clobbers it back to the original), and the application
+    order is the deterministic depth-then-name sort, not collect() order."""
+    from mimirsbrunn_spark.sources.lifecycle import apply_dotted_updates
+
+    target = spark.createDataFrame(
+        [(1, ("orig_i", "orig_a", "keep"))],
+        "id long, properties struct<image:string,alt:string,other:string>",
+    )
+    ups = spark.createDataFrame(
+        [(1, "properties.image", "new_i"), (1, "properties.alt", "new_a")],
+        "id long, ident string, value string",
+    )
+    out = apply_dotted_updates(target, ups, "id").collect()[0]["properties"]
+    assert (out["image"], out["alt"], out["other"]) == ("new_i", "new_a", "keep")
+
+
+def test_merge_update_refuses_duplicate_update_keys(spark):
+    """A replayed/duplicated update batch must not fan the MERGE join out
+    into duplicate published documents — refused loudly."""
+    import pytest
+
+    from mimirsbrunn_spark.sources.lifecycle import merge_update
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "id long, name string")
+    with pytest.raises(ValueError, match="multiple rows for key"):
+        merge_update(target, dup, "id")
+    ok = merge_update(
+        target, spark.createDataFrame([(1, "x")], "id long, name string"), "id"
+    )
+    assert {(r["id"], r["name"]) for r in ok.collect()} == {(1, "x"), (2, "b")}
 
 
 def test_resolve_osm_dependencies_nonconvergence_raises(spark):
