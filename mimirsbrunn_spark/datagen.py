@@ -314,7 +314,7 @@ def gen_docs_spark(spark, n_docs: int, admins: pd.DataFrame | None = None, seed:
     def h(i, salt):
         # uniform double in [0,1) from a 64-bit hash — deterministic
         return (
-            F.pmod(F.xxhash64(F.col("id"), i if isinstance(i, int) else i, F.lit(salt)), F.lit(1 << 30))
+            F.pmod(F.xxhash64(F.col("id"), i, F.lit(salt)), F.lit(1 << 30))
             / float(1 << 30)
         )
 

@@ -122,11 +122,18 @@ class AdminGeoFinder:
     # -- query ------------------------------------------------------------
 
     def _candidates(self, lon: float, lat: float) -> list[AdminRec]:
-        """Filter phase: cell hit + envelope containment (G2)."""
+        """Filter phase: cell hit + envelope containment (G2). The cell
+        is computed with scalar integer math (bit-identical to
+        grid_cell_np) — this path runs once per street node inside
+        executors, and a fresh 1-element numpy array pair per live
+        resolution dominated the per-node cost at millions of nodes."""
+        from .tiles import _I_SHIFT, _RES_SHIFT, _grid_ij_int
+
         seen: set[str] = set()
         out: list[AdminRec] = []
         for res, idx in self.cell_index.items():
-            cell = int(grid_cell_np(np.array([lon]), np.array([lat]), res)[0])
+            ci, cj = _grid_ij_int(lon, lat, res)
+            cell = res * _RES_SHIFT + ci * _I_SHIFT + cj
             for aid in idx.get(cell, ()):
                 if aid in seen:
                     continue
@@ -183,14 +190,20 @@ class AdminGeoFinder:
             if cand.id in visited_ids or not self._intersects(cand, lon, lat):
                 continue
             branch = [cand]
+            branch_ids = {cand.id}
             while True:
                 parent_id = branch[-1].parent_id
-                if parent_id is None:
+                # cycle guard: a malformed dump with a parent_id loop
+                # (A→B→A, or A→A) must not spin an executor forever —
+                # same hardening class as _UNKNOWN_ZONE_RANK (get() is
+                # already safe via its tested_hierarchy break)
+                if parent_id is None or parent_id in branch_ids:
                     break
                 parent = self.by_id.get(parent_id)
                 if parent is None:
                     break
                 visited_ids.add(parent.id)
+                branch_ids.add(parent.id)
                 branch.append(parent)
             branches.append(branch)
         return branches

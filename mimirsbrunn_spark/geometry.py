@@ -191,7 +191,13 @@ def wkb_to_mp(buf: bytes) -> MultiPolygon:
                 n_pts, 2
             )
             off += n_pts * 16
-            poly.append(np.ascontiguousarray(ring[:-1]))  # drop closing point
+            # drop the closing point ONLY if the ring is actually closed
+            # (WKB requires it); an unclosed ring from a malformed
+            # external dump must keep its last real vertex, not silently
+            # lose a corner of the polygon
+            if n_pts >= 2 and np.array_equal(ring[0], ring[-1]):
+                ring = ring[:-1]
+            poly.append(np.ascontiguousarray(ring))
         mp.append(poly)
     return mp
 
@@ -363,12 +369,16 @@ def haversine_np(
     return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
 
 
+# the least/greatest clip mirrors haversine_np's np.clip(h, 0, 1): for
+# near-antipodal pairs float rounding pushes h a few ulps above 1 and
+# asin(sqrt(h)) would return NaN — a NaN distance silently fails radius
+# filters instead of reporting ~pi*R
 HAVERSINE_SQL_TEMPLATE = (
-    "(2.0 * {R} * asin(sqrt("
+    "(2.0 * {R} * asin(sqrt(least(1.0, greatest(0.0, "
     "pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
     "cos(radians({lat1})) * cos(radians({lat2})) * "
     "pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)"
-    ")))"
+    ")))))"
 )
 
 

@@ -36,6 +36,9 @@ def haversine_col(lon1, lat1, lon2, lat2):
         F.pow(F.sin(F.radians(lat2 - lat1) / 2), 2)
         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.pow(F.sin(F.radians(lon2 - lon1) / 2), 2)
     )
+    # clip like haversine_np/haversine_sql: near-antipodal rounding can
+    # push h a few ulps above 1 and asin(sqrt(h)) would return NaN
+    h = F.least(F.lit(1.0), F.greatest(F.lit(0.0), h))
     return 2.0 * EARTH_RADIUS_M * F.asin(F.sqrt(h))
 
 
@@ -70,8 +73,9 @@ def reverse_geocode(
     # fixed meridional height. A polar 1 km query then widens only the
     # lon direction (full wrap: ~size cells x a few rows) instead of
     # squaring a huge k into millions of cells. floor(delta/width)+1
-    # rings cover the radius from any in-cell offset; +1 more pads the
-    # cos-at-query-lat underestimate. __ki clamps at size//2 (full lon
+    # rings cover the radius from any in-cell offset (+1 safety); the
+    # width uses cos at the disk's WORST latitude so the spherical cap's
+    # full lon extent is covered. __ki clamps at size//2 (full lon
     # wrap); __kj clamps at size (one over-pole reflection each way).
     # Rows past a pole REFLECT (jj mirrored, columns shifted half the
     # circle) — the over-the-pole neighbors the old row-clamp silently
@@ -80,7 +84,13 @@ def reverse_geocode(
     n = _grid_n(res)
     size = 1 << n
     cell_h_m = 180.0 / size * M_PER_DEG
-    coslat = F.greatest(F.cos(F.radians(F.col("lat"))), F.lit(1e-9))
+    # cos at the disk's WORST latitude (|lat| + radius in degrees), the
+    # same rule as tiles._radius_ring_counts — cos at the query latitude
+    # under-covers the spherical cap's lon extent for large radii and
+    # silently drops in-radius neighbors (see the tiles.py comment)
+    dlat_deg = radius_m / M_PER_DEG
+    lat_far = F.least(F.abs(F.col("lat")) + F.lit(dlat_deg), F.lit(90.0))
+    coslat = F.greatest(F.cos(F.radians(lat_far)), F.lit(1e-9))
     cell_w_m = F.lit(360.0 / size * M_PER_DEG) * coslat
     # clamp BEFORE narrowing to int: a planet-scale radius makes the
     # floor() a large BIGINT and ANSI mode would overflow the cast

@@ -79,10 +79,21 @@ def ship_package(spark: SparkSession) -> None:
     marker = "_mimirsbrunn_pyfiles_shipped"
     if getattr(spark.sparkContext, marker, False):
         return
+    # write to a unique temp file, then atomically rename: two drivers on
+    # one host (parallel pytest workers, concurrent spark-submit jobs)
+    # sharing a fixed path would race — one copies a half-written zip and
+    # every UDF task dies with ImportError on a corrupt archive
     zpath = Path(tempfile.gettempdir()) / "mimirsbrunn_spark_pyfiles.zip"
-    with zipfile.ZipFile(zpath, "w") as zf:
-        for py in sorted(pkg_dir.rglob("*.py")):
-            zf.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
+    fd, tmp = tempfile.mkstemp(suffix=".zip", dir=str(zpath.parent))
+    os.close(fd)
+    try:
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
+        os.replace(tmp, zpath)
+    except BaseException:
+        Path(tmp).unlink(missing_ok=True)
+        raise
     spark.sparkContext.addPyFile(str(zpath))
     setattr(spark.sparkContext, marker, True)
 

@@ -120,10 +120,10 @@ def _radius_ring_counts(lat: float, radius_m: float, res: int) -> tuple[int, int
     the metric radius around any in-cell position at ``lat``.
 
     floor(delta/width)+1 rings are required to cover an offset of delta
-    from an arbitrary in-cell position; +1 more is a safety ring for the
-    lon-width underestimate at the disk's far latitudes (cos evaluated at
-    the query latitude only). Extras are free: the exact haversine refine
-    filters them. The counts are DECOUPLED: near a pole the shrinking lon
+    from an arbitrary in-cell position, +1 safety; the lon width is
+    evaluated at the disk's WORST latitude (see below), so the cap's
+    full lon extent is covered. Extras are free: the exact haversine
+    refine filters them. The counts are DECOUPLED: near a pole the shrinking lon
     cell width widens only ki (clamped at the full wrap, size//2 — past
     that every column is already covered), while kj stays radius/height
     (clamped at size: one over-pole reflection each way spans the globe).
@@ -131,7 +131,17 @@ def _radius_ring_counts(lat: float, radius_m: float, res: int) -> tuple[int, int
     n = _grid_n(res)
     size = 1 << n
     cell_h_m = 180.0 / size * M_PER_DEG  # meridional cell height
-    coslat = max(np.cos(np.radians(lat)), 1e-9)
+    # lon extent must use cos at the disk's WORST (most poleward)
+    # latitude, not the query latitude: the true max lon offset of a
+    # spherical cap is asin(sin(r/R)/cos(lat)), which for large radii at
+    # mid/high latitude exceeds r/(cell width at lat) by more than any
+    # constant safety ring — a cos-at-query-lat estimate silently drops
+    # in-radius neighbors near the disk's lon extremes. dlat/cos(|lat|+
+    # dlat) >= the cap extent everywhere below the full-wrap clamp
+    # (numerically verified over 10m..20,000km x 0..90 deg); a disk
+    # touching the pole drives coslat to ~0 and ki to the full wrap.
+    dlat_deg = radius_m / M_PER_DEG
+    coslat = max(np.cos(np.radians(min(abs(lat) + dlat_deg, 90.0))), 1e-9)
     cell_w_m = 360.0 / size * M_PER_DEG * coslat
     ki = int(np.floor(radius_m / cell_w_m)) + 2
     kj = int(np.floor(radius_m / cell_h_m)) + 2
@@ -256,7 +266,10 @@ _S2_POS_BITS = 2 * _S2_MAX_LEVEL + 1
 
 def _xyz_to_face_uv(x: np.ndarray, y: np.ndarray, z: np.ndarray):
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
-    face = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
+    # strict > matches S2::LargestAbsComponent exactly: ties go to the
+    # LATER axis (|x|==|y| at lon +-45/135 -> the y face), so cell ids
+    # interoperate with the real s2geometry library on boundary points
+    face = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
     comp = np.choose(face, [x, y, z])
     face = np.where(comp < 0, face + 3, face)
     u = np.empty_like(x)
@@ -373,9 +386,9 @@ s2face AS (
     SELECT *, CASE face0 WHEN 0 THEN x WHEN 1 THEN y ELSE z END AS comp
     FROM (
       SELECT *,
-             CASE WHEN abs(x) >= abs(y)
-                  THEN (CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END)
-                  ELSE (CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END) END AS face0
+             CASE WHEN abs(x) > abs(y)
+                  THEN (CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END)
+                  ELSE (CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END) END AS face0
       FROM s2xyz))
 ),
 s2uv AS (

@@ -461,3 +461,123 @@ def test_geohash_exact_at_max_precision(spark):
         )
         got = [r[0] for r in df.select(geohash_col("lon", "lat", p)).collect()]
         assert got == want, f"spark diverges at precision {p}"
+
+
+def test_radius_cover_includes_cap_lon_extreme():
+    """The lon extent of a metric-radius disk must use cos at the disk's
+    WORST latitude: at (0, 60) with r=1000 km, the point (18.2171,
+    61.2592) is ~999.95 km away (inside the radius) but sits past the
+    cos-at-query-lat estimate's lon reach — the old enumeration omitted
+    its cell and the kNN silently dropped a true neighbor."""
+    import numpy as np
+
+    from mimirsbrunn_spark.geometry import haversine_np
+    from mimirsbrunn_spark.tiles import grid_cell, grid_cells_for_radius
+
+    d = float(haversine_np(np.array([0.0]), np.array([60.0]),
+                           np.array([18.2171]), np.array([61.2592]))[0])
+    assert d < 1_000_000.0
+    cells = set(grid_cells_for_radius(0.0, 60.0, 1_000_000.0, 8))
+    assert grid_cell(18.2171, 61.2592, 8) in cells
+
+
+def test_reverse_knn_finds_cap_lon_extreme_neighbor(spark):
+    """End-to-end: the Catalyst twin of the radius cover must join the
+    cap-extreme target (same scenario as the unit test above)."""
+    from mimirsbrunn_spark.operators.knn import reverse_geocode
+
+    q = spark.createDataFrame([(1, 0.0, 60.0)], "query_id long, lon double, lat double")
+    t = spark.createDataFrame(
+        [(10, 18.2171, 61.2592), (11, 0.0, 60.001)],
+        "target_id long, lon double, lat double",
+    )
+    got = {r["target_id"] for r in
+           reverse_geocode(q, t, k=5, radius_m=1_000_000.0, res=8).collect()}
+    assert got == {10, 11}
+
+
+def test_haversine_near_antipodal_not_nan(spark):
+    """Float rounding can push the haversine h a few ulps above 1 for
+    near-antipodal pairs; without the clip (present in haversine_np) the
+    SQL/Column forms returned NaN and the pair silently failed every
+    radius filter."""
+    import math
+
+    from mimirsbrunn_spark.geometry import haversine_sql
+    from mimirsbrunn_spark.operators.knn import haversine_col
+    from pyspark.sql import functions as F
+
+    lon1, lat1 = 171.3470447, -64.7096539
+    lon2, lat2 = -8.6529567, 64.7096534
+    row = spark.range(1).select(
+        haversine_col(F.lit(lon1), F.lit(lat1), F.lit(lon2), F.lit(lat2)).alias("d")
+    ).collect()[0]
+    assert math.isfinite(row["d"]) and row["d"] > 1.9e7
+    sql_d = spark.sql(
+        f"SELECT {haversine_sql(repr(lon1), repr(lat1), repr(lon2), repr(lat2))} AS d"
+    ).collect()[0]["d"]
+    assert math.isfinite(sql_d) and abs(sql_d - row["d"]) < 1e-6
+    import duckdb
+
+    duck_d = duckdb.sql(
+        f"SELECT {haversine_sql(repr(lon1), repr(lat1), repr(lon2), repr(lat2))} AS d"
+    ).fetchone()[0]
+    assert math.isfinite(duck_d) and abs(duck_d - row["d"]) < 1e-6
+
+
+def test_wkb_unclosed_ring_keeps_last_vertex():
+    """An unclosed ring in external WKB must keep its last real vertex —
+    the old unconditional ring[:-1] silently deleted a polygon corner."""
+    import struct
+
+    import numpy as np
+
+    from mimirsbrunn_spark.geometry import points_in_multipolygon, wkb_to_mp
+
+    # raw LE WKB multipolygon: one polygon, one UNCLOSED 4-point quad
+    pts = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]
+    buf = struct.pack("<BII", 1, 6, 1) + struct.pack("<BII", 1, 3, 1)
+    buf += struct.pack("<I", len(pts))
+    for x, y in pts:
+        buf += struct.pack("<dd", x, y)
+    mp = wkb_to_mp(buf)
+    assert len(mp[0][0]) == 4  # all four vertices kept
+    # the corner region the dropped vertex would have lost
+    inside = points_in_multipolygon(np.array([1.0]), np.array([3.5]), mp)
+    assert bool(inside[0])
+
+
+def test_s2_face_tiebreak_matches_largest_abs_component():
+    """S2::LargestAbsComponent uses strict >: |x|==|y| (lon exactly 45)
+    resolves to the y face (face 1), matching the real s2geometry
+    library on boundary meridians. Both engines agree after the fix."""
+    import numpy as np
+
+    from mimirsbrunn_spark.tiles import _xyz_to_face_uv
+
+    # an EXACT |x| == |y| tie (cos/sin of 45 deg differ by 1 ulp in
+    # float64, so the tie must be constructed directly)
+    face, _, _ = _xyz_to_face_uv(np.array([0.5]), np.array([0.5]), np.array([0.3]))
+    assert int(face[0]) == 1
+    # and |y| == |z| ties resolve to the z face
+    face, _, _ = _xyz_to_face_uv(np.array([0.3]), np.array([0.5]), np.array([0.5]))
+    assert int(face[0]) == 2
+
+
+def test_get_admins_if_parent_cycle_terminates():
+    """A malformed dump with a parent_id cycle must not hang an executor:
+    the branch walk breaks at the first repeated id."""
+    from mimirsbrunn_spark.geofinder import AdminGeoFinder, AdminRec
+
+    import numpy as np
+
+    sq = [[np.array([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)])]]
+    f = AdminGeoFinder()
+    f.insert(AdminRec(id="A", zone_type="city", parent_id="B", mp=sq))
+    f.insert(AdminRec(id="B", zone_type="state", parent_id="A", mp=sq))
+    f.insert(AdminRec(id="S", zone_type="suburb", parent_id="S", mp=sq))  # self-loop
+    branches = f.get_admins_if(0.5, 0.5, lambda r: r.zone_type is not None)
+    ids = sorted(b[0].id for b in branches)
+    assert ids == ["A", "S"] or ids == ["A", "B", "S"] or len(branches) >= 1
+    for b in branches:
+        assert len(b) <= 3  # walk terminated
