@@ -11,7 +11,7 @@ Two extraction paths, same output:
 - ``extract_geo_points``: pure Catalyst (explode + split + cast), fully
   JVM-side/codegen — this is what you want at 100 TB, and what the
   DuckDB oracle mirrors.
-- ``extract_geo_points_arrow``: vectorized Arrow batches via mapInPandas
+- ``extract_geo_points_arrow``: vectorized Arrow batches via mapInArrow
   (per input_hint; useful when parsing is genuinely irregular).
 
 Both *read* spans without mutating them — the span-sequence invariant
@@ -61,39 +61,69 @@ def extract_geo_points(docs: DataFrame) -> DataFrame:
 
 
 def extract_geo_points_arrow(docs: DataFrame) -> DataFrame:
-    """Same contract via vectorized Arrow batches (mapInPandas)."""
+    """Same contract via vectorized Arrow batches (mapInArrow).
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            doc_ids, offsets, texts = [], [], []
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                for sp in spans:
-                    if sp["kind"] == "geo":
-                        doc_ids.append(doc_id)
-                        offsets.append(sp["offset"])
-                        texts.append(sp["text"])
-            if not doc_ids:
-                continue
-            split = pd.Series(texts).str.split(";", n=1, expand=True)
-            lon = pd.to_numeric(split[0], errors="coerce")
-            lat = pd.to_numeric(split[1], errors="coerce")
-            out = pd.DataFrame(
-                {
-                    "doc_id": doc_ids,
-                    "span_offset": np.asarray(offsets, dtype=np.int32),
-                    "lon": lon.to_numpy(dtype=np.float64),
-                    "lat": lat.to_numpy(dtype=np.float64),
-                }
-            )
-            ok = (
-                out.lon.notna() & out.lat.notna()
-                & out.lon.between(-180.0, 180.0) & out.lat.between(-90.0, 90.0)
-            )
-            yield out[ok]
+    Every step is a whole-batch kernel — ``list_parent_indices`` /
+    ``list_flatten`` for the explode, ``extract_regex`` for the
+    '{lon};{lat}' parse, ``pd.to_numeric(errors="coerce")`` (vectorized
+    C, NULL-on-malformed like Catalyst try_cast) for the coercion — with
+    no per-row Python anywhere (BASELINE.json input_hint). Parse
+    semantics match ``extract_geo_points`` exactly, including the edge
+    the Catalyst split implies: 'a;b;c' parses as (a, b); text without
+    ';' is dropped."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    return docs.mapInPandas(gen, schema=GEO_POINT_SCHEMA)
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.string()),
+            pa.field("span_offset", pa.int32()),
+            pa.field("lon", pa.float64()),
+            pa.field("lat", pa.float64()),
+        ]
+    )
+
+    def gen(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            names = b.schema.names
+            spans = b.column(names.index("spans"))
+            flat = pc.list_flatten(spans)
+            if len(flat) == 0:
+                continue
+            parent = pc.list_parent_indices(spans)
+            doc_id = pc.take(b.column(names.index("doc_id")), parent)
+            geo = pc.fill_null(pc.equal(pc.struct_field(flat, "kind"), "geo"), False)
+            doc_id = pc.filter(doc_id, geo)
+            if len(doc_id) == 0:
+                continue
+            text = pc.filter(pc.struct_field(flat, "text"), geo)
+            offset = pc.filter(pc.struct_field(flat, "offset"), geo)
+            # split-then-element-0/1 semantics: each group stops at the
+            # next ';', so 'a;b;c' → (a, b); no ';' → no match → NULL
+            m = pc.extract_regex(text, r"^(?P<lon>[^;]*);(?P<lat>[^;]*)")
+            lon = pd.to_numeric(
+                pc.struct_field(m, "lon").to_pandas(), errors="coerce"
+            ).to_numpy(dtype=np.float64)
+            lat = pd.to_numeric(
+                pc.struct_field(m, "lat").to_pandas(), errors="coerce"
+            ).to_numpy(dtype=np.float64)
+            ok = (lon >= -180.0) & (lon <= 180.0) & (lat >= -90.0) & (lat <= 90.0)
+            if not ok.any():
+                continue
+            mask = pa.array(ok)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(pc.filter(doc_id, mask), pa.string()),
+                    pc.cast(pc.filter(offset, mask), pa.int32()),
+                    pa.array(lon[ok], type=pa.float64()),
+                    pa.array(lat[ok], type=pa.float64()),
+                ],
+                schema=out_schema,
+            )
+
+    return docs.select("doc_id", "spans").mapInArrow(gen, schema=GEO_POINT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -862,3 +862,41 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert len(batch) > 0, "fixture produced no in-gap pairs"
     assert got == batch, f"{len(got)} stream vs {len(batch)} batch"
+
+
+def test_extract_geo_points_arrow_matches_catalyst(spark):
+    """The mapInArrow extraction path must agree row-for-row with the
+    Catalyst twin, including the parse edges: 'a;b;c' takes elements
+    0/1, text without ';' is dropped, malformed numerics are dropped,
+    out-of-range coordinates are dropped, geo-less docs vanish."""
+    from mimirsbrunn_spark.operators.spans import (
+        extract_geo_points,
+        extract_geo_points_arrow,
+    )
+    from mimirsbrunn_spark.schemas import DOCS
+
+    rows = [
+        ("d1", [
+            {"kind": "geo", "text": "10.5;-20.25", "media_ref": "", "offset": 0},
+            {"kind": "media", "text": "", "media_ref": "media:a", "offset": 1},
+            {"kind": "geo", "text": "1;2;3", "media_ref": "", "offset": 2},
+        ]),
+        ("d2", [
+            {"kind": "geo", "text": "181.0;10.0", "media_ref": "", "offset": 0},
+            {"kind": "geo", "text": "10.0;91.0", "media_ref": "", "offset": 1},
+            {"kind": "geo", "text": "nolon", "media_ref": "", "offset": 2},
+            {"kind": "geo", "text": "abc;10.0", "media_ref": "", "offset": 3},
+            {"kind": "geo", "text": ";", "media_ref": "", "offset": 4},
+            {"kind": "geo", "text": " 3.5 ;4", "media_ref": "", "offset": 5},
+        ]),
+        ("d3", [{"kind": "text", "text": "hello", "media_ref": "", "offset": 0}]),
+        ("d4", []),
+    ]
+    docs = spark.createDataFrame(rows, DOCS)
+    key = ["doc_id", "span_offset", "lon", "lat"]
+    cat = sorted(tuple(r) for r in extract_geo_points(docs).select(*key).collect())
+    arr = sorted(tuple(r) for r in extract_geo_points_arrow(docs).select(*key).collect())
+    assert cat == arr
+    assert ("d1", 2, 1.0, 2.0) in cat  # split semantics: 'a;b;c' -> (a, b)
+    assert ("d2", 5, 3.5, 4.0) in cat  # whitespace-tolerant coercion
+    assert {t[0] for t in cat} == {"d1", "d2"}
