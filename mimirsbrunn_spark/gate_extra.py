@@ -857,6 +857,58 @@ MERGE_UPDATE_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# input_hint API — vectorized Arrow span extraction over interleaved docs
+# ---------------------------------------------------------------------------
+#
+# The north-rule input is an interleaved-docs table (doc_id, spans:
+# array<struct<kind,text,media_ref,offset>>) with geometry extracted via
+# vectorized Arrow UDFs. This gate synthesizes that exact table shape
+# deterministically from orders (one media span + one geo span + one
+# prose span per doc; every 7th geo span malformed), drives the
+# mapInArrow extraction (operators/spans.py extract_geo_points_arrow),
+# and checks it against the oracle: the same point cloud pushed through
+# the same '%.6f' fixed-decimal text round-trip (printf then parse), so
+# both engines format the bit-identical source double to the same string
+# and re-parse it with a correctly-rounded parser — bit-exact output
+# without depending on either engine's double->string shortest repr.
+
+
+def q_geo_points_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.spans import extract_geo_points_arrow
+
+    pts = points_from_orders(spark, sf_dir)
+    k = F.col("point_id").cast("long")
+    did = F.col("point_id").cast("string")
+    geo_text = F.when(k % 7 == 0, F.lit("not-a-coord")).otherwise(
+        F.format_string("%.6f;%.6f", F.col("lon"), F.col("lat"))
+    )
+    span = lambda kind, text, ref, off: F.struct(  # noqa: E731
+        kind.alias("kind"), text.alias("text"),
+        ref.alias("media_ref"), F.lit(off).cast("int").alias("offset"),
+    )
+    docs = pts.select(
+        did.alias("doc_id"),
+        F.array(
+            span(F.lit("media"), F.lit(""), F.concat(F.lit("media:"), did), 0),
+            span(F.lit("geo"), geo_text, F.lit(""), 1),
+            span(F.lit("text"), F.lit("lorem ipsum"), F.lit(""), 2),
+        ).alias("spans"),
+    )
+    return extract_geo_points_arrow(docs)
+
+
+GEO_POINTS_ARROW_SQL = f"""
+    WITH pts AS ({POINTS_FROM_ORDERS_SQL})
+    SELECT CAST(point_id AS VARCHAR) AS doc_id,
+           CAST(1 AS INT) AS span_offset,
+           CAST(printf('%.6f', lon) AS DOUBLE) AS lon,
+           CAST(printf('%.6f', lat) AS DOUBLE) AS lat
+    FROM pts
+    WHERE point_id % 7 <> 0
+"""
+
+
 EXTRA_QUERIES = {
     "osm_deps_closure": (q_osm_deps_closure, OSM_DEPS_CLOSURE_SQL),
     "admin_hierarchy": (q_admin_hierarchy, ADMIN_HIERARCHY_SQL),
@@ -873,4 +925,5 @@ EXTRA_QUERIES = {
     "poi_nearest_addr": (q_poi_nearest_addr, _poi_nearest_addr_sql()),
     "zorder_cluster_scan": (q_zorder_cluster_scan, _zorder_cluster_sql()),
     "merge_update": (q_merge_update, MERGE_UPDATE_SQL),
+    "geo_points_arrow": (q_geo_points_arrow, GEO_POINTS_ARROW_SQL),
 }
