@@ -274,7 +274,9 @@ def _xyz_to_face_uv(x: np.ndarray, y: np.ndarray, z: np.ndarray):
     face = np.where(comp < 0, face + 3, face)
     u = np.empty_like(x)
     v = np.empty_like(x)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # over= too: discarded lanes (point not on that face) divide by a
+    # near-zero non-largest component; the selected face's ratio is <=1.
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         uv_by_face = [
             (y / x, z / x),      # face 0 (+x)
             (-x / y, z / y),     # face 1 (+y)
