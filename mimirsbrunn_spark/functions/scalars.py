@@ -48,14 +48,18 @@ def i18n_names_from_tags(tags: Column | str, langs: list[str], prefix: str = "na
     """C8 — language-suffixed names from tags filtered by a lang allowlist
     (osm_utils.rs:80-95): ``name:{lang}`` keys → map<lang, value>."""
     t = F.col(tags) if isinstance(tags, str) else tags
-    filtered = F.map_filter(
-        t, lambda k, v: k.startswith(prefix) & F.substring(k, len(prefix) + 1, 10).isin(langs)
-    )
+    start = F.lit(len(prefix) + 1)
+
+    def _suffix(k):
+        # full suffix after the prefix — a fixed-width substring would
+        # silently never match langs longer than the width AND collide
+        # two keys sharing a truncated suffix into duplicate map keys
+        return k.substr(start, F.length(k))
+
+    filtered = F.map_filter(t, lambda k, v: k.startswith(prefix) & _suffix(k).isin(langs))
     entries = F.transform(
         F.map_entries(filtered),
-        lambda e: F.struct(
-            F.substring(e["key"], len(prefix) + 1, 10).alias("k"), e["value"].alias("v")
-        ),
+        lambda e: F.struct(_suffix(e["key"]).alias("k"), e["value"].alias("v")),
     )
     return F.map_from_entries(entries)
 
@@ -79,21 +83,27 @@ def population_weight(tags: Column | str, center_tags: Column | str | None = Non
 
 
 def human_sort_key(s: Column | str) -> Column:
-    """W4 — natural-sort key (stop.rs:168-195 line ordering): zero-pad
-    every digit run to width 10 so lexicographic order == human order
-    ('2' < '10', 'A2' < 'A10')."""
+    """W4 — natural-sort key (stop.rs:168-195 line ordering): every digit
+    run is rewritten so lexicographic order == numeric order for runs of
+    ANY length ('2' < '10', 'A2' < 'A10')."""
     c = F.col(s) if isinstance(s, str) else s
     return _human_sort_key_expr(c)
 
 
 def _human_sort_key_expr(c: Column) -> Column:
-    # split into digit/non-digit runs, zero-pad digit runs, rejoin
+    # split into digit/non-digit runs; each digit run becomes
+    # lpad(len, 4) || digits (leading zeros stripped) — shorter numbers
+    # sort first, equal lengths compare digit-wise, so ordering is pure
+    # numeric value with no width cap (a fixed-width lpad TRUNCATES runs
+    # longer than the pad width, reordering long numeric ids)
+    def _key(part):
+        trimmed = F.regexp_replace(part, "^0+", "")
+        return F.concat(F.lpad(F.length(trimmed).cast("string"), 4, "0"), trimmed)
+
     return F.array_join(
         F.transform(
             F.split(F.lower(c), r"(?<=\D)(?=\d)|(?<=\d)(?=\D)"),
-            lambda part: F.when(
-                part.rlike("^[0-9]+$"), F.lpad(part, 10, "0")
-            ).otherwise(part),
+            lambda part: F.when(part.rlike("^[0-9]+$"), _key(part)).otherwise(part),
         ),
         "",
     )

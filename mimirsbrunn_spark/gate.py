@@ -426,15 +426,9 @@ LANG_GUESS_SQL = f"""
 def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 neighbors for the first 50 vectors —
     sequential fold dot products (bit-identical across engines)."""
+    from .operators.similarity import _cosine_fold
+
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dot = (
-        "aggregate(zip_with(a.embedding, b.embedding,"
-        " (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
-    )
-    norm = (
-        "sqrt(aggregate(transform({side}.embedding,"
-        " x -> cast(x as double) * cast(x as double)), 0D, (acc, v) -> acc + v))"
-    )
     a = e.filter(F.col("vec_id") < 50).alias("a")
     b = e.alias("b")
     pairs = (
@@ -442,10 +436,8 @@ def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("query_vec"),
             F.col("b.vec_id").alias("neighbor_vec"),
-            F.round(
-                F.expr(dot) / (F.expr(norm.format(side="a")) * F.expr(norm.format(side="b"))),
-                6,
-            ).alias("cosine"),
+            # zero-norm-guarded cosine (see operators/similarity._cosine_fold)
+            F.round(F.expr(_cosine_fold("a.embedding", "b.embedding")), 6).alias("cosine"),
         )
     )
     from pyspark.sql import Window
@@ -455,19 +447,23 @@ def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBED_COSINE_SQL = """
-    WITH pairs AS (
+    WITH terms AS (
         SELECT a.vec_id AS query_vec, b.vec_id AS neighbor_vec,
-               round(
-                 list_reduce(list_prepend(0.0::DOUBLE,
-                   list_transform(range(1, len(a.embedding) + 1),
-                     i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), (x, y) -> x + y)
-                 / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-                      list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)), (x, y) -> x + y))
-                    * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-                      list_transform(range(1, len(b.embedding) + 1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), (x, y) -> x + y))),
-                 6) AS cosine
+               list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(range(1, len(a.embedding) + 1),
+                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), (x, y) -> x + y) AS dot,
+               sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)), (x, y) -> x + y)) AS na,
+               sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(range(1, len(b.embedding) + 1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), (x, y) -> x + y)) AS nb
         FROM embeddings a, embeddings b
         WHERE a.vec_id < 50 AND a.vec_id != b.vec_id
+    ),
+    pairs AS (
+        -- zero-norm guard mirrors operators/similarity._cosine_fold
+        SELECT query_vec, neighbor_vec,
+               round(CASE WHEN na * nb = 0 THEN 0.0 ELSE dot / (na * nb) END, 6) AS cosine
+        FROM terms
     ),
     ranked AS (
         SELECT query_vec, neighbor_vec, cosine,

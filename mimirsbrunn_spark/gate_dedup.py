@@ -31,7 +31,7 @@ _DUCK_TOK_IDS = (
     f"list_transform({_DUCK_TOKENS}, tok ->"
     " list_reduce(list_prepend(0::BIGINT,"
     " list_transform(range(1, least(length(tok), 7) + 1),"
-    " i -> ascii(substr(tok, i, 1))::BIGINT)),"
+    " i -> ascii(substr(tok, i, 1))::BIGINT % 256)),"
     f" (a, c) -> a * 256 + c) % {P})"
 )
 
@@ -129,6 +129,7 @@ LSH_PAIRS_SQL = f"""
             WHEN 0 THEN {_duck_band(0)} WHEN 1 THEN {_duck_band(1)}
             WHEN 2 THEN {_duck_band(2)} ELSE {_duck_band(3)} END AS bh
         FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+        WHERE mh[1] < {P}
     )
     SELECT DISTINCT a.pid AS doc_a, b.pid AS doc_b
     FROM buckets a JOIN buckets b USING (band, bh)
@@ -200,6 +201,7 @@ NGRAM_JACCARD_LSH_SQL = f"""
             WHEN 0 THEN {_duck_band(0)} WHEN 1 THEN {_duck_band(1)}
             WHEN 2 THEN {_duck_band(2)} ELSE {_duck_band(3)} END AS bh
         FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+        WHERE mh[1] < {P}
     ),
     cand AS (
         SELECT DISTINCT a.pid AS doc_a, b.pid AS doc_b
@@ -247,6 +249,7 @@ DEDUP_COMPONENTS_SQL = f"""
             WHEN 0 THEN {_duck_band(0)} WHEN 1 THEN {_duck_band(1)}
             WHEN 2 THEN {_duck_band(2)} ELSE {_duck_band(3)} END AS bh
         FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b
+        WHERE mh[1] < {P}
     ),
     cand AS (
         SELECT DISTINCT a.pid AS doc_a, b.pid AS doc_b

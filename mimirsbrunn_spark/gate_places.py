@@ -448,24 +448,12 @@ def _ivf_sql(n_probe: int = 4, k: int = 3):
         f"({c}, [{','.join(repr(float(v)) for v in vec)}]::DOUBLE[])"
         for c, vec in zip(t.column("cluster").to_pylist(), t.column("centroid").to_pylist())
     )
-    cdot = (
-        "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),"
-        " i -> e.embedding[i]::DOUBLE * cb.centroid[i]::DOUBLE)), (x, y) -> x + y)"
-    )
-    cnorm = (
-        "sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),"
-        " i -> cb.centroid[i]::DOUBLE * cb.centroid[i]::DOUBLE)), (x, y) -> x + y))"
-    )
-    enorm = (
-        "sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),"
-        " i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), (x, y) -> x + y))"
-    )
     return f"""
     WITH cb(cluster, centroid) AS (VALUES {rows}),
     scored AS (
       SELECT e.vec_id, cb.cluster, e.embedding,
              row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY {cdot} / ({enorm} * {cnorm}) DESC, cb.cluster ASC) AS rn
+                 ORDER BY {_duck_cosine('e.embedding', 'cb.centroid')} DESC, cb.cluster ASC) AS rn
       FROM embeddings e CROSS JOIN cb
     ),
     assigned AS (SELECT vec_id, cluster, embedding FROM scored WHERE rn = 1),
@@ -480,13 +468,7 @@ def _ivf_sql(n_probe: int = 4, k: int = 3):
     ),
     rescored AS (
         SELECT query_vec, neighbor_vec,
-               round(
-                 list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
-                   i -> qe[i]::DOUBLE * ce[i]::DOUBLE)), (x, y) -> x + y)
-                 / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
-                      i -> qe[i]::DOUBLE * qe[i]::DOUBLE)), (x, y) -> x + y))
-                    * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
-                      i -> ce[i]::DOUBLE * ce[i]::DOUBLE)), (x, y) -> x + y))), 6) AS cosine
+               round({_duck_cosine('qe', 'ce')}, 6) AS cosine
         FROM cand
     ),
     ranked AS (
@@ -520,14 +502,6 @@ def _ann_sql(bits: int = 6, tables: int = 4) -> str:
         f"SELECT vec_id, embedding, {t} AS lsh_table, {_duck_sig(t, bits)} AS sig FROM embeddings"
         for t in range(tables)
     )
-    dot = (
-        "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),"
-        " i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), (x, y) -> x + y)"
-    )
-    norm = (
-        "sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),"
-        " i -> {s}.embedding[i]::DOUBLE * {s}.embedding[i]::DOUBLE)), (x, y) -> x + y))"
-    )
     return f"""
     WITH sigs AS ({sig_rows}),
     cand AS (
@@ -538,13 +512,7 @@ def _ann_sql(bits: int = 6, tables: int = 4) -> str:
     ),
     scored AS (
         SELECT query_vec, neighbor_vec,
-               round(
-                 list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
-                   i -> qe[i]::DOUBLE * ce[i]::DOUBLE)), (x, y) -> x + y)
-                 / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
-                      i -> qe[i]::DOUBLE * qe[i]::DOUBLE)), (x, y) -> x + y))
-                    * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
-                      i -> ce[i]::DOUBLE * ce[i]::DOUBLE)), (x, y) -> x + y))), 6) AS cosine
+               round({_duck_cosine('qe', 'ce')}, 6) AS cosine
         FROM cand
     ),
     ranked AS (
@@ -561,18 +529,14 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: all pairs with cosine >= 0.25 among the
     corpus ∪ noise-free self-copies (vec_id+10000), guaranteeing true
     near-dups exist; the detector is the dedup decision, not top-k."""
-    from .operators.similarity import _dot_fold, _norm_fold
+    from .operators.similarity import _cosine_fold
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     aug = e.select("vec_id", "embedding").unionByName(
         e.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
     )
     a, b = aug.alias("a"), aug.alias("b")
-    cos = F.round(
-        F.expr(_dot_fold("a.embedding", "b.embedding"))
-        / (F.expr(_norm_fold("a.embedding")) * F.expr(_norm_fold("b.embedding"))),
-        6,
-    )
+    cos = F.round(F.expr(_cosine_fold("a.embedding", "b.embedding")), 6)
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -584,14 +548,23 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FOLD_DOT = (
-    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),"
-    " i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), (x, y) -> x + y)"
-)
-_FOLD_NORM_T = (
-    "sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),"
-    " i -> {s}.embedding[i]::DOUBLE * {s}.embedding[i]::DOUBLE)), (x, y) -> x + y))"
-)
+def _duck_cosine(qe: str, ce: str, dim: int = 64) -> str:
+    """Guarded DuckDB cosine mirroring operators/similarity._cosine_fold
+    (zero-norm vectors -> 0.0, never NaN)."""
+    dot = (
+        f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}),"
+        f" i -> {qe}[i]::DOUBLE * {ce}[i]::DOUBLE)), (x, y) -> x + y)"
+    )
+    na = (
+        f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}),"
+        f" i -> {qe}[i]::DOUBLE * {qe}[i]::DOUBLE)), (x, y) -> x + y))"
+    )
+    nb = (
+        f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim + 1}),"
+        f" i -> {ce}[i]::DOUBLE * {ce}[i]::DOUBLE)), (x, y) -> x + y))"
+    )
+    return f"(CASE WHEN {na} * {nb} = 0 THEN 0.0 ELSE {dot} / ({na} * {nb}) END)"
+
 
 EMBED_NEARDUP_SQL = f"""
     WITH aug AS (
@@ -601,7 +574,7 @@ EMBED_NEARDUP_SQL = f"""
     ),
     pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round({_FOLD_DOT} / ({_FOLD_NORM_T.format(s='a')} * {_FOLD_NORM_T.format(s='b')}), 6) AS cosine
+               round({_duck_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
         FROM aug a JOIN aug b ON a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.25
@@ -647,7 +620,7 @@ EMBED_NEARDUP_LSH_SQL = f"""
     ),
     pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round({_FOLD_DOT} / ({_FOLD_NORM_T.format(s='a')} * {_FOLD_NORM_T.format(s='b')}), 6) AS cosine
+               round({_duck_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
         FROM aug a JOIN aug b ON a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.95

@@ -11,8 +11,10 @@ in the hot path — and every hash is exact 64-bit integer arithmetic
 reproducible in DuckDB for the oracle gate (see gate_dedup.py).
 
 Hash design (cross-engine exact):
-- token id  = fold of first 7 ASCII bytes (acc*256 + byte) — < 2^56,
-  then mod P so downstream products fit in int64;
+- token id  = fold of the first 7 chars' codepoints masked to 8 bits
+  (acc*256 + cp%256) — < 2^56 for ANY input (unmasked codepoints up to
+  0x10FFFF would overflow int64 after 7 folds: silent wrap in Spark,
+  an error in DuckDB), then mod P so downstream products fit in int64;
 - shingle3  = (t[i]*961 + t[i+1]*31 + t[i+2]) mod P;
 - minhash_j = min over shingles of (A_j*s + B_j) mod P  (P = 2^31-1);
 - LSH: bands of R consecutive signature slots hashed together; docs
@@ -41,11 +43,11 @@ def tokens_expr(text_col: str = "text") -> str:
 
 
 def token_ids_expr(text_col: str = "text") -> str:
-    """Array of exact token ids: 7-byte pack mod P."""
+    """Array of exact token ids: 7-char pack (codepoints % 256) mod P."""
     return (
         f"transform({tokens_expr(text_col)},"
         " tok -> aggregate(transform(sequence(1, least(length(tok), 7)),"
-        " i -> cast(ascii(substring(tok, i, 1)) as bigint)),"
+        " i -> cast(ascii(substring(tok, i, 1)) as bigint) % 256),"
         f" 0L, (a, c) -> a * 256 + c) % {P})"
     )
 
@@ -98,9 +100,18 @@ def lsh_candidate_pairs(
 
     Output: (doc_a, doc_b) distinct, doc_a < doc_b. The self-join shuffles
     on (band, band_hash) — at corpus scale AQE skew-join splits hot
-    buckets (stop-word-heavy shingle profiles)."""
+    buckets (stop-word-heavy shingle profiles).
+
+    Docs with < 3 tokens have no shingles and therefore no MinHash
+    evidence; they are EXCLUDED from banding (otherwise they all carry
+    the identical sentinel signature [P,...,P], making every short doc a
+    mutual candidate — O(n²) pairs at corpus scale and bogus near-dup
+    components merging unrelated one-liners). A non-empty shingle set
+    always yields minhash < P ((a*s+b)%P < P), so the filter is exact."""
     rows = k // bands
-    sig = with_minhash_signature(df.select(id_col, text_col), text_col, k)
+    sig = with_minhash_signature(df.select(id_col, text_col), text_col, k).filter(
+        F.expr(f"element_at(minhash, 1) < {P}")
+    )
     buckets = sig.select(
         F.col(id_col),
         F.explode(
@@ -241,7 +252,10 @@ def neardup_components(
                 "doc_id",
                 F.least(F.col("component"), F.coalesce("n_min", F.col("component"))).alias("component"),
             )
-            .cache()
+            # eager localCheckpoint: fully materializes THIS generation and
+            # cuts lineage — a lazy cache probed via limit(1) only partially
+            # materializes, so later rounds re-derive the whole label chain
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -267,5 +281,9 @@ def dedup_keep_canonical(
     every doc not in any pair. Anti-join shape: only non-canonical
     members are removed."""
     comps = neardup_components(pairs, doc_a, doc_b)
-    losers = comps.filter(F.col(id_col) != F.col("component")).select(id_col)
+    # comps always exposes (doc_id, component) — realias to the caller's
+    # id_col so the anti-join works for any id column name
+    losers = comps.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
     return docs.join(losers, id_col, "left_anti")

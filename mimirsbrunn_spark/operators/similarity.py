@@ -53,6 +53,16 @@ def _norm_fold(a: str) -> str:
     )
 
 
+def _cosine_fold(a: str, b: str) -> str:
+    """cosine(a, b) with a zero-norm guard: a zero vector has no
+    direction, so its cosine with anything is 0.0. Unguarded, 0/0 = NaN —
+    and both Spark and DuckDB order NaN ABOVE every real number, so a
+    single zero embedding would pass every >= threshold filter and top
+    every ranking."""
+    na, nb = _norm_fold(a), _norm_fold(b)
+    return f"(CASE WHEN {na} * {nb} = 0D THEN 0D ELSE {_dot_fold(a, b)} / ({na} * {nb}) END)"
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -63,11 +73,7 @@ def cosine_topk(
     """Exact cosine top-k: (query_vec, neighbor_vec, cosine, rank)."""
     a = queries.alias("a")
     b = corpus.alias("b")
-    cos = F.round(
-        F.expr(_dot_fold(f"a.{vec_col}", f"b.{vec_col}"))
-        / (F.expr(_norm_fold(f"a.{vec_col}")) * F.expr(_norm_fold(f"b.{vec_col}"))),
-        6,
-    )
+    cos = F.round(F.expr(_cosine_fold(f"a.{vec_col}", f"b.{vec_col}")), 6)
     pairs = a.join(b, F.col(f"a.{id_col}") != F.col(f"b.{id_col}")).select(
         F.col(f"a.{id_col}").alias("query_vec"),
         F.col(f"b.{id_col}").alias("neighbor_vec"),
@@ -136,9 +142,7 @@ def ann_lsh_topk(
         )
         .dropDuplicates(["query_vec", "neighbor_vec"])
     )
-    cos = F.round(
-        F.expr(_dot_fold("qv", "cv")) / (F.expr(_norm_fold("qv")) * F.expr(_norm_fold("cv"))), 6
-    )
+    cos = F.round(F.expr(_cosine_fold("qv", "cv")), 6)
     w = Window.partitionBy("query_vec").orderBy(F.col("cosine").desc(), F.col("neighbor_vec").asc())
     return (
         cand.withColumn("cosine", cos)
@@ -180,9 +184,7 @@ def lsh_neardup_pairs(
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    cos = F.round(
-        F.expr(_dot_fold("qv", "cv")) / (F.expr(_norm_fold("qv")) * F.expr(_norm_fold("cv"))), 6
-    )
+    cos = F.round(F.expr(_cosine_fold("qv", "cv")), 6)
     return (
         cand.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
@@ -251,23 +253,24 @@ def train_ivf_centroids(
 
 
 def embeddings_token(sf_dir: str, vec_col: str = "embedding") -> str:
-    """Content hash of the embeddings table — the codebook cache key.
+    """Stat fingerprint of the embeddings table — the codebook cache key.
 
     Keyed by WHAT was trained on, not by the directory's basename: two
     corpora that happen to share a dir name ('sf0.01' under different
     roots) get distinct codebooks, and re-generated data invalidates the
-    cache automatically (ADVICE r03 #1)."""
+    cache automatically (ADVICE r03 #1). Hashes (name, size, mtime_ns)
+    per part file instead of full content — reading every byte of the
+    table per cache LOOKUP would not survive a 100-TB corpus; any rewrite
+    bumps mtime, which is the invalidation signal that matters."""
     import hashlib
     from pathlib import Path
 
     h = hashlib.sha256()
     src = Path(sf_dir) / "embeddings.parquet"
-    if src.is_file():
-        h.update(src.read_bytes())
-    else:  # directory-style parquet: hash part files in name order
-        for part in sorted(src.glob("*.parquet")):
-            h.update(part.name.encode())
-            h.update(part.read_bytes())
+    parts = [src] if src.is_file() else sorted(src.glob("*.parquet"))
+    for part in parts:
+        st = part.stat()
+        h.update(f"{part.name}:{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()[:12]
 
 
@@ -351,9 +354,7 @@ def _nearest_clusters(
     identical fold, so the comparison is bit-identical."""
     a = df.alias("a")
     c = F.broadcast(codebook).alias("c")
-    cos = F.expr(_dot_fold(f"a.{vec_col}", "c.centroid")) / (
-        F.expr(_norm_fold(f"a.{vec_col}")) * F.expr(_norm_fold("c.centroid"))
-    )
+    cos = F.expr(_cosine_fold(f"a.{vec_col}", "c.centroid"))
     w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cluster").asc())
     return (
         a.crossJoin(c)
@@ -396,9 +397,7 @@ def ivf_topk_codebook(
             F.col(f"b.{vec_col}").alias("cv"),
         )
     )
-    cos = F.round(
-        F.expr(_dot_fold("qv", "cv")) / (F.expr(_norm_fold("qv")) * F.expr(_norm_fold("cv"))), 6
-    )
+    cos = F.round(F.expr(_cosine_fold("qv", "cv")), 6)
     w = Window.partitionBy("query_vec").orderBy(F.col("cosine").desc(), F.col("neighbor_vec").asc())
     return (
         cand.withColumn("cosine", cos)
@@ -458,9 +457,7 @@ def ivf_topk(
             F.col(f"b.{vec_col}").alias("cv"),
         )
     )
-    cos = F.round(
-        F.expr(_dot_fold("qv", "cv")) / (F.expr(_norm_fold("qv")) * F.expr(_norm_fold("cv"))), 6
-    )
+    cos = F.round(F.expr(_cosine_fold("qv", "cv")), 6)
     w = Window.partitionBy("query_vec").orderBy(F.col("cosine").desc(), F.col("neighbor_vec").asc())
     return (
         cand.withColumn("cosine", cos)

@@ -8,7 +8,7 @@ Our engine checkpoints every stage:
 
 - each stage writes its output parquet to ``{root}/{stage}/data`` and,
   on success, a ``manifest.json`` carrying the *input fingerprint*
-  (hash of input paths/sizes + a stage-version salt), row count, wall
+  (hash of input paths/sizes/mtimes + a stage-version salt), row count, wall
   time, and per-partition (per-output-file) row counts — the lineage
   record;
 - a rerun recomputes the fingerprint; on match it returns the
@@ -37,18 +37,24 @@ from pyspark.sql import functions as F
 
 
 def _input_fingerprint(spark: SparkSession, inputs: list[str], salt: str = "") -> str:
-    """Deterministic hash of input file listings (path, size) + salt.
-    Cheap (driver-side listing), content-sensitive via sizes."""
+    """Deterministic hash of input file listings (path, size, mtime_ns)
+    + salt. Cheap (driver-side listing, no data read); mtime makes a
+    same-size rewrite invalidate the checkpoint — (path, size) alone
+    would silently resume over changed data."""
     h = hashlib.sha256()
     h.update(salt.encode())
+
+    def _stamp(name, st):
+        h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+
     for path in sorted(inputs):
         p = Path(path)
         if p.is_dir():
             for f in sorted(p.rglob("*")):
                 if f.is_file() and not f.name.startswith(("_", ".")):
-                    h.update(f"{f.relative_to(p)}:{f.stat().st_size}".encode())
+                    _stamp(f.relative_to(p), f.stat())
         elif p.is_file():
-            h.update(f"{p.name}:{p.stat().st_size}".encode())
+            _stamp(p.name, p.stat())
     return h.hexdigest()
 
 
@@ -115,6 +121,12 @@ def run_stage(
     ]
     n_rows = sum(p["rows"] for p in per_file)
 
+    # drop the OLD manifest before touching data: a crash after the data
+    # swap but before the new manifest write must leave NO manifest (rerun
+    # recomputes) — leaving the stale one could false-resume over the new
+    # data if the inputs are later reverted to the old fingerprint
+    if manifest_path.exists():
+        manifest_path.unlink()
     if data_dir.exists():
         shutil.rmtree(data_dir)
     os.rename(tmp, data_dir)
