@@ -106,11 +106,23 @@ def lsh_candidate_pairs(
     evidence; they are EXCLUDED from banding (otherwise they all carry
     the identical sentinel signature [P,...,P], making every short doc a
     mutual candidate — O(n²) pairs at corpus scale and bogus near-dup
-    components merging unrelated one-liners). A non-empty shingle set
-    always yields minhash < P ((a*s+b)%P < P), so the filter is exact."""
+    components merging unrelated one-liners). The exclusion is expressed
+    as a TOKEN-COUNT predicate, not a signature-sentinel one: the two are
+    equivalent (< 3 tokens ⇔ empty shingles ⇔ minhash[1] = P, since a
+    non-empty shingle set always yields (a*s+b)%P < P), but a filter on
+    the derived `minhash` column gets predicate-pushed below the
+    signature Projects with the WHOLE 16-aggregate array inlined into the
+    predicate (element_at-on-array is not extract-simplified), costing
+    ~16 full tokenize+shingle+minhash chains per row per join side —
+    measured as a 300× wall blowup at sf0.1. The token-count predicate
+    pushes to the scan as one cheap tokenize pass. The DuckDB oracle
+    (gate_dedup.py) keeps the `mh[1] < P` spelling over its materialized
+    CTE, where it is equally cheap and provably equivalent."""
     rows = k // bands
-    sig = with_minhash_signature(df.select(id_col, text_col), text_col, k).filter(
-        F.expr(f"element_at(minhash, 1) < {P}")
+    sig = with_minhash_signature(
+        df.select(id_col, text_col).filter(F.expr(f"size({tokens_expr(text_col)}) >= 3")),
+        text_col,
+        k,
     )
     buckets = sig.select(
         F.col(id_col),
