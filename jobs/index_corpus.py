@@ -136,7 +136,7 @@ def main(argv=None) -> None:
     # text spans; survivors pass through byte-identical (gate-checked
     # below), the dropped count is the stage's reported effect
     if args.quality_filter == "gopher":
-        from mimirsbrunn_spark.operators.textprep import gopher_quality_flags
+        from mimirsbrunn_spark.operators.textprep import gopher_pass_predicate
 
         def _gopher(src):
             doc_text = F.concat_ws(
@@ -146,13 +146,17 @@ def main(argv=None) -> None:
                     lambda s: s["text"],
                 ),
             )
-            flags = gopher_quality_flags(
-                src.withColumn("text", doc_text),
-                min_words=args.gopher_min_words,
-                min_stop_words=args.gopher_min_stop,
+            # direct predicate filter — no flags projection, no left-semi
+            # join back on doc_id (a full shuffle of both sides at corpus
+            # scale); row set pinned equal to the flags-table spelling by
+            # test_gopher_rules.test_predicate_equals_flags_filter
+            return src.filter(
+                gopher_pass_predicate(
+                    doc_text,
+                    min_words=args.gopher_min_words,
+                    min_stop_words=args.gopher_min_stop,
+                )
             )
-            keep = flags.filter(F.col("gopher_pass")).select("doc_id")
-            return src.join(keep, "doc_id", "left_semi")
 
         pre = corpus
         corpus = run_stage(

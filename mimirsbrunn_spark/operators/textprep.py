@@ -197,58 +197,104 @@ def gopher_quality_flags(
     divisions; the per-doc HOFs run inside whole-stage codegen with no
     shuffle — the shape that survives a 100-TB corpus unchanged."""
     text = F.col(text_col)
-    words = F.split(F.trim(text), r"\s+")
+    c = _gopher_counts(text, F.split(F.trim(text), r"\s+"), F.split(text, "\n"))
+    return docs.select(
+        "doc_id",
+        c["n_words"].alias("n_words"),
+        c["total_wl"].alias("total_word_len"),
+        c["n_sym"].alias("n_sym"),
+        c["n_alpha"].alias("n_alpha_words"),
+        c["n_lines"].alias("n_lines"),
+        c["n_bullet"].alias("n_bullet_lines"),
+        c["n_ellipsis"].alias("n_ellipsis_lines"),
+        c["n_stop"].alias("n_stop_words"),
+        ((c["n_words"] >= min_words) & (c["n_words"] <= max_words)).alias("ok_word_count"),
+        ((c["total_wl"] >= 3 * c["n_words"]) & (c["total_wl"] <= 10 * c["n_words"])).alias("ok_mean_word_len"),
+        (10 * c["n_sym"] < F.greatest(c["n_words"], F.lit(1))).alias("ok_symbol_ratio"),
+        (10 * c["n_bullet"] <= 9 * c["n_lines"]).alias("ok_bullet_lines"),
+        (10 * c["n_ellipsis"] <= 3 * c["n_lines"]).alias("ok_ellipsis_lines"),
+        (5 * c["n_alpha"] >= 4 * c["n_words"]).alias("ok_alpha_words"),
+        (c["n_stop"] >= min_stop_words).alias("ok_stop_words"),
+        _gopher_conj(c, min_words, max_words, min_stop_words).alias("gopher_pass"),
+    )
+
+
+def _gopher_counts(text, words, lines) -> dict:
+    """The Gopher count expressions over caller-supplied ``words``/
+    ``lines`` array Columns (either the raw split expressions, or
+    lambda-bound copies — see gopher_pass_predicate). Single source of
+    truth so the flags table and the filter predicate cannot drift."""
     # null-safe: a NULL text must count as empty, not leak NULL through
     # the guard (size(split(NULL)) is -1, regexp_count(NULL) is NULL —
     # a null-text doc would otherwise emit n_words=-1 and
     # ok_bullet_lines=true instead of empty-doc zeros)
     empty = text.isNull() | (F.length(F.trim(text)) == 0)
-    n_words = F.when(empty, F.lit(0)).otherwise(F.size(words)).cast("long")
-    total_wl = F.when(empty, F.lit(0)).otherwise(
-        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
-    ).cast("long")
-    n_sym = F.when(empty, F.lit(0)).otherwise(
-        F.regexp_count(text, F.lit(r"#|\.\.\."))
-    ).cast("long")
-    n_alpha = F.when(empty, F.lit(0)).otherwise(
-        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    ).cast("long")
-    lines = F.split(text, "\n")
-    n_lines = F.when(empty, F.lit(0)).otherwise(F.size(lines)).cast("long")
-    n_bullet = F.when(empty, F.lit(0)).otherwise(
-        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
-    ).cast("long")
-    n_ellipsis = F.when(empty, F.lit(0)).otherwise(
-        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$")))
-    ).cast("long")
     stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS])
-    n_stop = F.when(empty, F.lit(0)).otherwise(
-        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
-    ).cast("long")
-    return docs.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        total_wl.alias("total_word_len"),
-        n_sym.alias("n_sym"),
-        n_alpha.alias("n_alpha_words"),
-        n_lines.alias("n_lines"),
-        n_bullet.alias("n_bullet_lines"),
-        n_ellipsis.alias("n_ellipsis_lines"),
-        n_stop.alias("n_stop_words"),
-        ((n_words >= min_words) & (n_words <= max_words)).alias("ok_word_count"),
-        ((total_wl >= 3 * n_words) & (total_wl <= 10 * n_words)).alias("ok_mean_word_len"),
-        (10 * n_sym < F.greatest(n_words, F.lit(1))).alias("ok_symbol_ratio"),
-        (10 * n_bullet <= 9 * n_lines).alias("ok_bullet_lines"),
-        (10 * n_ellipsis <= 3 * n_lines).alias("ok_ellipsis_lines"),
-        (5 * n_alpha >= 4 * n_words).alias("ok_alpha_words"),
-        (n_stop >= min_stop_words).alias("ok_stop_words"),
-        (
-            (n_words >= min_words) & (n_words <= max_words)
-            & (total_wl >= 3 * n_words) & (total_wl <= 10 * n_words)
-            & (10 * n_sym < F.greatest(n_words, F.lit(1)))
-            & (10 * n_bullet <= 9 * n_lines)
-            & (10 * n_ellipsis <= 3 * n_lines)
-            & (5 * n_alpha >= 4 * n_words)
-            & (n_stop >= min_stop_words)
-        ).alias("gopher_pass"),
+
+    def _guard(col):
+        return F.when(empty, F.lit(0)).otherwise(col).cast("long")
+
+    return {
+        "n_words": _guard(F.size(words)),
+        "total_wl": _guard(F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))),
+        "n_sym": _guard(F.regexp_count(text, F.lit(r"#|\.\.\."))),
+        "n_alpha": _guard(F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))),
+        "n_lines": _guard(F.size(lines)),
+        "n_bullet": _guard(F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))),
+        "n_ellipsis": _guard(F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$")))),
+        "n_stop": _guard(F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))),
+    }
+
+
+def _gopher_conj(c: dict, min_words: int, max_words: int, min_stop_words: int):
+    return (
+        (c["n_words"] >= min_words) & (c["n_words"] <= max_words)
+        & (c["total_wl"] >= 3 * c["n_words"]) & (c["total_wl"] <= 10 * c["n_words"])
+        & (10 * c["n_sym"] < F.greatest(c["n_words"], F.lit(1)))
+        & (10 * c["n_bullet"] <= 9 * c["n_lines"])
+        & (10 * c["n_ellipsis"] <= 3 * c["n_lines"])
+        & (5 * c["n_alpha"] >= 4 * c["n_words"])
+        & (c["n_stop"] >= min_stop_words)
+    )
+
+
+def gopher_pass_predicate(
+    text,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop_words: int = 2,
+):
+    """``gopher_pass`` as ONE boolean Column over a text expression — the
+    shape the production doc-dropping stage wants (equal row set to
+    ``gopher_quality_flags(...).filter("gopher_pass")``, pinned by test).
+
+    Two scale properties the flags-table + join spelling lacks:
+
+    - **No self-join.** Filtering the corpus directly replaces the
+      flags-projection + left-semi join back on doc_id — at corpus scale
+      that join is a full shuffle of BOTH sides purely to re-associate
+      rows that never left their partitions.
+    - **Counts bound once per row.** The word/line arrays are bound as a
+      lambda variable (``exists`` over a one-element struct array), so
+      however Catalyst moves or substitutes this predicate (filter
+      pushdown inlines derived columns into the pushed predicate — the
+      q6 LSH lesson, see operators/dedup.lsh_candidate_pairs), the
+      tokenize/line-split runs once and each count scans the bound
+      array once. Interpreted HOF predicates get no codegen
+      subexpression elimination, so unshared spellings pay one full
+      text scan per count reference (~6× for n_words alone).
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    bound = F.array(
+        F.struct(
+            F.split(F.trim(text), r"\s+").alias("words"),
+            F.split(text, "\n").alias("lines"),
+        )
+    )
+    return F.exists(
+        bound,
+        lambda b: _gopher_conj(
+            _gopher_counts(text, b["words"], b["lines"]),
+            min_words, max_words, min_stop_words,
+        ),
     )

@@ -73,3 +73,67 @@ def test_null_and_blank_text_count_as_empty(spark):
         assert f[d]["n_sym"] == 0 and f[d]["n_bullet_lines"] == 0
         assert f[d]["gopher_pass"] is False  # fails ok_word_count
     assert f["d2"]["gopher_pass"] is True
+
+
+def test_predicate_equals_flags_filter(spark):
+    """gopher_pass_predicate (the production job's direct filter — no
+    flags projection, no left-semi join) must keep EXACTLY the rows
+    gopher_quality_flags(...).filter('gopher_pass') keeps, across every
+    rule's trigger and the empty/null edges, at min_words thresholds
+    including 0 (where EMPTY docs legitimately pass — a predicate that
+    short-circuits on empties would silently diverge there)."""
+    from pyspark.sql import functions as F
+
+    from mimirsbrunn_spark.operators.textprep import gopher_pass_predicate
+
+    texts = [
+        None,                     # null text
+        "",                       # empty
+        "     ",                  # space-only (empty path)
+        "\n",                     # newline-only (NOT empty; engines agree)
+        GOOD,                     # passes everything
+        "short doc only",         # fails word count at default threshold
+        "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j",  # all-bullet
+        "the be to of and that have with " * 10,             # stop-heavy
+        "zz qq xx vv " * 30,                                 # no stop words
+        "### ... ### ... " + GOOD,                           # symbol-heavy
+        ("supercalifragilisticexpialidocious " * 60).strip(),  # long words
+        "1 2 3 4 5 6 7 8 9 10 " * 10,                        # non-alpha words
+        GOOD + "\nends with...\nalso ends with...\nplain line",
+    ]
+    df = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    for kw in (
+        {},
+        {"min_words": 0, "min_stop_words": 0},
+        {"min_words": 3, "min_stop_words": 0},
+        {"min_words": 5, "max_words": 8, "min_stop_words": 1},
+    ):
+        via_flags = {
+            r["doc_id"]
+            for r in gopher_quality_flags(df, **kw).filter("gopher_pass").collect()
+        }
+        via_pred = {
+            r["doc_id"]
+            for r in df.filter(gopher_pass_predicate(F.col("text"), **kw)).collect()
+        }
+        assert via_pred == via_flags, (kw, via_pred ^ via_flags)
+
+
+def test_predicate_filter_plan_has_no_join(spark):
+    """The production doc-dropping stage must be a pure Filter over the
+    scan — the point of the predicate spelling is eliminating the
+    left-semi shuffle join back on doc_id."""
+    from pyspark.sql import functions as F
+
+    from mimirsbrunn_spark.operators.textprep import gopher_pass_predicate
+
+    df = spark.createDataFrame([("d0", GOOD)], "doc_id string, text string")
+    plan = (
+        df.filter(gopher_pass_predicate(F.col("text"), min_words=3))
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Join" not in plan
+    # the words/lines arrays appear once, lambda-bound — not once per count
+    assert plan.count("split(trim(") == 1
