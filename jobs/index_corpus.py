@@ -199,19 +199,25 @@ def main(argv=None) -> None:
     # EXPECTED, reported effect otherwise.
     source_docs = read_table(spark, args.docs, fmt=args.fmt)
     n_dropped = 0
-    if args.quality_filter != "none":
-        # a filtering stage legitimately removes docs: gate structure on
-        # the SURVIVORS, report the dropped count as the stage's effect
-        n_source = source_docs.count()
-        source_docs = source_docs.join(corpus.select("doc_id"), "doc_id", "left_semi")
-        n_dropped = n_source - source_docs.count()
-    struct_violations = span_structure_violations(source_docs, corpus)
+    allow_drops = args.quality_filter != "none"
+    if allow_drops:
+        # a filtering stage legitimately removes docs: the fingerprint
+        # gates tolerate before-only rows (allow_missing_after) instead
+        # of pre-aligning the WIDE source table to survivors with a
+        # full-corpus semi-join — stages only drop, never add, so the
+        # drop count is the count difference
+        n_dropped = source_docs.count() - corpus.count()
+    struct_violations = span_structure_violations(
+        source_docs, corpus, allow_missing_after=allow_drops
+    )
     if struct_violations:
         raise SystemExit(
             f"span-STRUCTURE invariant violated for {struct_violations} docs "
             "(span dropped/reordered/retyped); aborting publish"
         )
-    text_changed = span_invariant_violations(source_docs, corpus)
+    text_changed = span_invariant_violations(
+        source_docs, corpus, allow_missing_after=allow_drops
+    )
     if args.text_prep == "none" and text_changed:
         raise SystemExit(
             f"span-sequence invariant violated for {text_changed} docs; aborting publish"

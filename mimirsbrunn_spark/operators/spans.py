@@ -173,25 +173,43 @@ def span_structure_fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", fp.alias("span_sfp"))
 
 
-def _fp_violations(a: DataFrame, b: DataFrame, col: str) -> int:
+def _fp_violations(
+    a: DataFrame, b: DataFrame, col: str, allow_missing_after: bool = False
+) -> int:
+    """Full-outer fingerprint compare. ``allow_missing_after=True`` lets a
+    doc-DROPPING stage pass its expected drops (before-only rows) while
+    still flagging invented docs (after-only) and changed fingerprints —
+    so the caller never needs to pre-align the WIDE before-table to the
+    survivors with a full-corpus semi-join; the only join in the gate is
+    this one, over two narrow (doc_id, fingerprint) projections."""
     joined = a.alias("a").join(b.alias("b"), "doc_id", "full")
-    return joined.filter(
-        F.col(f"a.{col}").isNull()
-        | F.col(f"b.{col}").isNull()
-        | (F.col(f"a.{col}") != F.col(f"b.{col}"))
-    ).count()
+    cond = F.col(f"a.{col}").isNull() | (
+        F.col(f"b.{col}").isNotNull() & (F.col(f"a.{col}") != F.col(f"b.{col}"))
+    )
+    if not allow_missing_after:
+        cond = cond | F.col(f"b.{col}").isNull()
+    return joined.filter(cond).count()
 
 
-def span_invariant_violations(before: DataFrame, after: DataFrame) -> int:
+def span_invariant_violations(
+    before: DataFrame, after: DataFrame, allow_missing_after: bool = False
+) -> int:
     """Count docs whose exact span sequence (text included) changed."""
-    return _fp_violations(span_fingerprint(before), span_fingerprint(after), "span_fp")
+    return _fp_violations(
+        span_fingerprint(before), span_fingerprint(after), "span_fp", allow_missing_after
+    )
 
 
-def span_structure_violations(before: DataFrame, after: DataFrame) -> int:
+def span_structure_violations(
+    before: DataFrame, after: DataFrame, allow_missing_after: bool = False
+) -> int:
     """Count docs whose span STRUCTURE (kind, media_ref, offset, order)
     changed — the gate for doc-rewriting stages."""
     return _fp_violations(
-        span_structure_fingerprint(before), span_structure_fingerprint(after), "span_sfp"
+        span_structure_fingerprint(before),
+        span_structure_fingerprint(after),
+        "span_sfp",
+        allow_missing_after,
     )
 
 

@@ -161,3 +161,45 @@ def test_job_gopher_filter_end_to_end(spark, pii_docs, fixtures_dir, tmp_path):
     report2 = json.loads((Path(out2) / "run_report.json").read_text())
     assert report2["docs_dropped_by_quality"] == n_docs
     assert report2["points"] == 0
+
+
+def test_allow_missing_after_tolerates_drops_only(spark, fixtures_dir):
+    """allow_missing_after lets a doc-DROPPING stage pass its expected
+    drops without the job pre-aligning the wide source table to the
+    survivors via a full-corpus semi-join — but it must still flag
+    invented docs (after-only) and changed span sequences."""
+    docs = spark.read.parquet(f"{fixtures_dir}/docs.parquet")
+    n = docs.count()
+    survivors = docs.filter(F.abs(F.xxhash64("doc_id")) % 3 == 0)
+    n_drop = n - survivors.count()
+    assert n_drop > 0
+
+    # drops: counted strictly, ignored when allowed
+    assert span_structure_violations(docs, survivors) == n_drop
+    assert span_structure_violations(docs, survivors, allow_missing_after=True) == 0
+    assert span_invariant_violations(docs, survivors, allow_missing_after=True) == 0
+
+    # an invented doc is a violation in BOTH modes
+    invented = survivors.unionByName(
+        survivors.limit(1).withColumn("doc_id", F.concat(F.col("doc_id"), F.lit(":invented")))
+    )
+    assert span_structure_violations(docs, invented, allow_missing_after=True) == 1
+
+    # a rewritten survivor still trips the text-sequence gate
+    rewritten = survivors.withColumn(
+        "spans",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.concat(s["text"], F.lit("!")).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ),
+    )
+    assert span_invariant_violations(
+        docs, rewritten, allow_missing_after=True
+    ) == survivors.count()
+    # ...but not the structure gate (text is not structural)
+    assert span_structure_violations(docs, rewritten, allow_missing_after=True) == 0
