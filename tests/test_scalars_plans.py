@@ -281,3 +281,29 @@ def test_knn_over_pole_and_no_duplicate_pairs(spark):
     assert dup == 0
     # every one of the 400 ring targets is within 5 km of the pole query
     assert r.count() == 400
+
+
+def test_lsh_pairs_plan_computes_signature_once_per_side(spark):
+    """Regression pin for the sentinel-filter blowup (commit 75fb212): a
+    filter on the derived minhash column gets predicate-pushed below the
+    signature Projects with the whole k-aggregate array inlined into the
+    predicate (~16 full tokenize+shingle+minhash chains per row per join
+    side — a 300x wall regression at sf0.1 that gate scale never sees).
+    The optimized plan must keep exactly one minhash-aggregate Project
+    per join side and no signature arithmetic inside any Filter."""
+    from mimirsbrunn_spark.operators.dedup import lsh_candidate_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x"), (3, None)], "pid long, text string"
+    )
+    plan = (
+        lsh_candidate_pairs(df, id_col="pid")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # 16 signature slots x 2 join sides; the shingle transform inlines a
+    # token-id aggregate per side; anything near the pre-fix 226 means
+    # the predicate is re-inlining the signature chain
+    assert plan.count("aggregate(") <= 40, plan.count("aggregate(")
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "aggregate(" not in line, line[:200]
