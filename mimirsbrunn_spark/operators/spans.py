@@ -68,9 +68,15 @@ def extract_geo_points_arrow(docs: DataFrame) -> DataFrame:
     '{lon};{lat}' parse, ``pd.to_numeric(errors="coerce")`` (vectorized
     C, NULL-on-malformed like Catalyst try_cast) for the coercion — with
     no per-row Python anywhere (BASELINE.json input_hint). Parse
-    semantics match ``extract_geo_points`` exactly, including the edge
-    the Catalyst split implies: 'a;b;c' parses as (a, b); text without
-    ';' is dropped."""
+    semantics match ``extract_geo_points`` on the standard decimal /
+    scientific numeric dialect (the language the `geo_points_arrow`
+    gate pins cross-engine), including the edge the Catalyst split
+    implies: 'a;b;c' parses as (a, b); text without ';' is dropped.
+    The paths diverge only on engine-specific numeric-literal
+    extensions: Catalyst try_cast inherits Java's Double.parseDouble
+    (trailing 'd'/'f' suffixes, hex floats like '0x1.8p1' parse there
+    but are NULL here), while pandas' coercion inherits Python float
+    ('1_000' underscore separators parse here but are NULL there)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
