@@ -31,8 +31,10 @@ def media_points(docs: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             s["offset"].alias("geo_offset"),
-            F.split(s["text"], ";").getItem(0).try_cast("double").alias("lon"),
-            F.split(s["text"], ";").getItem(1).try_cast("double").alias("lat"),
+            # F.get, not getItem: ANSI getItem(1) throws on a 1-element
+            # split (no-';' text) — see operators/spans.extract_geo_points
+            F.get(F.split(s["text"], ";"), 0).try_cast("double").alias("lon"),
+            F.get(F.split(s["text"], ";"), 1).try_cast("double").alias("lat"),
         )
         .filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
     )

@@ -21,10 +21,6 @@ Both *read* spans without mutating them — the span-sequence invariant
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -47,9 +43,16 @@ def extract_geo_points(docs: DataFrame) -> DataFrame:
             "doc_id",
             s["offset"].alias("span_offset"),
             # try_cast: malformed coordinates become NULL and are dropped
-            # (ANSI mode would otherwise fail the job on one bad row)
-            parts.getItem(0).try_cast("double").alias("lon"),
-            parts.getItem(1).try_cast("double").alias("lat"),
+            # (ANSI mode would otherwise fail the job on one bad row).
+            # F.get, not getItem: under ANSI, getItem(1) THROWS
+            # INVALID_ARRAY_INDEX when the text has no ';' (1-element
+            # split) — and the crash hides behind filter short-circuit
+            # order, so it only fires when element 0 try_casts to a
+            # NUMBER (e.g. text "3.5"): lon.isNotNull() passes and lat
+            # is then evaluated. get() returns NULL out-of-bounds, so
+            # such rows are dropped like every other malformed coord.
+            F.get(parts, 0).try_cast("double").alias("lon"),
+            F.get(parts, 1).try_cast("double").alias("lat"),
         )
         .filter(
             F.col("lon").isNotNull()
@@ -65,20 +68,37 @@ def extract_geo_points_arrow(docs: DataFrame) -> DataFrame:
 
     Every step is a whole-batch kernel — ``list_parent_indices`` /
     ``list_flatten`` for the explode, ``extract_regex`` for the
-    '{lon};{lat}' parse, ``pd.to_numeric(errors="coerce")`` (vectorized
-    C, NULL-on-malformed like Catalyst try_cast) for the coercion — with
-    no per-row Python anywhere (BASELINE.json input_hint). Parse
-    semantics match ``extract_geo_points`` on the standard decimal /
-    scientific numeric dialect (the language the `geo_points_arrow`
-    gate pins cross-engine), including the edge the Catalyst split
-    implies: 'a;b;c' parses as (a, b); text without ';' is dropped.
-    The paths diverge only on engine-specific numeric-literal
-    extensions: Catalyst try_cast inherits Java's Double.parseDouble
-    (trailing 'd'/'f' suffixes, hex floats like '0x1.8p1' parse there
-    but are NULL here), while pandas' coercion inherits Python float
-    ('1_000' underscore separators parse here but are NULL there)."""
+    '{lon};{lat}' parse, and Java-trim → dialect-regex gate →
+    ``pc.cast(float64)`` for the numeric coercion — with no per-row
+    Python anywhere (BASELINE.json input_hint). Parse semantics match
+    ``extract_geo_points`` BIT-EXACTLY on the standard decimal /
+    scientific dialect, including the edge the Catalyst split implies:
+    'a;b;c' parses as (a, b); text without ';' is dropped. Bit-exact
+    because both sides are correctly-rounded parsers (Java
+    Double.parseDouble / Arrow fast_float) — pandas' ``to_numeric``
+    (precise_xstrtod) is NOT correctly rounded and drifts 1 ULP on
+    ~17-significant-digit literals, which is why the coercion is
+    Arrow-native rather than pandas (caught by the randomized sweep in
+    tests/test_span_extract_property.py). The explicit regex gate
+    defines the shared dialect: engine-only extensions Java would
+    accept (trailing 'd'/'f' suffixes, hex floats like '0x1.8p1',
+    'Infinity'/'NaN' spellings) parse in the Catalyst path but are
+    NULL here — of those, only suffixed/hex FINITE in-range literals
+    can actually diverge post-filter, since ±Infinity/NaN rows fail
+    the coordinate range filter on both paths."""
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    # Java String.trim semantics (Catalyst trims before parseDouble):
+    # strip chars <= U+0020 from both ends — NOT unicode whitespace
+    java_ws = "".join(chr(c) for c in range(0x21))
+    # the shared numeric dialect both engines parse identically
+    num_re = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
+
+    def parse_double(col: "pa.Array") -> "pa.Array":
+        t = pc.utf8_trim(col, characters=java_ws)
+        valid = pc.fill_null(pc.match_substring_regex(t, num_re), False)
+        return pc.cast(pc.if_else(valid, t, pa.scalar(None, pa.string())), pa.float64())
 
     out_schema = pa.schema(
         [
@@ -109,22 +129,21 @@ def extract_geo_points_arrow(docs: DataFrame) -> DataFrame:
             # split-then-element-0/1 semantics: each group stops at the
             # next ';', so 'a;b;c' → (a, b); no ';' → no match → NULL
             m = pc.extract_regex(text, r"^(?P<lon>[^;]*);(?P<lat>[^;]*)")
-            lon = pd.to_numeric(
-                pc.struct_field(m, "lon").to_pandas(), errors="coerce"
-            ).to_numpy(dtype=np.float64)
-            lat = pd.to_numeric(
-                pc.struct_field(m, "lat").to_pandas(), errors="coerce"
-            ).to_numpy(dtype=np.float64)
-            ok = (lon >= -180.0) & (lon <= 180.0) & (lat >= -90.0) & (lat <= 90.0)
-            if not ok.any():
+            lon = parse_double(pc.struct_field(m, "lon"))
+            lat = parse_double(pc.struct_field(m, "lat"))
+            ok = pc.and_(
+                pc.and_(pc.greater_equal(lon, -180.0), pc.less_equal(lon, 180.0)),
+                pc.and_(pc.greater_equal(lat, -90.0), pc.less_equal(lat, 90.0)),
+            )
+            mask = pc.fill_null(ok, False)
+            if not pc.any(mask).as_py():
                 continue
-            mask = pa.array(ok)
             yield pa.RecordBatch.from_arrays(
                 [
                     pc.cast(pc.filter(doc_id, mask), pa.string()),
                     pc.cast(pc.filter(offset, mask), pa.int32()),
-                    pa.array(lon[ok], type=pa.float64()),
-                    pa.array(lat[ok], type=pa.float64()),
+                    pc.filter(lon, mask),
+                    pc.filter(lat, mask),
                 ],
                 schema=out_schema,
             )

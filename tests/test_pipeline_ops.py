@@ -888,6 +888,10 @@ def test_extract_geo_points_arrow_matches_catalyst(spark):
             {"kind": "geo", "text": "abc;10.0", "media_ref": "", "offset": 3},
             {"kind": "geo", "text": ";", "media_ref": "", "offset": 4},
             {"kind": "geo", "text": " 3.5 ;4", "media_ref": "", "offset": 5},
+            # NUMERIC text without ';': the ANSI getItem(1) crash vector
+            # (filter short-circuit only reaches lat when lon parses) —
+            # must be silently dropped, not a job abort
+            {"kind": "geo", "text": "3.5", "media_ref": "", "offset": 6},
         ]),
         ("d3", [{"kind": "text", "text": "hello", "media_ref": "", "offset": 0}]),
         ("d4", []),
