@@ -162,7 +162,10 @@ def main(argv=None) -> None:
         corpus = run_stage(
             spark, ckpt, "quality_filter_gopher", [args.docs],
             lambda: _gopher(pre),
-            version=f"v1:{args.text_prep}:minw{args.gopher_min_words}:mins{args.gopher_min_stop}",
+            # v2: CRLF-aware gopher line split + ANSI-safe geo extraction
+            # changed stage outputs on edge inputs — stale v1 checkpoints
+            # must not be resumed
+            version=f"v2:{args.text_prep}:minw{args.gopher_min_words}:mins{args.gopher_min_stop}",
         )
 
     points = run_stage(
@@ -170,7 +173,7 @@ def main(argv=None) -> None:
         lambda: with_grid_cells(extract_geo_points(corpus), "lon", "lat", args.res).withColumn(
             "s2_cell", s2_cell_pandas_udf(16)(F.col("lon"), F.col("lat"))
         ),
-        version=f"v1:{args.text_prep}:{args.quality_filter}{args.gopher_min_words}:{args.gopher_min_stop}",
+        version=f"v2:{args.text_prep}:{args.quality_filter}{args.gopher_min_words}:{args.gopher_min_stop}",
     )
 
     # version salt mirrors extract_points: attach_admins consumes the
@@ -182,13 +185,13 @@ def main(argv=None) -> None:
             points.withColumn("point_uid", F.concat_ws("#", "doc_id", "span_offset")),
             admins, strategy=args.strategy,
         ),
-        version=f"v1:{args.text_prep}:{args.quality_filter}{args.gopher_min_words}:{args.gopher_min_stop}:st{args.simplify_tolerance}",
+        version=f"v2:{args.text_prep}:{args.quality_filter}{args.gopher_min_words}:{args.gopher_min_stop}:st{args.simplify_tolerance}",
     )
 
     cov = run_stage(
         spark, ckpt, "coverage", [args.docs, args.admins],
         lambda: coverage_stats(corpus, admins, res=args.res[0]),
-        version=f"v1:{args.text_prep}:{args.quality_filter}{args.gopher_min_words}:{args.gopher_min_stop}:st{args.simplify_tolerance}",
+        version=f"v2:{args.text_prep}:{args.quality_filter}{args.gopher_min_words}:{args.gopher_min_stop}:st{args.simplify_tolerance}",
     )
 
     # invariant gates before publish (north rule: span sequence preserved).

@@ -763,7 +763,7 @@ GOPHER_QUALITY_SQL = r"""
         SELECT doc_id, text,
                (text IS NULL OR length(trim(text)) = 0) AS empty,
                regexp_split_to_array(trim(text), '\s+') AS words,
-               string_split(text, chr(10)) AS lines
+               regexp_split_to_array(text, '\r?\n') AS lines
         FROM documents
     ), c AS (
         SELECT doc_id,
@@ -781,7 +781,7 @@ GOPHER_QUALITY_SQL = r"""
                      ELSE len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) END)::BIGINT
                  AS n_bullet_lines,
                (CASE WHEN empty THEN 0
-                     ELSE len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$'))) END)::BIGINT
+                     ELSE len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\z'))) END)::BIGINT
                  AS n_ellipsis_lines,
                (CASE WHEN empty THEN 0
                      ELSE len(list_filter(words, w -> list_contains(

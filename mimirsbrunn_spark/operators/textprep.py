@@ -197,7 +197,7 @@ def gopher_quality_flags(
     divisions; the per-doc HOFs run inside whole-stage codegen with no
     shuffle — the shape that survives a 100-TB corpus unchanged."""
     text = F.col(text_col)
-    c = _gopher_counts(text, F.split(F.trim(text), r"\s+"), F.split(text, "\n"))
+    c = _gopher_counts(text, F.split(F.trim(text), r"\s+"), F.split(text, r"\r?\n"))
     return docs.select(
         "doc_id",
         c["n_words"].alias("n_words"),
@@ -241,7 +241,11 @@ def _gopher_counts(text, words, lines) -> dict:
         "n_alpha": _guard(F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))),
         "n_lines": _guard(F.size(lines)),
         "n_bullet": _guard(F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))),
-        "n_ellipsis": _guard(F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$")))),
+        # \z not $: lines are split on \r?\n so CRLF corpora count like
+        # LF ones, and \z pins ABSOLUTE end in both Java and RE2 — Java's
+        # bare $ also matches before a final \r/\n inside the string,
+        # which silently diverges from the RE2 oracle on stray-\r lines
+        "n_ellipsis": _guard(F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\z")))),
         "n_stop": _guard(F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))),
     }
 
@@ -288,7 +292,7 @@ def gopher_pass_predicate(
     bound = F.array(
         F.struct(
             F.split(F.trim(text), r"\s+").alias("words"),
-            F.split(text, "\n").alias("lines"),
+            F.split(text, r"\r?\n").alias("lines"),
         )
     )
     return F.exists(
