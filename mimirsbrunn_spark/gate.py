@@ -273,7 +273,7 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_COUNT_BPE_SQL = rf"""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RX.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
+           CAST(len(regexp_extract_all(coalesce(text, ''), '{BPE_TOKEN_RX.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
     FROM documents
 """
 
@@ -640,7 +640,10 @@ def q_repetition_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REPETITION_3GRAM_SQL = r"""
     WITH t AS (
-        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        -- coalesce: NULL text counts as an empty doc, mirroring the
+        -- engine's null-as-empty convention (adversarial-corpus sweep)
+        SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
+        FROM documents
     ),
     g AS (
         SELECT doc_id,
@@ -671,7 +674,10 @@ def q_shared_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SHARED_NGRAM_DOCS_SQL = r"""
     WITH t AS (
-        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        -- coalesce: NULL text counts as an empty doc, mirroring the
+        -- engine's null-as-empty convention (adversarial-corpus sweep)
+        SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
+        FROM documents
     ),
     pg AS (
         SELECT doc_id, unnest(list_distinct(
