@@ -203,7 +203,7 @@ ID_NORM_RETRO_SQL = f"""
     )
     SELECT point_id,
            'addr:' || printf('%.6f', lon) || ';' || printf('%.6f', lat) || ':' ||
-               regexp_replace(regexp_replace(hn, '\\s+', '', 'g'), '[/.:;]', '-', 'g') AS addr_id,
+               regexp_replace(regexp_replace(hn, '[ \t\r\n]+', '', 'g'), '[/.:;]', '-', 'g') AS addr_id,
            regexp_replace(substr(id11, 1, 5), '^0+', '') AS insee,
            substr(id11, 1, 10) AS fantoir,
            (CASE WHEN fr_insee IS NOT NULL AND length(fr_insee) > 0

@@ -127,14 +127,17 @@ def format_zip_label(zips: Column | str) -> Column:
 def addr_id(lon: Column | str, lat: Column | str, house_number: Column | str,
             id_precision: int = 0) -> Column:
     """C6 — ``addr:{lon};{lat}:{hn}`` with whitespace stripped from the
-    house number and [/.:;] mapped to '-' (bano.rs:130-137). With
+    house number and [/.:;] mapped to '-' (bano.rs:130-137). The
+    stripped set is the reference's EXACT charset ``[' ','\\t','\\r',
+    '\\n']`` — NOT regex ``\\s``, which would also strip ``\\x0B``/
+    ``\\f`` and change the id of a house number carrying one. With
     ``id_precision > 0``, coordinates are fixed-point-formatted to that
     many decimals (the OpenAddresses precision-trimmed id variant,
     openaddresses.rs:101-117)."""
     lon = F.col(lon) if isinstance(lon, str) else lon
     lat = F.col(lat) if isinstance(lat, str) else lat
     hn = F.col(house_number) if isinstance(house_number, str) else house_number
-    cleaned = F.regexp_replace(F.regexp_replace(hn, r"\s+", ""), r"[/.:;]", "-")
+    cleaned = F.regexp_replace(F.regexp_replace(hn, "[ \t\r\n]+", ""), r"[/.:;]", "-")
     if id_precision > 0:
         fmt = f"%.{id_precision}f"
         lon_s = F.format_string(fmt, lon)

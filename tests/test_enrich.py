@@ -106,6 +106,26 @@ def test_addr_id_cleaning(spark):
     assert got[1] == "addr:1.0;2.0:10Bis"
 
 
+def test_addr_id_strips_reference_exact_whitespace_set(spark):
+    """bano.rs:135 replaces exactly [' ','\\t','\\r','\\n'] — NOT regex
+    \\s, which would also strip \\x0B (vertical tab) and \\f (form
+    feed), nor unicode spaces like NBSP: those survive into the id."""
+    df = spark.createDataFrame(
+        [
+            (1.0, 2.0, " 12\tb\r\nis "),   # all four stripped chars
+            (1.0, 2.0, "12\x0bbis"),        # vertical tab survives
+            (1.0, 2.0, "12\fbis"),          # form feed survives
+            (1.0, 2.0, "12\xa0bis"),      # NBSP survives
+        ],
+        "lon double, lat double, hn string",
+    )
+    got = [r["i"] for r in df.select(E.addr_id("lon", "lat", "hn").alias("i")).collect()]
+    assert got[0] == "addr:1.0;2.0:12bis"
+    assert got[1] == "addr:1.0;2.0:12\x0bbis"
+    assert got[2] == "addr:1.0;2.0:12\fbis"
+    assert got[3] == "addr:1.0;2.0:12\xa0bis"
+
+
 def test_insee_fantoir(spark):
     df = spark.createDataFrame([("751124517P-10",), ("0123456789XYZ",)], "id string")
     insee, fantoir = E.insee_fantoir("id")
