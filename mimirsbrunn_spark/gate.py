@@ -240,7 +240,7 @@ DEDUP_EXACT_SQL = """
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), r"[ \t\r\n\x0b\f]+")
     n = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(F.size(toks))
     return d.select("doc_id", n.cast("long").alias("n_tokens"))
 
@@ -248,7 +248,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_COUNT_SQL = r"""
     SELECT doc_id,
            CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tokens
+                ELSE len(regexp_split_to_array(trim(text), '[ \t\r\n\x0b\f]+')) END::BIGINT AS n_tokens
     FROM documents
 """
 
@@ -257,7 +257,7 @@ TOKEN_COUNT_SQL = r"""
 # same regex runs under Java regex AND RE2): contraction suffixes,
 # space?+letter-run, space?+digit-run, space?+punct-run. Whitespace-only
 # runs are not tokens.
-BPE_TOKEN_RX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+BPE_TOKEN_RX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\r\n\x0b\f']+"
 
 
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,7 +290,7 @@ def q_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     length/punct/stopword triple): fraction of lowercase whitespace
     tokens that are stopwords — pure higher-order array SQL."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"[ \t\r\n\x0b\f]+"), lambda x: x != "")
     n = F.size(toks)
     sw = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
     return d.select(
@@ -304,7 +304,7 @@ def q_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 STOPWORD_RATIO_SQL = rf"""
     WITH t AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS toks
+               list_filter(string_split_regex(lower(trim(text)), '[ \t\r\n\x0b\f]+'), x -> x != '') AS toks
         FROM documents
     )
     SELECT doc_id,
@@ -324,7 +324,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     text = F.col("text")
     n_chars = F.length(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
-    toks = F.split(F.trim(text), r"\s+")
+    toks = F.split(F.trim(text), r"[ \t\r\n\x0b\f]+")
     n_tokens = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(toks))
     score = F.round(
         (F.lit(1.0) - n_punct.cast("double") / (n_chars + F.lit(1)).cast("double"))
@@ -345,11 +345,11 @@ QUALITY_SCORE_SQL = r"""
            length(text)::BIGINT AS n_chars_m,
            (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::BIGINT AS n_punct,
            (CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens,
+                 ELSE len(regexp_split_to_array(trim(text), '[ \t\r\n\x0b\f]+')) END)::BIGINT AS n_tokens,
            round((1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
                         / (length(text) + 1)::DOUBLE)
                  * least((CASE WHEN length(trim(text)) = 0 THEN 0
-                               ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::DOUBLE / 50.0,
+                               ELSE len(regexp_split_to_array(trim(text), '[ \t\r\n\x0b\f]+')) END)::DOUBLE / 50.0,
                          1.0), 6) AS quality
     FROM documents
 """
@@ -642,7 +642,7 @@ REPETITION_3GRAM_SQL = r"""
     WITH t AS (
         -- coalesce: NULL text counts as an empty doc, mirroring the
         -- engine's null-as-empty convention (adversarial-corpus sweep)
-        SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
+        SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[ \t\r\n\x0b\f]+') AS toks
         FROM documents
     ),
     g AS (
@@ -676,7 +676,7 @@ SHARED_NGRAM_DOCS_SQL = r"""
     WITH t AS (
         -- coalesce: NULL text counts as an empty doc, mirroring the
         -- engine's null-as-empty convention (adversarial-corpus sweep)
-        SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
+        SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[ \t\r\n\x0b\f]+') AS toks
         FROM documents
     ),
     pg AS (
@@ -768,7 +768,7 @@ GOPHER_QUALITY_SQL = r"""
     WITH base AS (
         SELECT doc_id, text,
                (text IS NULL OR length(trim(text)) = 0) AS empty,
-               regexp_split_to_array(trim(text), '\s+') AS words,
+               regexp_split_to_array(trim(text), '[ \t\r\n\x0b\f]+') AS words,
                regexp_split_to_array(text, '\r?\n') AS lines
         FROM documents
     ), c AS (
@@ -784,7 +784,7 @@ GOPHER_QUALITY_SQL = r"""
                  AS n_alpha_words,
                (CASE WHEN empty THEN 0 ELSE len(lines) END)::BIGINT AS n_lines,
                (CASE WHEN empty THEN 0
-                     ELSE len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) END)::BIGINT
+                     ELSE len(list_filter(lines, l -> regexp_matches(l, '^[ \t\r\n\x0b\f]*[-*•]'))) END)::BIGINT
                  AS n_bullet_lines,
                (CASE WHEN empty THEN 0
                      ELSE len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\z'))) END)::BIGINT

@@ -25,7 +25,7 @@ from .operators.dedup import (
 # DuckDB fragments mirroring operators/dedup.py exactly
 # ---------------------------------------------------------------------------
 
-_DUCK_TOKENS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')"
+_DUCK_TOKENS = r"list_filter(string_split_regex(lower(trim(text)), '[ \t\r\n\x0b\f]+'), x -> x != '')"
 
 _DUCK_TOK_IDS = (
     f"list_transform({_DUCK_TOKENS}, tok ->"

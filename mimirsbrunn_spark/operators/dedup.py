@@ -38,8 +38,12 @@ MINHASH_B = [12345, 54321, 2468, 13579, 86420, 97531, 11111, 99999,
 
 
 def tokens_expr(text_col: str = "text") -> str:
-    """Lower-cased whitespace tokens, empties removed (SQL fragment)."""
-    return rf"filter(split(lower(trim({text_col})), '\\s+'), x -> x != '')"
+    """Lower-cased whitespace tokens, empties removed (SQL fragment).
+    The whitespace class is explicit (WS_RX_SQL), not \\s — Java's \\s
+    includes \\x0B where the DuckDB oracle's RE2 does not."""
+    from .textprep import WS_RX_SQL
+
+    return rf"filter(split(lower(trim({text_col})), '{WS_RX_SQL}+'), x -> x != '')"
 
 
 def token_ids_expr(text_col: str = "text") -> str:

@@ -37,13 +37,23 @@ from pyspark.sql import functions as F
 EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RX = r"\+[0-9]{1,3} [0-9]{3} [0-9]{4}"
 
+# Whitespace class that means the same thing in Java regex and RE2:
+# Java \s includes \x0B where RE2's does not, so a bare \s in a pattern
+# mirrored across the engine and a DuckDB oracle silently diverges on
+# vertical-tab-bearing text (same cross-engine class as the CRLF
+# ellipsis fix). WS_RX feeds python-API patterns (and DuckDB SQL, which
+# does not unescape string literals); WS_RX_SQL is the doubled form for
+# Spark-SQL-embedded expr strings (Spark SQL unescapes '\\t' -> '\t').
+WS_RX = r"[ \t\r\n\x0b\f]"
+WS_RX_SQL = r"[ \\t\\r\\n\\x0b\\f]"
+
 # Rae et al. 2021 §A1.1 stop-word rule: a document must contain at least
 # 2 occurrences of these words (case-folded, whitespace-token match).
 GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
 def _tokens(text_col):
-    return F.split(F.trim(text_col), r"\s+")
+    return F.split(F.trim(text_col), WS_RX + "+")
 
 
 def repetition_ngram_stats(
@@ -57,8 +67,8 @@ def repetition_ngram_stats(
     grams = F.when(
         F.size(toks) >= n,
         F.expr(
-            f"transform(sequence(1, size(split(trim({text_col}), '\\\\s+')) - {n} + 1),"
-            f" i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {n})))"
+            f"transform(sequence(1, size(split(trim({text_col}), '{WS_RX_SQL}+')) - {n} + 1),"
+            f" i -> concat_ws(' ', slice(split(trim({text_col}), '{WS_RX_SQL}+'), i, {n})))"
         ),
     ).otherwise(F.array().cast("array<string>"))
     d = docs.select(F.col(id_col), grams.alias("__grams"))
@@ -91,7 +101,7 @@ def shared_ngram_doc_flags(
     document (0 = clean). Plan: per-doc distinct shingles (map-side) →
     one shuffle keyed by shingle → doc-count per shingle → semi-join
     back — linear, never all-pairs."""
-    toks_sql = f"split(trim({text_col}), '\\\\s+')"
+    toks_sql = f"split(trim({text_col}), '{WS_RX_SQL}+')"
     grams = F.when(
         F.size(_tokens(F.col(text_col))) >= n,
         F.expr(
@@ -197,7 +207,7 @@ def gopher_quality_flags(
     divisions; the per-doc HOFs run inside whole-stage codegen with no
     shuffle — the shape that survives a 100-TB corpus unchanged."""
     text = F.col(text_col)
-    c = _gopher_counts(text, F.split(F.trim(text), r"\s+"), F.split(text, r"\r?\n"))
+    c = _gopher_counts(text, F.split(F.trim(text), WS_RX + "+"), F.split(text, r"\r?\n"))
     return docs.select(
         "doc_id",
         c["n_words"].alias("n_words"),
@@ -240,7 +250,7 @@ def _gopher_counts(text, words, lines) -> dict:
         "n_sym": _guard(F.regexp_count(text, F.lit(r"#|\.\.\."))),
         "n_alpha": _guard(F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))),
         "n_lines": _guard(F.size(lines)),
-        "n_bullet": _guard(F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))),
+        "n_bullet": _guard(F.size(F.filter(lines, lambda l: l.rlike("^" + WS_RX + "*[-*•]")))),
         # \z not $: lines are split on \r?\n so CRLF corpora count like
         # LF ones, and \z pins ABSOLUTE end in both Java and RE2 — Java's
         # bare $ also matches before a final \r/\n inside the string,
@@ -291,7 +301,7 @@ def gopher_pass_predicate(
     text = F.col(text) if isinstance(text, str) else text
     bound = F.array(
         F.struct(
-            F.split(F.trim(text), r"\s+").alias("words"),
+            F.split(F.trim(text), WS_RX + "+").alias("words"),
             F.split(text, r"\r?\n").alias("lines"),
         )
     )

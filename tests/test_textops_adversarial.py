@@ -66,11 +66,16 @@ def _text(rng: random.Random, i: int, base_cache: list) -> str | None:
         return (" " + unit) * rng.randrange(3, 12)
     if r < 0.75:  # PII-bearing prose
         return f"contact {rng.choice(PII)} or {rng.choice(PII)} re {_sentence(rng, EN)}"
-    if r < 0.85:  # CRLF / tab / mixed-whitespace document
+    if r < 0.83:  # CRLF / tab / mixed-whitespace document
         nl = rng.choice(["\n", "\r\n"])
         return nl.join(_sentence(rng, EN + FR) for _ in range(rng.randrange(1, 6)))
+    if r < 0.85:  # vertical-tab / form-feed bearing document: Java \s
+        # includes \x0B, RE2's does not — the explicit WS_RX class must
+        # keep both engines token-identical on these
+        sep = rng.choice(["\x0b", "\f", " \x0b ", "\f\x0b"])
+        return sep.join(_sentence(rng, EN) for _ in range(rng.randrange(2, 5)))
     if r < 0.92:
-        return rng.choice(["", " ", "\t", "  \r\n ", "...", "- ", "a"])
+        return rng.choice(["", " ", "\t", "  \r\n ", "...", "- ", "a", "\x0b", "\f- x"])
     if r < 0.97:
         return _sentence(rng, EN + FR + CJK + CYR + EMOJI)
     return None
