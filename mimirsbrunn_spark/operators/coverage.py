@@ -42,7 +42,10 @@ def media_points(docs: DataFrame) -> DataFrame:
         "doc_id", s["media_ref"].alias("media_ref"), s["offset"].alias("offset")
     )
     paired = media.join(geo, "doc_id")
-    w = Window.partitionBy("doc_id", "offset").orderBy(
+    # media_ref in the key: offsets are span-sequence positions, unique
+    # per doc in the interleaved model — but a hostile input where two
+    # DISTINCT media spans share an offset must not silently drop one
+    w = Window.partitionBy("doc_id", "offset", "media_ref").orderBy(
         F.abs(F.col("offset") - F.col("geo_offset")).asc(), F.col("geo_offset").asc()
     )
     return (
