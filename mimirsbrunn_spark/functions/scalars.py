@@ -92,13 +92,17 @@ def human_sort_key(s: Column | str) -> Column:
 
 def _human_sort_key_expr(c: Column) -> Column:
     # split into digit/non-digit runs; each digit run becomes
-    # lpad(len, 4) || digits (leading zeros stripped) — shorter numbers
-    # sort first, equal lengths compare digit-wise, so ordering is pure
-    # numeric value with no width cap (a fixed-width lpad TRUNCATES runs
-    # longer than the pad width, reordering long numeric ids)
+    # char(len(len)) || len || digits (leading zeros stripped) — a
+    # two-level length prefix: the first char encodes how many digits the
+    # length itself has (monotone single char, '1'..':'), then the length,
+    # then the digits. Shorter numbers sort first, equal lengths compare
+    # digit-wise, so ordering is pure numeric value with NO width cap — a
+    # fixed-width lpad would silently TRUNCATE the length of runs beyond
+    # the pad width (lpad truncates long inputs), reordering long ids.
     def _key(part):
         trimmed = F.regexp_replace(part, "^0+", "")
-        return F.concat(F.lpad(F.length(trimmed).cast("string"), 4, "0"), trimmed)
+        n = F.length(trimmed).cast("string")
+        return F.concat(F.char(F.length(n) + F.lit(48)), n, trimmed)
 
     return F.array_join(
         F.transform(

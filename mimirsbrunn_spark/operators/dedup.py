@@ -232,7 +232,11 @@ def ngram_jaccard_pairs(
 
 
 def neardup_components(
-    pairs: DataFrame, doc_a: str = "doc_a", doc_b: str = "doc_b", max_iter: int = 25
+    pairs: DataFrame,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    max_iter: int = 25,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Near-dup pair graph → connected components: (doc_id, component),
     component = the minimum doc id reachable through the pair graph —
@@ -243,36 +247,54 @@ def neardup_components(
     minimum; stops when a round changes nothing. Rounds needed = graph
     diameter — near-dup clusters are shallow (a doc and its variants),
     so this converges in a handful of shuffles; ``max_iter`` is a
-    pathological-chain guard (raises rather than silently truncating)."""
+    pathological-chain guard (raises rather than silently truncating).
+
+    Each round's labels are checkpointed to cut the otherwise
+    iteration-deep lineage. ``reliable`` picks the checkpoint flavor:
+    ``True`` → ``DataFrame.checkpoint`` to the session's checkpoint dir
+    (survives executor loss — the right choice on a real cluster with
+    dynamic allocation / spot kills, where a non-replicated
+    localCheckpoint block lost mid-loop fails the whole job); ``False``
+    → ``localCheckpoint`` (executor-memory/disk blocks, no HDFS round
+    trip); ``None`` (default) → reliable iff the session has a
+    checkpoint dir configured. Superseded generations are NOT freed by
+    ``unpersist()`` (checkpoint blocks are owned by the RDD, released on
+    JVM GC / by the context cleaner) — the table is a narrow
+    (doc_id, component) projection over only the PAIRED docs, so a few
+    retained generations are bounded by pair-graph size, not corpus
+    size."""
     edges = (
         pairs.select(F.col(doc_a).alias("src"), F.col(doc_b).alias("dst"))
         .unionByName(pairs.select(F.col(doc_b).alias("src"), F.col(doc_a).alias("dst")))
         .distinct()
         .cache()
     )
+    if reliable is None:
+        reliable = pairs.sparkSession.sparkContext.getCheckpointDir() is not None
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
         .cache()
     )
+    labels_cached = labels  # round-0 generation is a plain cache — freeable
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("component").alias("n_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("component"), F.coalesce("n_min", F.col("component"))).alias("component"),
-            )
-            # eager localCheckpoint: fully materializes THIS generation and
-            # cuts lineage — a lazy cache probed via limit(1) only partially
-            # materializes, so later rounds re-derive the whole label chain
-            .localCheckpoint(eager=True)
+        new_labels = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("component"), F.coalesce("n_min", F.col("component"))).alias("component"),
         )
+        # eager checkpoint: fully materializes THIS generation and cuts
+        # lineage — a lazy cache probed via limit(1) only partially
+        # materializes, so later rounds re-derive the whole label chain
+        if reliable:
+            new_labels = new_labels.checkpoint(eager=True)
+        else:
+            new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -280,11 +302,13 @@ def neardup_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()  # superseded generation — bound cache growth
         labels = new_labels
         if changed == 0:
             edges.unpersist()
+            labels_cached.unpersist()
             return labels
+    edges.unpersist()
+    labels_cached.unpersist()
     raise RuntimeError(f"neardup_components did not converge in {max_iter} rounds")
 
 

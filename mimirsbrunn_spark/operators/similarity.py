@@ -261,17 +261,16 @@ def embeddings_token(sf_dir: str, vec_col: str = "embedding") -> str:
     cache automatically (ADVICE r03 #1). Hashes (name, size, mtime_ns)
     per part file instead of full content — reading every byte of the
     table per cache LOOKUP would not survive a 100-TB corpus; any rewrite
-    bumps mtime, which is the invalidation signal that matters."""
-    import hashlib
+    bumps mtime, which is the invalidation signal that matters. The
+    hashing scheme itself is shared with the stage-checkpoint
+    fingerprint (one definition in ``fingerprint.stat_fingerprint``)."""
     from pathlib import Path
 
-    h = hashlib.sha256()
+    from ..fingerprint import stat_fingerprint
+
     src = Path(sf_dir) / "embeddings.parquet"
     parts = [src] if src.is_file() else sorted(src.glob("*.parquet"))
-    for part in parts:
-        st = part.stat()
-        h.update(f"{part.name}:{st.st_size}:{st.st_mtime_ns}".encode())
-    return h.hexdigest()[:12]
+    return stat_fingerprint((p.name, p.stat()) for p in parts)[:12]
 
 
 def committed_codebook_path(n_centroids: int = 16, iters: int = 3):

@@ -206,13 +206,24 @@ def _fp_violations(
     still flagging invented docs (after-only) and changed fingerprints —
     so the caller never needs to pre-align the WIDE before-table to the
     survivors with a full-corpus semi-join; the only join in the gate is
-    this one, over two narrow (doc_id, fingerprint) projections."""
-    joined = a.alias("a").join(b.alias("b"), "doc_id", "full")
-    cond = F.col(f"a.{col}").isNull() | (
-        F.col(f"b.{col}").isNotNull() & (F.col(f"a.{col}") != F.col(f"b.{col}"))
+    this one, over two narrow (doc_id, fingerprint) projections.
+
+    Side presence is detected via explicit marker columns, NOT via the
+    fingerprint being NULL: a surviving doc whose ``spans`` column is NULL
+    hashes to a NULL fingerprint (``to_json(NULL)`` is NULL), and treating
+    that as "doc was dropped" would let a stage that nulls a survivor's
+    span array slip through the gate. Fingerprints of two present rows are
+    compared null-safely for the same reason (NULL spans vs real spans is
+    a structure change, not a match)."""
+    a2 = a.withColumn("_present_a", F.lit(True))
+    b2 = b.withColumn("_present_b", F.lit(True))
+    joined = a2.alias("a").join(b2.alias("b"), "doc_id", "full")
+    both = F.col("_present_a").isNotNull() & F.col("_present_b").isNotNull()
+    cond = F.col("_present_a").isNull() | (
+        both & ~F.col(f"a.{col}").eqNullSafe(F.col(f"b.{col}"))
     )
     if not allow_missing_after:
-        cond = cond | F.col(f"b.{col}").isNull()
+        cond = cond | F.col("_present_b").isNull()
     return joined.filter(cond).count()
 
 

@@ -24,7 +24,6 @@ the default backend.)
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import shutil
@@ -40,22 +39,20 @@ def _input_fingerprint(spark: SparkSession, inputs: list[str], salt: str = "") -
     """Deterministic hash of input file listings (path, size, mtime_ns)
     + salt. Cheap (driver-side listing, no data read); mtime makes a
     same-size rewrite invalidate the checkpoint — (path, size) alone
-    would silently resume over changed data."""
-    h = hashlib.sha256()
-    h.update(salt.encode())
+    would silently resume over changed data. The hashing scheme is
+    shared with the codebook cache key (``fingerprint.stat_fingerprint``)."""
+    from ..fingerprint import stat_fingerprint
 
-    def _stamp(name, st):
-        h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
-
+    files = []
     for path in sorted(inputs):
         p = Path(path)
         if p.is_dir():
             for f in sorted(p.rglob("*")):
                 if f.is_file() and not f.name.startswith(("_", ".")):
-                    _stamp(f.relative_to(p), f.stat())
+                    files.append((str(f.relative_to(p)), f.stat()))
         elif p.is_file():
-            _stamp(p.name, p.stat())
-    return h.hexdigest()
+            files.append((p.name, p.stat()))
+    return stat_fingerprint(files, salt=salt)
 
 
 class LineageLog:

@@ -74,6 +74,35 @@ def test_components_match_union_find(spark, seed):
     assert got == want, f"seed {seed}: {dict(sorted(set(got.items()) ^ set(want.items())))}"
 
 
+def test_components_reliable_checkpoint_path(spark, tmp_path):
+    """On a real cluster the loop must survive executor loss, which a
+    non-replicated localCheckpoint block does not — with a checkpoint
+    dir configured the loop routes through DataFrame.checkpoint
+    (reliable storage). Pin that the reliable path executes (checkpoint
+    files appear under the dir) and yields the same labels."""
+    rng = random.Random(7)
+    edges = _graph(rng)
+    want = _union_find(edges)
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    ckpt = tmp_path / "ckpt"
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(ckpt))
+    try:
+        got = {
+            r["doc_id"]: r["component"]
+            for r in neardup_components(pairs).collect()
+        }
+        assert got == want
+        written = [p for p in ckpt.rglob("*") if p.is_file()]
+        assert written, "reliable checkpoint dir stayed empty — loop did not route through it"
+    finally:
+        # the session is shared across the suite — don't leak the dir
+        # (the scala setter has a $-mangled name, hence getattr)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+        assert sc.getCheckpointDir() is None
+
+
 def test_components_long_chain_raises_not_truncates(spark):
     """Diameter > max_iter must RAISE — an under-converged label set
     would silently merge fewer docs than the graph demands."""

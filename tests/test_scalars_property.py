@@ -74,6 +74,30 @@ def test_human_sort_key_numeric_contract(spark, seed):
                     )
 
 
+def test_human_sort_key_unbounded_run_length(spark):
+    """Digit runs past ANY fixed pad width keep numeric order: a fixed-width
+    length prefix (lpad) silently truncates the length string once runs
+    exceed the pad width, making '9'*10000 sort after '1'*10001. The
+    two-level length-of-length prefix has no such cap."""
+    rows = [
+        {"i": 0, "s": "9" * 9999},
+        {"i": 1, "s": "9" * 10000},   # length '10000' overflows a 4-wide pad
+        {"i": 2, "s": "1" * 10001},   # larger number, longer run
+        {"i": 3, "s": "0" * 50 + "9" * 10000},  # leading zeros ignored
+        {"i": 4, "s": "stop " + "9" * 10000},
+        {"i": 5, "s": "stop " + "1" * 10001},
+    ]
+    keys = {
+        r["i"]: r["k"]
+        for r in spark.createDataFrame(rows)
+        .select("i", human_sort_key("s").alias("k"))
+        .collect()
+    }
+    assert keys[0] < keys[1] < keys[2]
+    assert keys[3] == keys[1]
+    assert keys[4] < keys[5]
+
+
 @pytest.mark.parametrize("seed", [29, 101])
 def test_sort_lines_nulls_last_then_natural_code(spark, seed):
     rng = random.Random(seed)

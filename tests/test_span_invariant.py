@@ -203,3 +203,23 @@ def test_allow_missing_after_tolerates_drops_only(spark, fixtures_dir):
     ) == survivors.count()
     # ...but not the structure gate (text is not structural)
     assert span_structure_violations(docs, rewritten, allow_missing_after=True) == 0
+
+
+def test_nulled_spans_on_survivor_is_a_violation(spark, fixtures_dir):
+    """A SURVIVING doc whose spans column got nulled must be flagged even in
+    allow_missing_after mode: its fingerprint hashes to NULL
+    (to_json(NULL) is NULL), and a presence check keyed on the fingerprint
+    column would misread that as a legitimate drop. Presence must come
+    from the join key, not the hash."""
+    docs = spark.read.parquet(f"{fixtures_dir}/docs.parquet")
+    one_id = docs.select("doc_id").orderBy("doc_id").limit(1).collect()[0][0]
+    nulled = docs.withColumn(
+        "spans",
+        F.when(F.col("doc_id") == one_id, F.lit(None)).otherwise(F.col("spans")),
+    )
+    assert span_structure_violations(docs, nulled, allow_missing_after=True) == 1
+    assert span_invariant_violations(docs, nulled, allow_missing_after=True) == 1
+    assert span_structure_violations(docs, nulled) == 1
+    # symmetric: NULL->real is also a change, and NULL->NULL is not
+    assert span_structure_violations(nulled, docs, allow_missing_after=True) == 1
+    assert span_structure_violations(nulled, nulled, allow_missing_after=True) == 0
