@@ -92,6 +92,15 @@ def run_stage(
     log = LineageLog(root)
     fp = _input_fingerprint(spark, inputs, salt=f"{stage}:{version}")
 
+    # reap tmp dirs orphaned by a crash between write and rename — at
+    # corpus scale a failed run's tmp is a full-size copy of the stage
+    # output, and nothing else ever deletes it (single-driver protocol,
+    # so anything tmp-named here is dead by construction); before the
+    # resume check so a permanently-resuming stage can't shelter one
+    if stage_dir.exists():
+        for stale in stage_dir.glob("data.tmp-*"):
+            shutil.rmtree(stale, ignore_errors=True)
+
     if manifest_path.exists():
         try:
             manifest = json.loads(manifest_path.read_text())

@@ -63,14 +63,28 @@ def test_checkpoint_resume(spark, tmp_path):
     out2 = run_stage(spark, root, "double", [str(src)], build)
     assert out2.count() == 100 and calls["n"] == 1  # resume hit, not recomputed
 
-    # input change → recompute
+    # a tmp dir orphaned by a simulated crash (write succeeded, rename
+    # didn't) must be reaped by ANY rerun — resume hit or recompute —
+    # because nothing else ever deletes it, and at corpus scale it is a
+    # full-size copy of the stage output
+    stale = Path(root) / "double" / "data.tmp-deadbeef"
+    stale.mkdir()
+    (stale / "part-orphan.parquet").write_bytes(b"x")
+    out_hit = run_stage(spark, root, "double", [str(src)], build)
+    assert out_hit.count() == 100 and calls["n"] == 1  # still a resume hit
+    assert not stale.exists()
+
+    # input change → recompute (also reaps, via the same pre-check sweep)
+    stale.mkdir()
     spark.range(50).write.mode("append").parquet(str(src))
     out3 = run_stage(spark, root, "double", [str(src)], build)
     assert out3.count() == 150 and calls["n"] == 2
+    assert not stale.exists()
+    assert not list((Path(root) / "double").glob("data.tmp-*"))
 
     log = LineageLog(root).records()
     events = [r["event"] for r in log]
-    assert events == ["computed", "resume_hit", "computed"]
+    assert events == ["computed", "resume_hit", "resume_hit", "computed"]
     manifest = json.loads((Path(root) / "double" / "manifest.json").read_text())
     assert manifest["rows"] == 150
     assert len(manifest["partitions"]) >= 1
