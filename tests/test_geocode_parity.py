@@ -1,6 +1,7 @@
 """Cucumber-example parity: the reference's feature-file scenarios
 (features/addresses/limousin.feature, admins/limousin.feature,
-pois/limousin.feature, acceptance.feature elision cases) as parametrized
+pois/limousin.feature, acceptance.feature elision cases,
+baseline.feature.fr elision outlines) as parametrized
 pytest over a synthetic places table carrying the same labels.
 
 What's asserted is the *query semantics* — exact match, alias (synonym +
@@ -454,6 +455,53 @@ def test_acceptance_street_examples(acceptance_streets, query, expected, limit):
     df, _mode = autocomplete(acceptance_streets, query, k=limit, types=["street"])
     got = [r["id"] for r in df.collect()]
     assert expected in got[:limit], f"{query!r} -> {got}"
+
+
+# ---------------------------------------------------------------------------
+# features/baseline.feature.fr — the French baseline template. Its example
+# tables ship with EMPTY id/limit columns in the reference (an unfilled
+# template), so what's portable is the query *shapes*: the two elision
+# outlines ("Recherche avec élision") whose variant sets don't appear in
+# any other feature file. "av jeanne d'arc" additionally crosses the
+# av→avenue synonym WITH elision in one query — T1's analyzer must apply
+# both in the same pass.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def baseline_fr_places(spark):
+    rows = [
+        ("stop:austerlitz", "stop", "Gare d'Austerlitz", "Gare d'Austerlitz (Paris)", 0.6, 2.366, 48.842),
+        ("street:jeanne_darc", "street", "Avenue Jeanne d'Arc", "Avenue Jeanne d'Arc (Paris)", 0.3, 2.364, 48.831),
+        # decoys sharing tokens
+        ("stop:gare_lyon", "stop", "Gare de Lyon", "Gare de Lyon (Paris)", 0.7, 2.373, 48.844),
+        ("street:jeanne", "street", "Rue Jeanne", "Rue Jeanne (Paris)", 0.3, 2.35, 48.85),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id string, type string, name string, label string, weight double, lon double, lat double",
+    ).cache()
+
+
+@pytest.mark.parametrize(
+    "query,expected",
+    [
+        ("gare d'austerlitz", "stop:austerlitz"),
+        ("gare dausterlitz", "stop:austerlitz"),
+        ("gare d austerlitz", "stop:austerlitz"),
+        ("gare austerlitz", "stop:austerlitz"),
+        ("av jeanne d'arc", "street:jeanne_darc"),
+        ("av jeanne d arc", "street:jeanne_darc"),
+        ("av jeanne darc", "street:jeanne_darc"),
+        ("av jeanne arc", "street:jeanne_darc"),
+    ],
+)
+def test_baseline_fr_elision_examples(baseline_fr_places, query, expected):
+    from mimirsbrunn_spark.functions.geocode import autocomplete
+
+    df, _mode = autocomplete(baseline_fr_places, query, k=3)
+    got = [r["id"] for r in df.collect()]
+    assert expected in got[:3], f"{query!r} -> {got}"
 
 
 def test_stop_search_and_find_by_id(spark):
