@@ -4,11 +4,15 @@ The Spark-side plumbing is real — schemas, Arrow batch shapes, partition
 strategy, UDF signatures — and the codec step is a backend SEAM (the
 tiles.get_cell_ops pattern): each decoder probes the real wheel on the
 worker (PIL / soundfile / PyAV — absent from this container, present on
-real clusters) and falls back to a deterministic fake derived from the
-bytes, so pipelines and tests exercise every stage here while a cluster
-with the wheels gets real decodes with no code change. ``strict=True``
-(== backend "real") refuses to silently fake. The real paths are
-unit-tested via injected stand-in modules.
+real clusters), then tries the pure-numpy BUILTIN codecs for
+uncompressed formats (BMP / PGM / PPM images, RIFF-PCM WAV audio —
+`operators/codecs.py`, a true decode with no wheel at all), and only
+then falls back to a deterministic fake derived from the bytes, so
+pipelines and tests exercise every stage here while a cluster with the
+wheels gets real decodes with no code change. ``strict=True`` (== backend
+"real") refuses to silently fake. The real wheel paths are unit-tested
+via injected stand-in modules; the builtin paths are golden-tested on
+encoder round-trips.
 
 Partitioning note for 100 TB: media blobs dominate row size, so the
 operators below repartition by a size-aware key before the UDF to bound
@@ -93,7 +97,8 @@ def _import_av():
 
 def _pick(backend: str, mod, kind: str, wheel: str):
     """Shared selection rule: auto → real iff importable; real → raise if
-    not; fake → always the deterministic stand-in."""
+    not; fake → always the deterministic stand-in. ``builtin`` is handled
+    by the callers before this runs (it needs no module)."""
     if backend == "fake":
         return None
     if mod is None:
@@ -106,13 +111,40 @@ def _pick(backend: str, mod, kind: str, wheel: str):
 
 
 def image_decoder(width: int, height: int, backend: str = "auto", image_mod=None):
-    """blob → flat grayscale [0,1] pixel list of width*height. Real path:
-    PIL open→convert("L")→resize; fake path: _fake_decode."""
+    """blob → flat grayscale [0,1] pixel list of width*height.
+
+    Backends: ``real`` = PIL open→convert("L")→resize; ``builtin`` =
+    pure-numpy decode of uncompressed BMP / PGM / PPM (operators.codecs —
+    a TRUE decode, no wheel needed) → BT.601 luma → nearest resize, raising
+    on any other format; ``fake`` = the deterministic stand-in; ``auto`` =
+    real when PIL is importable, else builtin per-blob when the magic
+    bytes sniff as an uncompressed format, else fake."""
+    from . import codecs
+
     mod = _pick(backend, image_mod if image_mod is not None else _import_pil(),
-                "image", "PIL")
+                "image", "PIL") if backend != "builtin" else None
     n = width * height
+
+    def builtin(blob: bytes) -> list:
+        luma = codecs.to_luma(codecs.decode_image_builtin(blob))
+        return codecs.resize_nearest(luma, width, height).astype(
+            np.float32
+        ).ravel().tolist()
+
+    if backend == "builtin":
+        return builtin
     if mod is None:
-        return lambda blob: _fake_decode(blob, n).tolist()
+        if backend == "fake":
+            return lambda blob: _fake_decode(blob, n).tolist()
+
+        # auto without the wheel: true decode when the bytes ARE an
+        # uncompressed image, deterministic fake otherwise
+        def sniffing(blob: bytes) -> list:
+            if codecs.sniff(blob) in ("bmp", "pnm"):
+                return builtin(blob)
+            return _fake_decode(blob, n).tolist()
+
+        return sniffing
 
     def real(blob: bytes) -> list:
         import io
@@ -123,27 +155,57 @@ def image_decoder(width: int, height: int, backend: str = "auto", image_mod=None
     return real
 
 
+def _fit_wave(wav: np.ndarray, sr: int, sample_rate: int, n: int) -> list:
+    """mono float wave at ``sr`` → linear-interp resample to
+    ``sample_rate``, zero-pad/trim to ``n`` (shared by the soundfile and
+    builtin WAV paths so both produce the identical contract)."""
+    wav = np.asarray(wav, dtype=np.float32)
+    if wav.ndim == 2:
+        wav = wav.mean(axis=1)
+    if sr != sample_rate and len(wav) > 1:
+        t_out = np.linspace(0.0, len(wav) - 1.0, int(len(wav) * sample_rate / sr))
+        wav = np.interp(t_out, np.arange(len(wav)), wav).astype(np.float32)
+    out = np.zeros(n, dtype=np.float32)
+    out[: min(n, len(wav))] = wav[:n]
+    return out.tolist()
+
+
 def audio_decoder(sample_rate: int, n: int, backend: str = "auto", audio_mod=None):
-    """blob → n-sample mono waveform in [-1, 1] at sample_rate. Real path:
-    soundfile read → mono mean → linear-interp resample → pad/trim."""
+    """blob → n-sample mono waveform in [-1, 1] at sample_rate.
+
+    Backends: ``real`` = soundfile read → mono mean → linear-interp
+    resample → pad/trim; ``builtin`` = pure-numpy RIFF/PCM WAV decode
+    (operators.codecs, u8/s16/s32 — a TRUE decode, no wheel needed) →
+    the same mono/resample/fit, raising on non-WAV bytes; ``fake`` = the
+    deterministic stand-in; ``auto`` = real when soundfile is importable,
+    else builtin per-blob when the bytes sniff as WAV, else fake."""
+    from . import codecs
+
     mod = _pick(backend, audio_mod if audio_mod is not None else _import_soundfile(),
-                "audio", "soundfile")
+                "audio", "soundfile") if backend != "builtin" else None
+
+    def builtin(blob: bytes) -> list:
+        wav, sr = codecs.decode_wav(blob)
+        return _fit_wave(wav, sr, sample_rate, n)
+
+    if backend == "builtin":
+        return builtin
     if mod is None:
-        return lambda blob: (_fake_decode(blob, n) * 2.0 - 1.0).tolist()
+        if backend == "fake":
+            return lambda blob: (_fake_decode(blob, n) * 2.0 - 1.0).tolist()
+
+        def sniffing(blob: bytes) -> list:
+            if codecs.sniff(blob) == "wav":
+                return builtin(blob)
+            return (_fake_decode(blob, n) * 2.0 - 1.0).tolist()
+
+        return sniffing
 
     def real(blob: bytes) -> list:
         import io
 
         data, sr = mod.read(io.BytesIO(blob))
-        wav = np.asarray(data, dtype=np.float32)
-        if wav.ndim == 2:
-            wav = wav.mean(axis=1)
-        if sr != sample_rate and len(wav) > 1:
-            t_out = np.linspace(0.0, len(wav) - 1.0, int(len(wav) * sample_rate / sr))
-            wav = np.interp(t_out, np.arange(len(wav)), wav).astype(np.float32)
-        out = np.zeros(n, dtype=np.float32)
-        out[: min(n, len(wav))] = wav[:n]
-        return out.tolist()
+        return _fit_wave(np.asarray(data, dtype=np.float32), sr, sample_rate, n)
 
     return real
 
