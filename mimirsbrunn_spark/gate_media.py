@@ -177,8 +177,113 @@ WHERE k < n_frames
 """
 
 
+# ---------------------------------------------------------------------------
+# builtin-codec gates (TRUE decodes, not the seam-filler): blobs are real
+# uncompressed media files assembled in pure Catalyst — unhex(sha2(ref))
+# gives the raw digest bytes, a constant format header is concat'd in
+# front — then decoded by operators/codecs via backend="builtin", and
+# every output value maps back to its source byte integer-exactly.
+# ---------------------------------------------------------------------------
+
+def q_media_decode_builtin_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real 2x2 grayscale PGM (P5) per doc — pixels = digest bytes 0..3
+    of sha256(media_ref) — decoded by decode_pnm + BT.601 luma + nearest
+    resize (identity at 2x2). Gray broadcast to RGB makes luma = the gray
+    value to ~1e-7, so round(px*255) recovers the byte exactly."""
+    from .operators.multimodal import decode_image
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = F.concat(F.lit("m:"), F.col("doc_id"))
+    header = F.lit(b"P5\n2 2\n255\n")
+    media = docs.select(
+        ref.alias("media_ref"),
+        F.lit("image").alias("media_kind"),
+        F.concat(header, F.substring(F.unhex(F.sha2(ref, 256)), 1, 4)).alias("payload"),
+        F.create_map(F.lit("source"), F.lit("pnm")).alias("meta"),
+    )
+    dec = decode_image(media, width=2, height=2, backend="builtin")
+    return dec.select(
+        "media_ref", F.posexplode("pixels").alias("pixel_idx", "pixel")
+    ).select(
+        "media_ref",
+        F.col("pixel_idx").cast("int").alias("pixel_idx"),
+        F.round(F.col("pixel") * 255).cast("int").alias("pixel_byte"),
+    )
+
+
+MEDIA_DECODE_BUILTIN_IMAGE_SQL = f"""
+WITH refs AS (SELECT DISTINCT 'm:' || doc_id AS media_ref FROM documents),
+hx AS (SELECT media_ref, sha256(media_ref) AS h FROM refs),
+ii AS (SELECT range::INT AS i FROM range(0, 4))
+SELECT media_ref,
+       i AS pixel_idx,
+       {_byte_expr('i')} AS pixel_byte
+FROM hx CROSS JOIN ii
+"""
+
+# constant RIFF/PCM header for 8 mono s16 samples at 8 kHz (16 data bytes)
+import struct as _struct  # noqa: E402
+
+_WAV_HDR_8S = (
+    b"RIFF" + _struct.pack("<I", 36 + 16) + b"WAVE"
+    + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    + b"data" + _struct.pack("<I", 16)
+)
+
+
+def q_media_decode_builtin_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real 8-sample PCM-16 WAV per doc — samples = digest bytes 0..15
+    of sha256(media_ref) read little-endian — decoded by decode_wav.
+    int16/32768 is exact in float32, no resample (sr matches), no pad
+    (n matches), so round(sample*32768) recovers the int16 bit-exactly."""
+    from .operators.multimodal import decode_audio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = F.concat(F.lit("m:"), F.col("doc_id"))
+    media = docs.select(
+        ref.alias("media_ref"),
+        F.lit("audio").alias("media_kind"),
+        F.concat(
+            F.lit(_WAV_HDR_8S), F.substring(F.unhex(F.sha2(ref, 256)), 1, 16)
+        ).alias("payload"),
+        F.create_map(F.lit("source"), F.lit("wav")).alias("meta"),
+    )
+    dec = decode_audio(media, sample_rate=8000, seconds=8 / 8000, backend="builtin")
+    return dec.select(
+        "media_ref", F.posexplode("waveform").alias("sample_idx", "sample")
+    ).select(
+        "media_ref",
+        F.col("sample_idx").cast("int").alias("sample_idx"),
+        F.round(F.col("sample") * 32768).cast("int").alias("sample_val"),
+    )
+
+
+MEDIA_DECODE_BUILTIN_AUDIO_SQL = f"""
+WITH refs AS (SELECT DISTINCT 'm:' || doc_id AS media_ref FROM documents),
+hx AS (SELECT media_ref, sha256(media_ref) AS h FROM refs),
+kk AS (SELECT range::INT AS k FROM range(0, 8)),
+b AS (
+  SELECT media_ref, k,
+         {_byte_expr('2*k')} AS lo,
+         {_byte_expr('2*k+1')} AS hi
+  FROM hx CROSS JOIN kk
+)
+SELECT media_ref,
+       k AS sample_idx,
+       (CASE WHEN hi >= 128 THEN hi * 256 + lo - 65536
+             ELSE hi * 256 + lo END)::INT AS sample_val
+FROM b
+"""
+
+
 MEDIA_QUERIES = {
     "media_decode_image": (q_media_decode_image, MEDIA_DECODE_IMAGE_SQL),
     "media_decode_audio": (q_media_decode_audio, MEDIA_DECODE_AUDIO_SQL),
     "media_video_frames": (q_media_video_frames, MEDIA_VIDEO_FRAMES_SQL),
+    "media_decode_builtin_image": (
+        q_media_decode_builtin_image, MEDIA_DECODE_BUILTIN_IMAGE_SQL,
+    ),
+    "media_decode_builtin_audio": (
+        q_media_decode_builtin_audio, MEDIA_DECODE_BUILTIN_AUDIO_SQL,
+    ),
 }

@@ -40,14 +40,16 @@ _LUMA = np.array([0.299, 0.587, 0.114], dtype=np.float32)
 
 
 def sniff(blob: bytes) -> str | None:
-    """Magic-byte format sniff: 'bmp' | 'pnm' | 'wav' | None."""
-    if blob is None or len(blob) < 16:
+    """Magic-byte format sniff: 'bmp' | 'pnm' | 'wav' | None. Length
+    guards are per-format minima (a 2x2 P5 is only 15 bytes), so a
+    sniffed blob always has enough header for its decoder to start."""
+    if blob is None or len(blob) < 8:
         return None
-    if blob[:2] == b"BM":
+    if blob[:2] == b"BM" and len(blob) >= 54:  # 14 + BITMAPINFOHEADER
         return "bmp"
-    if blob[:2] in (b"P5", b"P6") and blob[2:3] in b" \t\r\n":
+    if blob[:2] in (b"P5", b"P6") and blob[2:3] in (b" ", b"\t", b"\r", b"\n"):
         return "pnm"
-    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+    if len(blob) >= 44 and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return "wav"
     return None
 
