@@ -194,8 +194,114 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# video — uncompressed-DIB AVI (RIFF 'AVI ' container, BI_RGB '00db'
+# frames: the same row layout as BMP, one chunk per frame)
+# ---------------------------------------------------------------------------
+
+
+def sniff_video(blob: bytes) -> str | None:
+    """'avi' for a RIFF/AVI container, else None (kept separate from
+    `sniff` so an AVI never routes to the image/audio decoders)."""
+    if blob is None or len(blob) < 64:
+        return None
+    if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+        return "avi"
+    return None
+
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    """Yield (chunk_id, body) over a RIFF chunk run; LIST chunks yield
+    (b'LIST:<type>', inner body) so callers can descend."""
+    while pos + 8 <= end:
+        cid = buf[pos : pos + 4]
+        size = struct.unpack_from("<I", buf, pos + 4)[0]
+        body_start = pos + 8
+        body_end = min(body_start + size, end)
+        if cid == b"LIST" and size >= 4:
+            yield b"LIST:" + buf[body_start : body_start + 4], (body_start + 4, body_end)
+        else:
+            yield cid, (body_start, body_end)
+        pos = body_start + size + (size & 1)
+
+
+def decode_avi(blob: bytes) -> tuple[list[np.ndarray], int, int]:
+    """Uncompressed-DIB AVI → (frames as (h, w, 3) uint8 RGB top-down,
+    width, height). Only BI_RGB 24-bpp '00db'/'00dc' frames; the stream
+    format comes from the first 'strf' BITMAPINFOHEADER."""
+    if sniff_video(blob) != "avi":
+        raise ValueError("not a RIFF/AVI blob")
+    strf = None
+    frame_spans: list[tuple[int, int]] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal strf
+        for cid, (s, e) in _riff_chunks(blob, pos, end):
+            if cid.startswith(b"LIST:"):
+                walk(s, e)
+            elif cid == b"strf" and strf is None:
+                strf = blob[s:e]
+            elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
+                frame_spans.append((s, e))
+
+    walk(12, len(blob))
+    if strf is None or len(strf) < 40:
+        raise ValueError("AVI missing a BITMAPINFOHEADER 'strf' chunk")
+    w, h_raw = struct.unpack_from("<ii", strf, 4)
+    bpp = struct.unpack_from("<H", strf, 14)[0]
+    compression = struct.unpack_from("<I", strf, 16)[0]
+    if compression != 0 or bpp != 24:
+        raise ValueError(f"unsupported AVI stream (bpp={bpp}, compression={compression})")
+    h = abs(h_raw)
+    stride = ((w * 3 + 3) // 4) * 4
+    frames = []
+    for s, e in frame_spans:
+        if e - s < stride * h:
+            raise ValueError(f"truncated AVI frame: {e - s} bytes, need {stride * h}")
+        rows = np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=s)
+        px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if h_raw > 0:  # bottom-up rows, like BMP
+            px = px[::-1]
+        frames.append(px[:, :, ::-1].copy())  # BGR → RGB
+    return frames, w, h
+
+
+# ---------------------------------------------------------------------------
 # encoders (test fixtures / deterministic datagen of REAL blobs)
 # ---------------------------------------------------------------------------
+
+
+def encode_avi_dib(frames: "list[np.ndarray]", fps: int = 10) -> bytes:
+    """(h, w, 3) uint8 RGB frames → minimal uncompressed-DIB AVI bytes
+    (RIFF 'AVI ' with hdrl avih/strh/strf + movi '00db' chunks)."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w, _ = frames[0].shape
+    stride = ((w * 3 + 3) // 4) * 4
+    bodies = []
+    for f in frames:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)
+        bodies.append(rows.tobytes())
+    frame_size = stride * h
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII", 1_000_000 // fps, frame_size * fps, 0, 0x10,
+        len(frames), 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, len(frames), frame_size, 0, 0, 0)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", b) for b in bodies))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
 def encode_bmp24(rgb: np.ndarray) -> bytes:

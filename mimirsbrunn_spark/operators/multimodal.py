@@ -212,10 +212,27 @@ def audio_decoder(sample_rate: int, n: int, backend: str = "auto", audio_mod=Non
 
 def video_frame_sampler(every_n: int, backend: str = "auto", video_mod=None):
     """blob → list of (frame_idx, frame_bytes) for every every_n-th frame.
-    Real path: PyAV demux/decode, frames as raw rgb24 bytes; fake path:
-    sha256-derived frames sized from the blob."""
+
+    Backends: ``real`` = PyAV demux/decode, frames as raw rgb24 bytes;
+    ``builtin`` = pure-numpy uncompressed-DIB AVI decode
+    (operators.codecs.decode_avi — a TRUE decode, no wheel needed),
+    frames as the same rgb24 top-down byte layout, raising on any other
+    container; ``fake`` = sha256-derived frames sized from the blob;
+    ``auto`` = real when PyAV is importable, else builtin per-blob when
+    the bytes sniff as RIFF/AVI, else fake."""
+    from . import codecs
+
     mod = _pick(backend, video_mod if video_mod is not None else _import_av(),
-                "video", "av (PyAV)")
+                "video", "av (PyAV)") if backend != "builtin" else None
+
+    def builtin(blob: bytes) -> list:
+        frames, _, _ = codecs.decode_avi(blob)
+        return [
+            (idx, f.tobytes()) for idx, f in enumerate(frames) if idx % every_n == 0
+        ]
+
+    if backend == "builtin":
+        return builtin
     if mod is None:
 
         def fake(blob: bytes) -> list:
@@ -225,7 +242,15 @@ def video_frame_sampler(every_n: int, backend: str = "auto", video_mod=None):
                 for k in range(n_frames)
             ]
 
-        return fake
+        if backend == "fake":
+            return fake
+
+        def sniffing(blob: bytes) -> list:
+            if codecs.sniff_video(blob) == "avi":
+                return builtin(blob)
+            return fake(blob)
+
+        return sniffing
 
     def real(blob: bytes) -> list:
         import io

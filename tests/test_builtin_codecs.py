@@ -186,6 +186,43 @@ def test_strict_still_requires_the_wheel():
         image_decoder(2, 2, backend="real", image_mod=None)
 
 
+def test_avi_roundtrip_and_sampling():
+    frames = [
+        np.full((2, 2, 3), v, dtype=np.uint8) for v in (10, 20, 30, 40, 50)
+    ]
+    frames[0][0, 0] = [255, 0, 0]  # make frame 0 asymmetric
+    blob = codecs.encode_avi_dib(frames)
+    assert codecs.sniff_video(blob) == "avi"
+    assert codecs.sniff(blob) is None  # never routes to image/audio
+    dec, w, h = codecs.decode_avi(blob)
+    assert (w, h, len(dec)) == (2, 2, 5)
+    for a, b in zip(dec, frames):
+        np.testing.assert_array_equal(a, b)
+    # the sampler seam: builtin keeps every_n-th frame with true indices
+    from mimirsbrunn_spark.operators.multimodal import video_frame_sampler
+
+    sampler = video_frame_sampler(every_n=2, backend="builtin")
+    got = sampler(blob)
+    assert [idx for idx, _ in got] == [0, 2, 4]
+    assert got[1][1] == frames[2].tobytes()  # rgb24 top-down bytes
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        sampler(b"junk bytes that are not a container at all" * 4)
+    # auto without the wheel: AVI truly decodes, junk takes the fake
+    auto = video_frame_sampler(every_n=2, backend="auto", video_mod=None)
+    assert auto(blob) == got
+    fake = auto(b"junk bytes that are not a container at all" * 4)
+    assert fake and len(fake[0][1]) == 32  # sha256-sized fake frame
+
+
+def test_avi_rejects_compressed_stream():
+    frames = [np.zeros((2, 2, 3), dtype=np.uint8)]
+    blob = bytearray(codecs.encode_avi_dib(frames))
+    i = blob.index(b"strf")
+    struct.pack_into("<I", blob, i + 8 + 16, 0x30323449)  # 'I420' fourcc
+    with pytest.raises(ValueError, match="unsupported AVI"):
+        codecs.decode_avi(bytes(blob))
+
+
 # ---------------------------------------------------------------------------
 # full Spark operators over real blobs
 # ---------------------------------------------------------------------------
@@ -227,3 +264,21 @@ def test_decode_audio_auto_mixed_batch_through_spark(spark):
     np.testing.assert_allclose(got["aud:real"], x, atol=1.0 / 32768.0)
     assert got["aud:ref-only"].shape == (4,)  # fake keeps the contract shape
     assert not np.allclose(got["aud:ref-only"], x, atol=1e-3)
+
+
+def test_sample_video_frames_builtin_through_spark(spark):
+    from mimirsbrunn_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_video_frames,
+    )
+
+    frames = [np.full((2, 2, 3), v, dtype=np.uint8) for v in (1, 2, 3)]
+    rows = [("vid:avi", "video", bytearray(codecs.encode_avi_dib(frames)), {})]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = sorted(
+        (r["frame_idx"], bytes(r["frame"]))
+        for r in sample_video_frames(df, every_n=2, backend="builtin").collect()
+    )
+    assert [i for i, _ in got] == [0, 2]
+    assert got[0][1] == frames[0].tobytes()
+    assert got[1][1] == frames[2].tobytes()
