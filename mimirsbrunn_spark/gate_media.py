@@ -276,6 +276,62 @@ FROM b
 """
 
 
+# constant AVI container prefix for ONE 2x2 24-bpp DIB frame (16 padded
+# frame bytes are the blob's last 16 — computed once by encoding a zero
+# frame and slicing, so the gate's Catalyst concat is header + digest)
+def _avi_prefix_1f_2x2() -> bytes:
+    import numpy as _np
+
+    from .operators.codecs import encode_avi_dib
+
+    blob = encode_avi_dib([_np.zeros((2, 2, 3), dtype=_np.uint8)])
+    return blob[:-16]
+
+
+def q_media_decode_builtin_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real one-frame 2x2 uncompressed-DIB AVI per doc — the 16 padded
+    frame bytes (2 bottom-up BGR rows, 4-byte stride) = digest bytes
+    0..15 of sha256(media_ref) — truly demuxed+decoded by decode_avi and
+    emitted as rgb24 top-down frame bytes. The oracle replays the
+    row-flip + BGR→RGB index shuffle on the same digest bytes."""
+    from .operators.multimodal import sample_video_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = F.concat(F.lit("m:"), F.col("doc_id"))
+    media = docs.select(
+        ref.alias("media_ref"),
+        F.lit("video").alias("media_kind"),
+        F.concat(
+            F.lit(_avi_prefix_1f_2x2()),
+            F.substring(F.unhex(F.sha2(ref, 256)), 1, 16),
+        ).alias("payload"),
+        F.create_map(F.lit("source"), F.lit("avi")).alias("meta"),
+    )
+    frames = sample_video_frames(media, every_n=1, backend="builtin")
+    return frames.select(
+        "media_ref",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+
+
+# rgb24 top-down byte k ← padded-DIB byte map[k]: stored row 0 is the
+# BOTTOM image row, rows are [B,G,R, B,G,R, pad,pad], so
+# out = [R00 G00 B00 R01 G01 B01 R10 G10 B10 R11 G11 B11]
+#     = f[10] f[9] f[8] f[13] f[12] f[11] f[2] f[1] f[0] f[5] f[4] f[3]
+_AVI_IDX_MAP = [10, 9, 8, 13, 12, 11, 2, 1, 0, 5, 4, 3]
+
+MEDIA_DECODE_BUILTIN_VIDEO_SQL = f"""
+WITH refs AS (SELECT DISTINCT 'm:' || doc_id AS media_ref FROM documents),
+hx AS (SELECT media_ref, sha256(media_ref) AS h FROM refs)
+SELECT media_ref,
+       0 AS frame_idx,
+       printf('{'%02x' * 12}',
+              {', '.join(_byte_expr(str(i)) for i in _AVI_IDX_MAP)}) AS frame_hex
+FROM hx
+"""
+
+
 MEDIA_QUERIES = {
     "media_decode_image": (q_media_decode_image, MEDIA_DECODE_IMAGE_SQL),
     "media_decode_audio": (q_media_decode_audio, MEDIA_DECODE_AUDIO_SQL),
@@ -285,5 +341,8 @@ MEDIA_QUERIES = {
     ),
     "media_decode_builtin_audio": (
         q_media_decode_builtin_audio, MEDIA_DECODE_BUILTIN_AUDIO_SQL,
+    ),
+    "media_decode_builtin_video": (
+        q_media_decode_builtin_video, MEDIA_DECODE_BUILTIN_VIDEO_SQL,
     ),
 }
