@@ -91,7 +91,13 @@ def _tree_cpu_sec() -> float:
 
 # external cores averaged over a rep above this ⇒ the rep is annotated
 # noisy (a co-tenant was actively competing for the CPU during it)
-NOISY_EXTERNAL_CORES = 2.0
+# Calibrated against captured rep logs: truly quiet windows measure
+# external_cpu_cores 0.0-0.1 (the tree subtraction excludes this bench's
+# own 32-thread bursts — clean runs show 0.0 even at loadavg 8), while a
+# drain window that inflated q9 by 3-10x measured 1.6-1.8 and slipped
+# under the original 2.0 threshold. 1.0 separates the two regimes with
+# an order of magnitude to spare on the quiet side.
+NOISY_EXTERNAL_CORES = 1.0
 
 
 def ensure_corpus(spark, sf: float, cache_root: Path) -> tuple[str, str, int]:
