@@ -278,3 +278,84 @@ DEDUP_QUERIES = {
     "ngram_jaccard_lsh": (q_ngram_jaccard_lsh, NGRAM_JACCARD_LSH_SQL),
     "dedup_components": (q_dedup_components, DEDUP_COMPONENTS_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line dedup (CCNet/C4-style) with reassembly
+# ---------------------------------------------------------------------------
+
+# multi-line corpus synthesized identically in both engines: the sf docs
+# are single-line, so each doc becomes 3 lines — its own text, a
+# boilerplate footer shared by every doc in the same (doc_id % 7) class
+# (guaranteed cross-doc duplicate), and a unique signature line
+_LINE_AUG = (
+    "boilerplate footer block ",  # shared within each mod-7 class
+    "unique signature line of doc ",  # never shared
+)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style cross-document line dedup with in-place document
+    reassembly (operators/textprep.dedup_lines): boilerplate lines
+    (trimmed text in >= 2 distinct docs, >= 10 chars) removed, survivors
+    re-joined in original order. The boilerplate footer (1/7 of the
+    corpus each) must vanish from every doc; unique signature lines and
+    sub-threshold lines must survive verbatim."""
+    from .operators.textprep import dedup_lines
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(F.lit(_LINE_AUG[0]), (F.col("doc_id") % 7).cast("string")),
+            F.concat(F.lit(_LINE_AUG[1]), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return dedup_lines(docs, min_docs=2, min_chars=10)
+
+
+LINE_DEDUP_SQL = f"""
+    WITH docs2 AS (
+        SELECT doc_id,
+               text || chr(10) || '{_LINE_AUG[0]}' || CAST(doc_id % 7 AS VARCHAR)
+                    || chr(10) || '{_LINE_AUG[1]}' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents
+    ),
+    split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2),
+    lines0 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ls) + 1),
+                      i -> {{'pos': i, 'line': ls[i]}})) AS s
+        FROM split
+    ),
+    elig AS (
+        SELECT doc_id, s.pos AS pos, s.line AS line,
+               CASE WHEN len(trim(s.line)) >= 10 THEN trim(s.line) END AS k
+        FROM lines0
+    ),
+    dup AS (
+        SELECT k FROM elig WHERE k IS NOT NULL
+        GROUP BY k HAVING count(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+        SELECT e.doc_id, e.pos, e.line
+        FROM elig e LEFT JOIN dup d ON e.k = d.k
+        WHERE d.k IS NULL
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_lines FROM elig GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(r.clean_text, '') AS text,
+           CAST(t.n_lines AS INT) AS n_lines,
+           CAST(t.n_lines - coalesce(r.n_kept, 0) AS INT) AS n_removed
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+DEDUP_QUERIES["line_dedup"] = (q_line_dedup, LINE_DEDUP_SQL)

@@ -702,3 +702,124 @@ PLACES_QUERIES = {
     "embed_neardup_lsh": (q_embed_neardup_lsh, EMBED_NEARDUP_LSH_SQL),
     "coverage_cells": (q_coverage_cells, COVERAGE_CELLS_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — cluster-bucketed semantic dedup decision (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the corpus ∪ perturbed self-copies (the
+    embed_neardup_lsh augmentation: element 1 + 0.05, vec_id + 10000,
+    double-cast in both engines): every (v, v+10000) pair is a semantic
+    duplicate at eps=0.05, so each component must keep exactly one
+    member — the one FARTHEST from its cluster centroid (the paper's
+    keep rule). Serves from the committed codebook artifact, the same
+    file the oracle inlines (the ivf_ann_topk serving pattern)."""
+    from .operators.similarity import (
+        committed_codebook_path,
+        load_or_train_codebook,
+        semdedup,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding")
+    )
+    near = e.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    aug = e.unionByName(near)
+    p = committed_codebook_path(16, 3)
+    cb = (
+        spark.read.parquet(str(p))
+        if p.exists()
+        else load_or_train_codebook(spark, sf_dir, n_centroids=16, iters=3)
+    )
+    return semdedup(aug, cb, eps=0.05).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("component").cast("long").alias("component"),
+        F.col("keep"),
+    )
+
+
+def _semdedup_sql(eps: float = 0.05):
+    """Exact DuckDB oracle for q_semdedup: inline the committed codebook,
+    mirror the argmax assignment (raw-double order, cluster-asc ties),
+    the within-cluster eps-ball pairs on round(cosine, 6), the recursive
+    min-label closure, and the keep-the-farthest-from-centroid window.
+    None (rows-only fallback) only if the committed codebook is absent."""
+    from .operators.similarity import committed_codebook_path
+
+    p = committed_codebook_path(16, 3)
+    if not p.exists():
+        return None
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(p)
+    rows = ",".join(
+        f"({c}, [{','.join(repr(float(v)) for v in vec)}]::DOUBLE[])"
+        for c, vec in zip(t.column("cluster").to_pylist(), t.column("centroid").to_pylist())
+    )
+    threshold = repr(round(1.0 - eps, 6))
+    return f"""
+    WITH RECURSIVE base AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+        FROM embeddings
+    ),
+    aug AS (
+        SELECT vec_id, embedding FROM base
+        UNION ALL
+        SELECT vec_id + 10000 AS vec_id,
+               list_prepend(embedding[1] + 0.05, embedding[2:]) AS embedding
+        FROM base
+    ),
+    cb(cluster, centroid) AS (VALUES {rows}),
+    scored AS (
+        SELECT a.vec_id, a.embedding, cb.cluster,
+               {_duck_cosine('a.embedding', 'cb.centroid')} AS c,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY {_duck_cosine('a.embedding', 'cb.centroid')} DESC,
+                            cb.cluster ASC) AS rn
+        FROM aug a CROSS JOIN cb
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cluster, round(c, 6) AS ccos
+        FROM scored WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM assigned a JOIN assigned b USING (cluster)
+        WHERE a.vec_id < b.vec_id
+          AND round({_duck_cosine('a.embedding', 'b.embedding')}, 6) >= {threshold}
+    ),
+    edges AS (
+        SELECT va AS src, vb AS dst FROM pairs
+        UNION SELECT vb AS src, va AS dst FROM pairs
+    ),
+    reach AS (
+        SELECT DISTINCT src AS vec_id, src AS r FROM edges
+        UNION
+        SELECT re.vec_id, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r
+    ),
+    comps AS (SELECT vec_id, min(r) AS component FROM reach GROUP BY vec_id),
+    ranked AS (
+        SELECT c.vec_id, c.component,
+               row_number() OVER (PARTITION BY c.component
+                   ORDER BY a.ccos ASC, c.vec_id ASC) AS rn
+        FROM comps c JOIN assigned a USING (vec_id)
+    )
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+           CAST(a.cluster AS INT) AS cluster,
+           CAST(coalesce(r.component, a.vec_id) AS BIGINT) AS component,
+           (r.vec_id IS NULL OR r.rn = 1) AS keep
+    FROM assigned a LEFT JOIN ranked r USING (vec_id)
+    """
+
+
+PLACES_QUERIES["semdedup_keep"] = (q_semdedup, _semdedup_sql())

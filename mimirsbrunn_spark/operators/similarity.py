@@ -464,3 +464,92 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_vec", "neighbor_vec", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — cluster-bucketed semantic deduplication (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    eps: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): semantic near-dup
+    REMOVAL over an embedding column, bucketed by a k-means coarse
+    quantizer so the pairwise stage is Σ|cluster|² instead of n².
+
+    Stages (all pure Catalyst — hence an exact DuckDB oracle):
+    1. assign every vector to its nearest codebook centroid (the same
+       broadcast argmax-cosine join ``ivf_topk_codebook`` serves from —
+       one inverted list per vector, raw-double ties broken cluster-asc);
+    2. within each cluster, pairs with round(cosine, 6) >= 1 - eps are
+       semantic duplicates (the paper's epsilon ball). The self-join
+       shuffles on the cluster key only — no cross-cluster pairs exist,
+       which is the paper's explicit scalability argument, and at 100 TB
+       the knob is n_centroids: more clusters → smaller Σ|cluster|²
+       (the quantizer trains once, distributed Lloyd);
+    3. duplicate-pair graph → connected components (the shared
+       ``neardup_components`` min-label propagation, shallow graphs);
+    4. keep exactly one member per component: the paper keeps the vector
+       with the LOWEST cosine to its cluster centroid (farthest from the
+       centroid — "keep the outliers"), ties broken by id asc on the
+       6-decimal-rounded centroid cosine so the rule is engine-portable.
+
+    Returns one row per input vector: (id, cluster, component, keep) —
+    ``component`` = min reachable id (own id if unpaired), ``keep`` =
+    true for unpaired vectors and component representatives. Filtering
+    ``keep`` implements the paper's dedup; returning the full assignment
+    keeps the decision auditable (mirrors ``dedup_keep_canonical``).
+
+    Reference analogue: mimirsbrunn dedups places by (name, admin) key
+    (dedup in streets — see operators/enrich.py W1); this is the
+    embedding-space generalization a training-data pipeline needs.
+    """
+    from .dedup import neardup_components
+
+    threshold = round(1.0 - eps, 6)
+    assigned = _nearest_clusters(corpus, codebook, 1, id_col, vec_col)
+    cb = F.broadcast(codebook).alias("cb")
+    withc = (
+        assigned.alias("a")
+        .join(cb, "cluster")
+        .select(
+            F.col(f"a.{id_col}"),
+            F.col(f"a.{vec_col}"),
+            F.col("cluster"),
+            F.round(F.expr(_cosine_fold(f"a.{vec_col}", "cb.centroid")), 6).alias("ccos"),
+        )
+    )
+    a, b = withc.alias("a"), withc.alias("b")
+    pcos = F.round(F.expr(_cosine_fold(f"a.{vec_col}", f"b.{vec_col}")), 6)
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            pcos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    comps = neardup_components(pairs, "vec_a", "vec_b").withColumnRenamed("doc_id", id_col)
+    w = Window.partitionBy("component").orderBy(F.col("ccos").asc(), F.col(id_col).asc())
+    ranked = (
+        comps.join(withc.select(id_col, "ccos"), id_col)
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        withc.select(id_col, "cluster")
+        .join(ranked.select(id_col, "component", "rn"), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.coalesce("component", F.col(id_col)).alias("component"),
+            (F.col("rn").isNull() | (F.col("rn") == 1)).alias("keep"),
+        )
+    )

@@ -312,3 +312,82 @@ def gopher_pass_predicate(
             min_words, max_words, min_stop_words,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line dedup (CCNet / C4 style) with document reassembly
+# ---------------------------------------------------------------------------
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_chars: int = 10,
+) -> DataFrame:
+    """Cross-document line deduplication with in-place reassembly — the
+    CCNet paragraph-dedup / C4 boilerplate-line-removal staple
+    (Wenzek et al. 2020 §3.1; Raffel et al. 2020 §2.2): a line whose
+    trimmed text occurs in >= ``min_docs`` DISTINCT documents is
+    boilerplate (nav bars, cookie banners, license footers) and is
+    removed from every document; each document's surviving lines are
+    re-joined in original order.
+
+    Lines shorter than ``min_chars`` after trimming are never dedup
+    candidates (blank lines and one-word connectives are legitimately
+    frequent) — they survive verbatim, preserving the document's shape.
+
+    Plan shape (pure Catalyst): split → posexplode → groupBy(line-key)
+    countDistinct → anti-join on the duplicated-key set → groupBy(doc)
+    ordered re-assembly. Three shuffles, each keyed (line-key, line-key,
+    doc-id), all linear in corpus size — never all-pairs, and the
+    duplicated-key set stays distributed (anti-join, NOT a broadcast or
+    driver collect: at 10^12 docs the boilerplate set is itself huge).
+    At 100 TB the same ``hash_shingles`` option as
+    ``shared_ngram_doc_flags`` applies in spirit: key the join by
+    xxhash64(line) to shuffle 8-byte keys (the gate keeps the exact
+    string path so the DuckDB oracle is engine-exact).
+
+    Returns one row per input document: (id, text [cleaned], n_lines,
+    n_removed) — documents whose every line was removed come back with
+    empty text, n_removed = n_lines.
+    """
+    key = F.trim(F.col("line"))
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn(
+        # null key = ineligible line: null never equi-joins, so the
+        # anti-join below passes these through untouched
+        "k",
+        F.when(F.length(key) >= min_chars, key),
+    )
+    dup_keys = (
+        lines.filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("k")
+    )
+    kept = lines.join(dup_keys, "k", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias(text_col),
+            F.col("n_lines").cast("int").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).cast("int").alias("n_removed"),
+        )
+    )
