@@ -927,3 +927,122 @@ EXTRA_QUERIES = {
     "merge_update": (q_merge_update, MERGE_UPDATE_SQL),
     "geo_points_arrow": (q_geo_points_arrow, GEO_POINTS_ARROW_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Curation: stratified sampling + sequence packing (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quota sampling (quotas mode): 25 docs per lang,
+    ranked by the portable LCG selection hash — deterministic across
+    engines and cluster widths."""
+    from .operators.curation import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    quotas = d.select("lang").distinct().withColumn("quota", F.lit(25))
+    return stratified_sample(d, ("lang",), quotas=quotas).select(
+        "doc_id", "lang", F.col("sample_h").cast("long").alias("sample_h")
+    )
+
+
+def q_hash_rate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateless 100-TB sampling path (rate mode): keep rows whose
+    selection hash clears the rate threshold — a pure filter, no window,
+    no shuffle, no exchange anywhere in the plan."""
+    from .operators.curation import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    return stratified_sample(d, rate=0.2).select(
+        "doc_id", "lang", F.col("sample_h").cast("long").alias("sample_h")
+    )
+
+
+def _curation_hash_sql() -> str:
+    from .operators.curation import sample_hash_col
+
+    return sample_hash_col("doc_id")
+
+
+def _stratified_sample_sql() -> str:
+    return f"""
+    WITH h AS (
+        SELECT doc_id, lang, {_curation_hash_sql()} AS sample_h FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, sample_h,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY sample_h ASC, doc_id ASC) AS rnk
+        FROM h
+    )
+    SELECT doc_id, lang, CAST(sample_h AS BIGINT) AS sample_h
+    FROM ranked WHERE rnk <= 25
+    """
+
+
+def _hash_rate_sample_sql() -> str:
+    from .operators.curation import HASH_P
+
+    return f"""
+    SELECT doc_id, lang, CAST({_curation_hash_sql()} AS BIGINT) AS sample_h
+    FROM documents
+    WHERE {_curation_hash_sql()} < {int(0.2 * HASH_P)}
+    """
+
+
+_PACK_BUDGET = 200
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit token-budget packing per language shard: whitespace
+    token counts (the token_count gate's engine-exact expression) packed
+    at budget 200 — the applyInPandas sequential walk vs a DuckDB
+    recursive-CTE replay of the identical next-fit recurrence."""
+    from .operators.curation import pack_sequences
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"[ \t\r\n\x0b\f]+")
+    n = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(F.size(toks))
+    withn = d.select("lang", "doc_id", n.cast("long").alias("n_tokens"))
+    return pack_sequences(withn, budget=_PACK_BUDGET, group_cols=("lang",)).select(
+        "lang", "doc_id", "n_tokens",
+        F.col("bin").cast("int").alias("bin"),
+        F.col("bin_pos").cast("int").alias("bin_pos"),
+    )
+
+
+PACK_SEQUENCES_SQL = rf"""
+    WITH RECURSIVE toks AS (
+        SELECT lang, doc_id,
+               (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '[ \t\r\n\x0b\f]+'))
+                END)::BIGINT AS n_tokens,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    walk AS (
+        SELECT lang, doc_id, n_tokens, rn,
+               CASE WHEN n_tokens <= {_PACK_BUDGET} THEN 0 ELSE 1 END AS bin,
+               n_tokens AS cum,
+               0 AS bin_pos
+        FROM toks WHERE rn = 1
+        UNION ALL
+        SELECT t.lang, t.doc_id, t.n_tokens, t.rn,
+               CASE WHEN w.cum + t.n_tokens <= {_PACK_BUDGET}
+                    THEN w.bin ELSE w.bin + 1 END,
+               CASE WHEN w.cum + t.n_tokens <= {_PACK_BUDGET}
+                    THEN w.cum + t.n_tokens ELSE t.n_tokens END,
+               CASE WHEN w.cum + t.n_tokens <= {_PACK_BUDGET}
+                    THEN w.bin_pos + 1 ELSE 0 END
+        FROM walk w JOIN toks t ON t.lang = w.lang AND t.rn = w.rn + 1
+    )
+    SELECT lang, doc_id, n_tokens, CAST(bin AS INT) AS bin,
+           CAST(bin_pos AS INT) AS bin_pos
+    FROM walk
+"""
+
+
+EXTRA_QUERIES["stratified_sample"] = (q_stratified_sample, _stratified_sample_sql())
+EXTRA_QUERIES["hash_rate_sample"] = (q_hash_rate_sample, _hash_rate_sample_sql())
+EXTRA_QUERIES["pack_sequences"] = (q_pack_sequences, PACK_SEQUENCES_SQL)
