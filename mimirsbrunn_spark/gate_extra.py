@@ -1046,3 +1046,52 @@ PACK_SEQUENCES_SQL = rf"""
 EXTRA_QUERIES["stratified_sample"] = (q_stratified_sample, _stratified_sample_sql())
 EXTRA_QUERIES["hash_rate_sample"] = (q_hash_rate_sample, _hash_rate_sample_sql())
 EXTRA_QUERIES["pack_sequences"] = (q_pack_sequences, PACK_SEQUENCES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# CCNet LM quality stratification (operators/textprep.unigram_ppl_buckets)
+# ---------------------------------------------------------------------------
+
+
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language unigram-LM perplexity scores + CCNet head/middle/tail
+    ntile(3) buckets over the documents corpus."""
+    from .operators.textprep import unigram_ppl_buckets
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_ppl_buckets(d.select("doc_id", "lang", "text"))
+
+
+PPL_BUCKETS_SQL = r"""
+    WITH nonempty AS (
+        SELECT doc_id, lang, text FROM documents WHERE length(trim(text)) > 0
+    ),
+    exploded AS (
+        SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '[ \t\r\n\x0b\f]+')) AS tok
+        FROM nonempty
+    ),
+    counts AS (SELECT lang, tok, count(*) AS c FROM exploded GROUP BY lang, tok),
+    lang_tot AS (
+        SELECT lang, sum(c) AS total, count(*) AS vocab FROM counts GROUP BY lang
+    ),
+    nll AS (
+        SELECT e.doc_id, e.lang,
+               round(avg(ln(t.total + t.vocab) - ln(c.c + 1)), 6) AS ppl_score
+        FROM exploded e
+        JOIN counts c ON c.lang = e.lang AND c.tok = e.tok
+        JOIN lang_tot t ON t.lang = e.lang
+        GROUP BY e.doc_id, e.lang
+    ),
+    bucketed AS (
+        SELECT doc_id, lang, ppl_score,
+               ntile(3) OVER (PARTITION BY lang
+                   ORDER BY ppl_score ASC, doc_id ASC) AS ppl_bucket
+        FROM nll
+    )
+    SELECT d.doc_id, d.lang, b.ppl_score, CAST(b.ppl_bucket AS INT) AS ppl_bucket
+    FROM documents d
+    LEFT JOIN bucketed b ON b.doc_id = d.doc_id AND b.lang = d.lang
+"""
+
+
+EXTRA_QUERIES["ppl_buckets"] = (q_ppl_buckets, PPL_BUCKETS_SQL)

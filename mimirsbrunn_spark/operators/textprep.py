@@ -31,7 +31,7 @@ string path).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -389,5 +389,77 @@ def dedup_lines(
             F.coalesce("clean_text", F.lit("")).alias(text_col),
             F.col("n_lines").cast("int").alias("n_lines"),
             (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).cast("int").alias("n_removed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM quality stratification (unigram perplexity buckets)
+# ---------------------------------------------------------------------------
+
+
+def unigram_ppl_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's quality stratification (Wenzek et al. 2020 §3.3) with the
+    KenLM 5-gram replaced by a corpus-trained unigram model — the same
+    decision structure (score each document by per-language LM negative
+    log-likelihood, split each language into equal head/middle/tail
+    buckets) with training expressible inside the engine:
+
+    - train: per-language Laplace-smoothed unigram probabilities
+      p(tok|lang) = (c+1)/(total+vocab) — one groupBy over the exploded
+      token stream (the "train" shuffle, vocabulary-sized output);
+    - score: each document's mean -ln p over its tokens, rounded at 1e-6
+      (the repo's cross-engine float protocol: ln on exact integers is
+      bit-identical libm in both engines; the per-doc mean is a short
+      double sum, orders of magnitude above the partial-sum-order ulp);
+    - bucket: ntile(n) per language ordered by (score, id) — a total
+      order, so the equal-frequency split is deterministic and
+      engine-exact. Bucket 1 = head (lowest perplexity) … n = tail,
+      CCNet's exact downstream contract (they keep head+middle for
+      training, route tail to filtering).
+
+    Documents with zero tokens are returned with NULL score and bucket —
+    callers route them to the length filters where they belong.
+
+    Plan: explode → train groupBy (shuffle on (lang, tok)) → score join
+    (shuffle on (lang, tok), vocabulary dim) → per-doc agg (shuffle on
+    id) → per-lang window. Linear end-to-end, never all-pairs; the
+    vocabulary join is the standard count-dim pattern and broadcasts
+    when the vocab is small.
+    """
+    toks = F.split(F.trim(F.col(text_col)), WS_RX + "+")
+    exploded = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        id_col, lang_col, F.explode(toks).alias("tok")
+    )
+    counts = exploded.groupBy(lang_col, "tok").agg(F.count("*").alias("c"))
+    lang_tot = counts.groupBy(lang_col).agg(
+        F.sum("c").alias("total"), F.count("*").alias("vocab")
+    )
+    nll = (
+        exploded.join(counts, [lang_col, "tok"])
+        .join(lang_tot, lang_col)
+        .withColumn(
+            "nlp",
+            F.log(F.col("total") + F.col("vocab")) - F.log(F.col("c") + F.lit(1)),
+        )
+        .groupBy(id_col, lang_col)
+        .agg(F.round(F.avg("nlp"), 6).alias("ppl_score"))
+    )
+    w = Window.partitionBy(lang_col).orderBy(F.col("ppl_score").asc(), F.col(id_col).asc())
+    scored = nll.withColumn("ppl_bucket", F.ntile(n_buckets).over(w))
+    return (
+        docs.select(id_col, lang_col)
+        .join(scored, [id_col, lang_col], "left")
+        .select(
+            id_col,
+            lang_col,
+            "ppl_score",
+            F.col("ppl_bucket").cast("int").alias("ppl_bucket"),
         )
     )
