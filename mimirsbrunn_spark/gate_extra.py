@@ -1095,3 +1095,52 @@ PPL_BUCKETS_SQL = r"""
 
 
 EXTRA_QUERIES["ppl_buckets"] = (q_ppl_buckets, PPL_BUCKETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-smoothed mixture sampling (operators/curation)
+# ---------------------------------------------------------------------------
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """temperature_quotas(alpha=0.7, total=100) composed with
+    stratified_sample quota mode: the full multilingual mix pipeline —
+    head languages flattened, low-resource upsampled relative to share,
+    selection deterministic by the portable hash."""
+    from .operators.curation import stratified_sample, temperature_quotas
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    quotas = temperature_quotas(d, ("lang",), total=100, alpha=0.7)
+    return stratified_sample(d, ("lang",), quotas=quotas).select(
+        "doc_id", "lang", F.col("sample_h").cast("long").alias("sample_h")
+    )
+
+
+TEMPERATURE_MIX_SQL = f"""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT sum(n) AS corpus_n FROM counts),
+    weighted AS (
+        SELECT lang, n, pow(n / corpus_n, 0.7) AS w FROM counts, tot
+    ),
+    ws AS (SELECT sum(w) AS w_sum FROM weighted),
+    quotas AS (
+        SELECT lang,
+               least(n, CAST(floor(round(100 * w / w_sum, 6)) AS INT)) AS quota
+        FROM weighted, ws
+    ),
+    h AS (
+        SELECT doc_id, lang, {_curation_hash_sql()} AS sample_h FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, sample_h,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY sample_h ASC, doc_id ASC) AS rnk
+        FROM h
+    )
+    SELECT r.doc_id, r.lang, CAST(r.sample_h AS BIGINT) AS sample_h
+    FROM ranked r JOIN quotas q ON q.lang = r.lang
+    WHERE r.rnk <= q.quota
+"""
+
+
+EXTRA_QUERIES["temperature_mix"] = (q_temperature_mix, TEMPERATURE_MIX_SQL)

@@ -823,3 +823,90 @@ def _semdedup_sql(eps: float = 0.05):
 
 
 PLACES_QUERIES["semdedup_keep"] = (q_semdedup, _semdedup_sql())
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (operators/similarity.quantize_int8 / int8_topk)
+# ---------------------------------------------------------------------------
+
+
+def q_int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantization itself, hashed code-for-code: per-vector scale +
+    posexploded int8 codes (floor(x/scale + 0.5), engine-exact by
+    construction — no SQL round() half-case ambiguity)."""
+    from .operators.similarity import quantize_int8
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    return quantize_int8(e).select(
+        "vec_id", "scale", F.posexplode("codes").alias("slot", "code")
+    ).select("vec_id", "scale", F.col("slot").cast("int").alias("slot"),
+             F.col("code").cast("int").alias("code"))
+
+
+INT8_CODES_SQL = """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM v
+    ),
+    q AS (
+        SELECT vec_id, amax / 127.0 AS scale,
+               CASE WHEN amax = 0 THEN list_transform(e, x -> 0)
+                    ELSE list_transform(e, x -> CAST(floor(x / (amax / 127.0) + 0.5) AS INT))
+               END AS codes
+        FROM s
+    )
+    SELECT vec_id, scale, CAST(sl.slot AS INT) AS slot,
+           CAST(codes[sl.slot + 1] AS INT) AS code
+    FROM q, (SELECT unnest(range(0, 64)) AS slot) sl
+"""
+
+
+def q_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 cosine over the int8-dequantized vectors (the 4×-cheaper
+    serving representation) for the vec_id < 20 query set — the scoring
+    kernel a 100-TB tier holds in memory; recall vs float32 is pinned
+    in pytest, exactness of the quantized score is gated here."""
+    from .operators.similarity import int8_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    return int8_topk(e.filter(F.col("vec_id") < 20), e, k=3).select(
+        "query_vec", "neighbor_vec", "cosine", F.col("rank").cast("int").alias("rank")
+    )
+
+
+INT8_TOPK_SQL = f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM v
+    ),
+    dq AS (
+        SELECT vec_id,
+               CASE WHEN amax = 0 THEN list_transform(e, x -> 0.0)
+                    ELSE list_transform(e,
+                         x -> CAST(floor(x / (amax / 127.0) + 0.5) AS INT) * (amax / 127.0))
+               END AS e
+        FROM s
+    ),
+    cand AS (
+        SELECT a.vec_id AS query_vec, b.vec_id AS neighbor_vec,
+               round({_duck_cosine('a.e', 'b.e')}, 6) AS cosine
+        FROM dq a JOIN dq b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 20
+    ),
+    ranked AS (
+        SELECT query_vec, neighbor_vec, cosine,
+               row_number() OVER (PARTITION BY query_vec
+                   ORDER BY cosine DESC, neighbor_vec ASC) AS rank
+        FROM cand
+    )
+    SELECT query_vec, neighbor_vec, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+"""
+
+
+PLACES_QUERIES["embed_int8_codes"] = (q_int8_codes, INT8_CODES_SQL)
+PLACES_QUERIES["int8_ann_topk"] = (q_int8_topk, INT8_TOPK_SQL)

@@ -136,3 +136,43 @@ def pack_sequences(
         .groupBy(*gcols)
         .applyInPandas(pack, schema=out_schema)
     )
+
+
+def temperature_quotas(
+    df: DataFrame,
+    strata_cols: Sequence[str] = ("lang",),
+    total: int = 100,
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-smoothed mixture quotas — the multilingual training
+    mix staple (XLM / mBERT exponential smoothing; Conneau & Lample
+    2019 §3.1): stratum probabilities p_l are re-weighted to p_l^alpha
+    and renormalized, flattening the head so low-resource strata are
+    upsampled relative to their share. Returns strata_cols + ``quota``:
+    floor(total * q_l) capped at the stratum's size, ready to feed
+    ``stratified_sample(quotas=)``.
+
+    The power/normalize arithmetic is rounded at 1e-6 before the floor
+    (the repo's cross-engine float protocol — pow may differ by an ulp
+    between libm builds; 1e-6 is orders of magnitude above that).
+
+    One tiny aggregate: counts per stratum (strata counts are small by
+    construction — languages × sources), then driver-free column math.
+    """
+    counts = df.groupBy(*strata_cols).agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("corpus_n"))
+    weighted = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "w", F.pow(F.col("n") / F.col("corpus_n"), F.lit(alpha))
+    )
+    wsum = weighted.agg(F.sum("w").alias("w_sum"))
+    return (
+        weighted.crossJoin(F.broadcast(wsum))
+        .withColumn(
+            "quota",
+            F.least(
+                F.col("n"),
+                F.floor(F.round(F.lit(total) * F.col("w") / F.col("w_sum"), 6)).cast("int"),
+            ).cast("int"),
+        )
+        .select(*strata_cols, "quota")
+    )

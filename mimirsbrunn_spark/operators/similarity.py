@@ -553,3 +553,66 @@ def semdedup(
             (F.col("rn").isNull() | (F.col("rn") == 1)).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the embedding bandwidth-reduction path
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: codes[i] =
+    floor(x[i]/scale + 0.5) with scale = max|x|/127 — 4× less scan/
+    shuffle bandwidth than float32, which at 100 TB is the difference
+    between an embedding table that fits the IO budget and one that
+    doesn't (FAISS SQ8 / every production vector store's starter
+    compression). Zero vectors quantize to all-zero codes at scale 0.
+
+    The rounding is written as an explicit floor(x + 0.5) — not the
+    engines' round() — because SQL round() half-case conventions differ
+    across engines while floor is a single bit-identical libm call;
+    codes are therefore engine-exact and the gate hashes them directly.
+
+    Pure Catalyst (transform/aggregate over the array column — no
+    Python, no shuffle: a map-side rewrite of the column). Returns
+    id, scale (double) and the int codes array; ``dequantize_expr``
+    rebuilds an approximate vector for rescoring with the existing
+    cosine machinery.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    codes = F.when(amax == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.floor(x / (amax / F.lit(127.0)) + F.lit(0.5)).cast("int"))
+    )
+    return df.select(F.col(id_col), scale, codes.alias("codes"))
+
+
+def dequantize_expr(codes_col: str = "codes", scale_col: str = "scale") -> str:
+    """SQL text rebuilding the approximate double vector from int8
+    codes — shared verbatim with the DuckDB oracle."""
+    return f"transform({codes_col}, c -> c * {scale_col})"
+
+
+def int8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine over int8-quantized vectors: quantize both sides,
+    score on the dequantized approximation (the memory-resident form a
+    100-TB serving tier would hold), rank per query. The quantized
+    score is deterministic, so this has an exact oracle — approximation
+    QUALITY vs float32 is pinned separately in pytest (recall@k).
+    Candidate generation stays the existing LSH/IVF buckets at scale;
+    this is the scoring kernel swap."""
+    dq = F.expr(dequantize_expr())
+    qq = quantize_int8(queries, id_col, vec_col).select(F.col(id_col), dq.alias(vec_col))
+    cc = quantize_int8(corpus, id_col, vec_col).select(F.col(id_col), dq.alias(vec_col))
+    return cosine_topk(qq, cc, k, id_col, vec_col).select(
+        "query_vec", "neighbor_vec", "cosine", "rank"
+    )

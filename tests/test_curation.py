@@ -115,3 +115,30 @@ class TestPackSequences:
         sums = out.groupby("bin")["n_tokens"].agg(["sum", "count"])
         over = sums[sums["sum"] > 120]
         assert (over["count"] == 1).all()
+
+
+class TestTemperatureQuotas:
+    def test_alpha_flattens_head(self, spark):
+        from mimirsbrunn_spark.operators.curation import temperature_quotas
+
+        d = _docs(spark, [(i, "en" if i < 80 else "fr") for i in range(100)])
+        q1 = {r["lang"]: r["quota"] for r in temperature_quotas(d, total=50, alpha=1.0).collect()}
+        q05 = {r["lang"]: r["quota"] for r in temperature_quotas(d, total=50, alpha=0.5).collect()}
+        # alpha=1 reproduces corpus proportions; lower alpha moves quota
+        # from the head language to the tail one
+        assert q1 == {"en": 40, "fr": 10}
+        assert q05["en"] < 40 and q05["fr"] > 10
+
+    def test_quota_capped_at_stratum_size(self, spark):
+        from mimirsbrunn_spark.operators.curation import temperature_quotas
+
+        d = _docs(spark, [(1, "de"), (2, "de"), (3, "en")])
+        q = {r["lang"]: r["quota"] for r in temperature_quotas(d, total=1000, alpha=0.7).collect()}
+        assert q["de"] <= 2 and q["en"] <= 1
+
+    def test_alpha_zero_is_uniform(self, spark):
+        from mimirsbrunn_spark.operators.curation import temperature_quotas
+
+        d = _docs(spark, [(i, "en" if i < 90 else "fr") for i in range(100)])
+        q = {r["lang"]: r["quota"] for r in temperature_quotas(d, total=20, alpha=0.0).collect()}
+        assert q == {"en": 10, "fr": 10}

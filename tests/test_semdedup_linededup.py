@@ -148,3 +148,37 @@ class TestDedupLines:
         out = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
         assert out[1]["n_removed"] == 0
         assert out[1]["text"] == "repeated internal line\nrepeated internal line"
+
+
+class TestInt8Quantization:
+    def test_zero_vector(self, spark):
+        from mimirsbrunn_spark.operators.similarity import quantize_int8
+
+        d = _vecs(spark, [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])])
+        out = {r["vec_id"]: r for r in quantize_int8(d).collect()}
+        assert out[1]["scale"] == 0.0 and out[1]["codes"] == [0, 0, 0]
+        # max|x| maps to +/-127 exactly; codes stay within int8 range
+        assert out[2]["codes"][1] == -127
+        assert all(-127 <= c <= 127 for c in out[2]["codes"])
+
+    def test_codes_bounded_and_sign_preserved(self, spark):
+        from mimirsbrunn_spark.operators.similarity import quantize_int8
+
+        d = _vecs(spark, [(1, [0.3, -0.7, 0.01, -0.01])])
+        (row,) = quantize_int8(d).collect()
+        assert row["codes"][1] == -127
+        assert row["codes"][0] > 0 and row["codes"][2] >= 0 and row["codes"][3] <= 0
+
+    def test_topk_recall_vs_exact(self, spark):
+        from mimirsbrunn_spark.operators.similarity import cosine_topk, int8_topk
+
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        vecs = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(80)]
+        d = _vecs(spark, vecs)
+        q = d.filter(F.col("vec_id") < 10)
+        exact = {(r["query_vec"], r["neighbor_vec"]) for r in cosine_topk(q, d, k=5).collect()}
+        quant = {(r["query_vec"], r["neighbor_vec"]) for r in int8_topk(q, d, k=5).collect()}
+        recall = len(exact & quant) / len(exact)
+        assert recall >= 0.9, f"int8 recall@5 degraded to {recall}"
