@@ -312,10 +312,46 @@ def main() -> None:
 
     timed("q9_geocode_topk", q9)
 
+    # q10 — SemDeDup decision throughput: committed-codebook cluster
+    # assignment + within-cluster eps-ball pairs + components + keep
+    # rule over the corpus ∪ perturbed copies (~10k vectors at sf0.1)
+    def q10():
+        from mimirsbrunn_spark.gate import QUERIES
+
+        return QUERIES["semdedup_keep"][0](spark, sf_dir).count()
+
+    timed("q10_semdedup", q10)
+
+    # q11 — cross-document line dedup with reassembly over a
+    # 10x-replicated multi-line corpus (~50k docs / 150k lines at
+    # sf0.1): the groupBy + anti-join + ordered-rebuild shuffle chain
+    def q11():
+        from pyspark.sql import functions as FF
+
+        from mimirsbrunn_spark.operators.textprep import dedup_lines
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = (
+            d.crossJoin(spark.range(10).withColumnRenamed("id", "rep"))
+            .select(
+                (FF.col("doc_id") * 10 + FF.col("rep")).alias("doc_id"),
+                FF.concat_ws(
+                    "\n",
+                    FF.col("text"),
+                    FF.concat(FF.lit("boilerplate footer block "), (FF.col("doc_id") % 7).cast("string")),
+                    FF.concat(FF.lit("unique line "), (FF.col("doc_id") * 10 + FF.col("rep")).cast("string")),
+                ).alias("text"),
+            )
+        )
+        return dedup_lines(docs).count()
+
+    timed("q11_line_dedup", q11)
+
     # headline value stays the q1-q6 suite (comparable across rounds);
-    # q7 (new in r2) / q8 (new in r3) / q9 (new in r4) are reported
-    # alongside, not folded into the total
-    extra = ("q7_pip_partitioned", "q8_asof_skew", "q9_geocode_topk")
+    # q7 (new in r2) / q8 (new in r3) / q9 (new in r4) / q10+q11 (new
+    # in r5) are reported alongside, not folded into the total
+    extra = ("q7_pip_partitioned", "q8_asof_skew", "q9_geocode_topk",
+             "q10_semdedup", "q11_line_dedup")
     total = round(sum(v for k, v in timings.items() if k not in extra), 3)
     docs_per_sec = round(n_docs / timings["q1_pipeline_full"], 1)
     n_noisy = sum(1 for reps in rep_log.values() for r in reps if r["noisy"])

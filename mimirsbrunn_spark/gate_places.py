@@ -789,14 +789,22 @@ def _semdedup_sql(eps: float = 0.05):
         FROM aug a CROSS JOIN cb
     ),
     assigned AS (
-        SELECT vec_id, embedding, cluster, round(c, 6) AS ccos
+        SELECT vec_id, embedding, cluster, round(c, 6) AS ccos,
+               sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                    list_transform(range(1, 65),
+                        i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+                    (x, y) -> x + y)) AS nv
         FROM scored WHERE rn = 1
     ),
     pairs AS (
         SELECT a.vec_id AS va, b.vec_id AS vb
         FROM assigned a JOIN assigned b USING (cluster)
         WHERE a.vec_id < b.vec_id
-          AND round({_duck_cosine('a.embedding', 'b.embedding')}, 6) >= {threshold}
+          AND round(CASE WHEN a.nv * b.nv = 0 THEN 0.0 ELSE
+                list_reduce(list_prepend(0.0::DOUBLE,
+                    list_transform(range(1, 65),
+                        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)),
+                    (x, y) -> x + y) / (a.nv * b.nv) END, 6) >= {threshold}
     ),
     edges AS (
         SELECT va AS src, vb AS dst FROM pairs
