@@ -51,7 +51,7 @@ def main(argv=None) -> None:
         help="also publish the attached points as GeocodeJSON feature lines",
     )
     ap.add_argument(
-        "--text-prep", choices=["none", "pii"], default="none",
+        "--text-prep", choices=["none", "pii", "line_dedup"], default="none",
         help="opt-in corpus text preparation applied before indexing: "
              "pii = email/phone masking over text spans (span structure "
              "is gate-checked unchanged; text is expected to differ)",
@@ -128,6 +128,17 @@ def main(argv=None) -> None:
         corpus = run_stage(
             spark, ckpt, "text_prep_pii", [args.docs],
             lambda: scrub_pii_spans(docs),
+        )
+    elif args.text_prep == "line_dedup":
+        # cross-document boilerplate line removal (CCNet/C4), span-
+        # preserving: structure (kind, media_ref, offset, order) is
+        # untouched by construction, text rewrites are the stage's
+        # reported effect — same contract as the PII stage
+        from mimirsbrunn_spark.operators.textprep import dedup_lines_spans
+
+        corpus = run_stage(
+            spark, ckpt, "text_prep_line_dedup", [args.docs],
+            lambda: dedup_lines_spans(docs),
         )
     else:
         corpus = docs

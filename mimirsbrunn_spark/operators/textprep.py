@@ -463,3 +463,83 @@ def unigram_ppl_buckets(
             F.col("ppl_bucket").cast("int").alias("ppl_bucket"),
         )
     )
+
+
+def dedup_lines_spans(
+    docs: DataFrame,
+    kinds: tuple = ("text",),
+    min_docs: int = 2,
+    min_chars: int = 10,
+) -> DataFrame:
+    """Cross-document line dedup applied IN-PLACE over the interleaved
+    spans column — ``dedup_lines`` lifted to the corpus schema the same
+    way ``scrub_pii_spans`` lifts the PII scrub: the text of spans whose
+    kind is in ``kinds`` has its boilerplate lines (trimmed text in >=
+    ``min_docs`` distinct documents, >= ``min_chars`` chars) removed and
+    the survivors re-joined in order; kind, media_ref, offset and the
+    span array order are untouched, so the structural span invariant
+    holds across this stage by construction while the full-text
+    fingerprint is EXPECTED to differ exactly for the rewritten docs.
+
+    Unlike the per-row scrub this is a corpus-global decision, so the
+    plan carries the same shuffles as ``dedup_lines`` (line-key count,
+    anti-join, per-span ordered rebuild) plus one map-collect per doc to
+    splice rewritten texts back into the array — all keyed (line-key or
+    doc_id), linear, never all-pairs; the duplicate-line set stays
+    distributed (anti-join, no broadcast/collect).
+    """
+    spans_lines = (
+        docs.select("doc_id", F.posexplode("spans").alias("span_pos", "s"))
+        .filter(F.col("s.kind").isin(*kinds))
+        .select(
+            "doc_id",
+            "span_pos",
+            F.posexplode(F.split(F.coalesce(F.col("s.text"), F.lit("")), "\n")).alias(
+                "pos", "line"
+            ),
+        )
+    )
+    key = F.trim(F.col("line"))
+    lines = spans_lines.withColumn("k", F.when(F.length(key) >= min_chars, key))
+    dup_keys = (
+        lines.filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count_distinct(F.col("doc_id")).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("k")
+    )
+    rebuilt = (
+        lines.join(dup_keys, "k", "left_anti")
+        .groupBy("doc_id", "span_pos")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("new_text")
+        )
+    )
+    rewrites = rebuilt.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("span_pos", "new_text"))).alias(
+            "_rewrites"
+        )
+    )
+
+    def rewrite(s, i):
+        new = F.element_at(F.col("_rewrites"), i.cast("int"))
+        return F.struct(
+            s["kind"].alias("kind"),
+            F.when(s["kind"].isin(*kinds), F.coalesce(new, F.lit(""))).otherwise(
+                s["text"]
+            ).alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        )
+
+    return (
+        docs.join(rewrites, "doc_id", "left")
+        .withColumn("spans", F.transform("spans", rewrite))
+        .drop("_rewrites")
+    )
