@@ -339,15 +339,17 @@ def dedup_lines(
     frequent) — they survive verbatim, preserving the document's shape.
 
     Plan shape (pure Catalyst): split → posexplode → groupBy(line-key)
-    countDistinct → anti-join on the duplicated-key set → groupBy(doc)
-    ordered re-assembly. Three shuffles, each keyed (line-key, line-key,
-    doc-id), all linear in corpus size — never all-pairs, and the
-    duplicated-key set stays distributed (anti-join, NOT a broadcast or
-    driver collect: at 10^12 docs the boilerplate set is itself huge).
-    At 100 TB the same ``hash_shingles`` option as
-    ``shared_ngram_doc_flags`` applies in spirit: key the join by
-    xxhash64(line) to shuffle 8-byte keys (the gate keeps the exact
-    string path so the DuckDB oracle is engine-exact).
+    countDistinct for the duplicated-key set → ONE left join flagging
+    each line (a boilerplate hit or not) → ONE groupBy(doc) that
+    rebuilds the surviving text AND counts totals/removals together.
+    Three shuffles, keyed (line-key, line-key, doc-id), all linear in
+    corpus size — never all-pairs, and the duplicated-key set stays
+    distributed (a join, NOT a broadcast or driver collect: at 10^12
+    docs the boilerplate set is itself huge). At 100 TB the same
+    ``hash_shingles`` option as ``shared_ngram_doc_flags`` applies in
+    spirit: key the join by xxhash64(line) to shuffle 8-byte keys (the
+    gate keeps the exact string path so the DuckDB oracle is
+    engine-exact).
 
     Returns one row per input document: (id, text [cleaned], n_lines,
     n_removed) — documents whose every line was removed come back with
@@ -359,7 +361,7 @@ def dedup_lines(
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn(
         # null key = ineligible line: null never equi-joins, so the
-        # anti-join below passes these through untouched
+        # dup-flag join below passes these through untouched
         "k",
         F.when(F.length(key) >= min_chars, key),
     )
@@ -368,28 +370,29 @@ def dedup_lines(
         .groupBy("k")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
-        .select("k")
+        .select("k", F.lit(True).alias("_dup"))
     )
-    kept = lines.join(dup_keys, "k", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
+    flagged = lines.join(dup_keys, "k", "left").withColumn(
+        "_dup", F.coalesce("_dup", F.lit(False))
+    )
+    # single per-doc aggregation: ordered rebuild of the survivors and
+    # the total/removed counts in one pass (no separate totals groupBy
+    # + doc-keyed re-join — at corpus scale those were two more full
+    # exchanges for numbers this aggregate already knows)
+    return flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("_dup"), F.struct("pos", "line"))
+                    )
+                ),
                 lambda s: s["line"],
             ),
             "\n",
-        ).alias("clean_text"),
-        F.count("*").alias("n_kept"),
-    )
-    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
-    return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("clean_text", F.lit("")).alias(text_col),
-            F.col("n_lines").cast("int").alias("n_lines"),
-            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).cast("int").alias("n_removed"),
-        )
+        ).alias(text_col),
+        F.count("*").cast("int").alias("n_lines"),
+        F.sum(F.col("_dup").cast("int")).cast("int").alias("n_removed"),
     )
 
 
