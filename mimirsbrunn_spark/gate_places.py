@@ -918,3 +918,144 @@ INT8_TOPK_SQL = f"""
 
 PLACES_QUERIES["embed_int8_codes"] = (q_int8_codes, INT8_CODES_SQL)
 PLACES_QUERIES["int8_ann_topk"] = (q_int8_topk, INT8_TOPK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/similarity.pq_encode / pq_adc_topk)
+# ---------------------------------------------------------------------------
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding code-for-code: every vector's 8 subspace argmin codes
+    against the committed M=8/K=16 codebook artifact (the same file the
+    oracle inlines), posexploded to (vec_id, subspace, code)."""
+    from .operators.similarity import load_or_train_pq_codebook, pq_encode
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    cb = load_or_train_pq_codebook(spark, sf_dir)
+    return pq_encode(e, cb).select(
+        "vec_id", F.posexplode("codes").alias("subspace", "code")
+    ).select(
+        "vec_id",
+        F.col("subspace").cast("int").alias("subspace"),
+        F.col("code").cast("int").alias("code"),
+    )
+
+
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-3 for the vec_id < 20 query set: float query vs
+    PQ-encoded corpus — the 32x-compressed serving tier. Approximation
+    quality vs exact L2 is pinned in pytest; exactness of the ADC
+    arithmetic is gated here."""
+    from .operators.similarity import (
+        load_or_train_pq_codebook,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    cb = load_or_train_pq_codebook(spark, sf_dir)
+    codes = pq_encode(e, cb)
+    return pq_adc_topk(e.filter(F.col("vec_id") < 20), codes, cb, k=3).select(
+        "query_vec", "neighbor_vec", "adc_dist", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def _pq_cb_values():
+    from .operators.similarity import committed_pq_codebook_path
+
+    p = committed_pq_codebook_path()
+    if not p.exists():
+        return None
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(p)
+    return ",".join(
+        f"({m}, {c}, [{','.join(repr(float(v)) for v in vec)}]::DOUBLE[])"
+        for m, c, vec in zip(
+            t.column("subspace").to_pylist(),
+            t.column("code").to_pylist(),
+            t.column("centroid").to_pylist(),
+        )
+    )
+
+
+_DUCK_SUB_D2 = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 9),"
+    " i -> ({s}[i] - {c}[i]) * ({s}[i] - {c}[i]))), (x, y) -> x + y)"
+)
+
+
+def _pq_encode_cte() -> str:
+    """Shared encode CTE text: v → per-subspace slices → argmin codes."""
+    sub = "list_transform(range(1, 9), i -> e[m.subspace * 8 + i])"
+    d2 = _DUCK_SUB_D2.format(s="sub.s", c="cb.centroid")
+    return f"""
+    v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+    ),
+    sub AS (
+        SELECT vec_id, m.subspace, {sub} AS s
+        FROM v, (SELECT unnest(range(0, 8)) AS subspace) m
+    ),
+    scored AS (
+        SELECT sub.vec_id, sub.subspace, cb.code,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.subspace
+                   ORDER BY {d2} ASC, cb.code ASC) AS rn
+        FROM sub JOIN cb ON cb.subspace = sub.subspace
+    ),
+    codes AS (SELECT vec_id, subspace, code FROM scored WHERE rn = 1)
+    """
+
+
+def _pq_codes_sql():
+    vals = _pq_cb_values()
+    if vals is None:
+        return None
+    return f"""
+    WITH cb(subspace, code, centroid) AS (VALUES {vals}),
+    {_pq_encode_cte()}
+    SELECT vec_id, CAST(subspace AS INT) AS subspace, CAST(code AS INT) AS code
+    FROM codes
+    """
+
+
+def _pq_ann_sql(k: int = 3):
+    vals = _pq_cb_values()
+    if vals is None:
+        return None
+    qd2 = _DUCK_SUB_D2.format(s="qsub.s", c="cb.centroid")
+    qsub = "list_transform(range(1, 9), i -> e[m.subspace * 8 + i])"
+    return f"""
+    WITH cb(subspace, code, centroid) AS (VALUES {vals}),
+    {_pq_encode_cte()},
+    qsub AS (
+        SELECT vec_id AS query_vec, m.subspace, {qsub} AS s
+        FROM v, (SELECT unnest(range(0, 8)) AS subspace) m
+        WHERE vec_id < 20
+    ),
+    qtable AS (
+        SELECT qsub.query_vec, qsub.subspace, cb.code, {qd2} AS qd2
+        FROM qsub JOIN cb ON cb.subspace = qsub.subspace
+    ),
+    dist AS (
+        SELECT t.query_vec, c.vec_id AS neighbor_vec,
+               round(sum(t.qd2), 6) AS adc_dist
+        FROM codes c
+        JOIN qtable t ON t.subspace = c.subspace AND t.code = c.code
+        WHERE t.query_vec <> c.vec_id
+        GROUP BY t.query_vec, c.vec_id
+    ),
+    ranked AS (
+        SELECT query_vec, neighbor_vec, adc_dist,
+               row_number() OVER (PARTITION BY query_vec
+                   ORDER BY adc_dist ASC, neighbor_vec ASC) AS rank
+        FROM dist
+    )
+    SELECT query_vec, neighbor_vec, adc_dist, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+PLACES_QUERIES["pq_codes"] = (q_pq_codes, _pq_codes_sql())
+PLACES_QUERIES["pq_ann_topk"] = (q_pq_ann_topk, _pq_ann_sql())

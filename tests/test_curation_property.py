@@ -149,6 +149,14 @@ def test_semdedup_property(spark, tmp_path, seed):
     assert (ks == 1).all()
 
 
+@pytest.mark.parametrize("seed", [47, 59])
+def test_pq_property(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    emb, schema = _random_embeddings(rng)
+    _compare(spark, tmp_path, "pq_codes", {"embeddings": (emb, schema)})
+    _compare(spark, tmp_path, "pq_ann_topk", {"embeddings": (emb, schema)})
+
+
 @pytest.mark.parametrize("seed", [43, 61])
 def test_int8_codes_property(spark, tmp_path, seed):
     rng = random.Random(seed)
