@@ -1144,3 +1144,78 @@ TEMPERATURE_MIX_SQL = f"""
 
 
 EXTRA_QUERIES["temperature_mix"] = (q_temperature_mix, TEMPERATURE_MIX_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination + vocabulary heavy hitters (operators/textprep)
+# ---------------------------------------------------------------------------
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination flags with every 50th document standing in as the
+    held-out benchmark: those documents (and any training doc sharing an
+    8-gram with them) must flag contaminated; the rest stay clean."""
+    from .operators.textprep import decontaminate_flags
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 50 == 0).select("text")
+    return decontaminate_flags(d, bench, n=8, min_shared=1)
+
+
+DECONTAMINATE_SQL = r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[ \t\r\n\x0b\f]+') AS toks
+        FROM documents
+    ),
+    pg AS (
+        SELECT doc_id, unnest(list_distinct(
+                   list_transform(range(1, len(toks) - 8 + 2),
+                                  i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+        FROM t
+    ),
+    bg AS (SELECT DISTINCT gram FROM pg WHERE doc_id % 50 = 0),
+    counts AS (
+        SELECT pg.doc_id, count(*) AS n
+        FROM pg JOIN bg USING (gram) GROUP BY pg.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_contaminated_grams,
+           coalesce(c.n, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN counts c USING (doc_id)
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 token frequencies (tf + df), rank totally ordered
+    by (tf desc, token asc) — TakeOrdered plan, k rows to the driver."""
+    from .operators.textprep import vocab_topk
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return vocab_topk(d, k=20)
+
+
+VOCAB_TOPK_SQL = r"""
+    WITH nonempty AS (
+        SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+    ),
+    ex AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '[ \t\r\n\x0b\f]+')) AS token
+        FROM nonempty
+    ),
+    agg AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS tf,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM ex GROUP BY token
+    ),
+    ranked AS (
+        SELECT token, tf, df,
+               row_number() OVER (ORDER BY tf DESC, token ASC) AS rank
+        FROM agg
+    )
+    SELECT token, tf, df, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 20
+"""
+
+
+EXTRA_QUERIES["decontaminate"] = (q_decontaminate, DECONTAMINATE_SQL)
+EXTRA_QUERIES["vocab_topk"] = (q_vocab_topk, VOCAB_TOPK_SQL)

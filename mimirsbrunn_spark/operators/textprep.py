@@ -546,3 +546,110 @@ def dedup_lines_spans(
         .withColumn("spans", F.transform("spans", rewrite))
         .drop("_rewrites")
     )
+
+
+def _distinct_grams(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, gram) — each document's DISTINCT whitespace-token n-grams
+    (the shared_ngram_doc_flags shingle stage, factored for reuse)."""
+    toks_sql = f"split(trim({text_col}), '{WS_RX_SQL}+')"
+    grams = F.when(
+        F.size(_tokens(F.col(text_col))) >= n,
+        F.expr(
+            f"transform(sequence(1, size({toks_sql}) - {n} + 1),"
+            f" i -> concat_ws(' ', slice({toks_sql}, i, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram"))
+
+
+def decontaminate_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 §4 / PaLM App. D staple):
+    flag training documents that share at least ``min_shared`` distinct
+    token n-grams with a held-out benchmark corpus, so evaluation data
+    can be scrubbed from the training mix. Returns one row per training
+    document: (id, n_contaminated_grams, contaminated) — downstream
+    drops or audits the flagged rows.
+
+    Plan: both corpora reduce to DISTINCT per-doc n-grams (map-side),
+    the benchmark side further to a DISTINCT gram set, then ONE join
+    keyed by gram + a per-doc count — linear in both corpora, never
+    all-pairs, and the benchmark gram set stays distributed (a real
+    benchmark suite is millions of grams; no broadcast/collect). The
+    same 8-byte ``hash_shingles`` trade documented on
+    ``shared_ngram_doc_flags`` applies at 100 TB.
+    """
+    doc_grams = _distinct_grams(docs, n, id_col, text_col)
+    bench_grams = (
+        _distinct_grams(
+            benchmark.select(F.col(bench_text_col).alias("text")).withColumn(
+                "_bid", F.monotonically_increasing_id()
+            ),
+            n,
+            "_bid",
+            "text",
+        )
+        .select("gram")
+        .distinct()
+    )
+    counts = (
+        doc_grams.join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(counts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated_grams", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_grams"),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) >= min_shared).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def vocab_topk(
+    docs: DataFrame,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Global vocabulary heavy hitters: the k most frequent whitespace
+    tokens with total and document frequencies — the corpus-analysis
+    staple behind tokenizer training, stop-word induction and quality
+    debugging. (token, tf, df, rank); rank by (tf desc, token asc) — a
+    total order, engine-exact.
+
+    Plan: explode → ONE groupBy(token) computing tf + df together →
+    global top-k. The top-k is a TakeOrdered over the aggregated
+    vocabulary (k rows to the driver, not the vocabulary); the single
+    full shuffle is the token groupBy, linear in corpus tokens.
+    """
+    toks = _tokens(F.col(text_col))
+    exploded = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), F.explode(toks).alias("token")
+    )
+    agg = exploded.groupBy("token").agg(
+        F.count("*").alias("tf"), F.count_distinct(F.col(id_col)).alias("df")
+    )
+    # orderBy+limit plans as TakeOrderedAndProject — per-partition
+    # partial top-k, k rows to the driver, never the vocabulary. The
+    # rank window then runs over only those k survivors (a global
+    # window BEFORE the limit would funnel the whole vocab through one
+    # partition).
+    top = agg.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "token", "tf", "df", F.col("rank").cast("int").alias("rank")
+    )

@@ -103,6 +103,14 @@ def test_pack_sequences_property(spark, tmp_path, seed):
     assert all(sizes[(r["lang"], r["bin"])] == 1 for _, r in over.iterrows())
 
 
+@pytest.mark.parametrize("seed", [3, 11])
+def test_decontam_vocab_property(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    docs, schema = _random_docs(rng)
+    _compare(spark, tmp_path, "decontaminate", {"documents": (docs, schema)})
+    _compare(spark, tmp_path, "vocab_topk", {"documents": (docs, schema)})
+
+
 @pytest.mark.parametrize("seed", [5, 13, 41])
 def test_ppl_buckets_property(spark, tmp_path, seed):
     rng = random.Random(seed)
