@@ -137,3 +137,25 @@ def test_job_line_dedup_end_to_end(spark, boiler_docs, fixtures_dir, tmp_path):
     assert dedup_lines_spans(docs).filter(
         F.exists("spans", lambda s: s["text"].contains(FOOTER))
     ).count() == 0
+
+
+def test_job_line_dedup_composes_with_gopher(spark, boiler_docs, fixtures_dir, tmp_path):
+    """Both optional stages together: the line-dedup rewrite feeds the
+    Gopher doc filter; survivors are footer-free AND above the word
+    floor, the report carries both stages' effects, and the span
+    structure gate holds across the composition."""
+    import jobs.index_corpus as job
+
+    out = str(tmp_path / "out_ld_gq")
+    job.main([
+        "--docs", boiler_docs, "--admins", f"{fixtures_dir}/admins.parquet",
+        "--out", out, "--res", "7", "--text-prep", "line_dedup",
+        "--quality-filter", "gopher", "--gopher-min-words", "3",
+        "--gopher-min-stop", "0",
+    ])
+    report = json.loads((Path(out) / "run_report.json").read_text())
+    assert report["structure_violations"] == 0
+    assert report["text_prep"] == "line_dedup"
+    assert report["quality_filter"] == "gopher"
+    assert report["docs_text_rewritten"] > 0
+    assert report["points"] > 0
