@@ -543,6 +543,14 @@ def forward_geocode(
     # T5 house-number gate (shared Column — see _house_number_gate)
     places = places.filter(_house_number_gate(places.columns, q_tokens))
 
+    # the T1-T9 score expression is the heavy per-row work of this path:
+    # rebalance an under-split scan so it runs machine-wide (no-op on
+    # cluster-parallel inputs; after the cheap filters so pushdown-able
+    # predicates stay adjacent to the scan — guide §2.5/§6)
+    from ..operators.skew import ensure_parallelism
+
+    places = ensure_parallelism(places)
+
     cond, string_score, score = _score_terms(
         places, q_tokens, query_type, coord, lang, settings
     )

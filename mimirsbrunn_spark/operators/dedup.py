@@ -122,9 +122,16 @@ def lsh_candidate_pairs(
     pushes to the scan as one cheap tokenize pass. The DuckDB oracle
     (gate_dedup.py) keeps the `mh[1] < P` spelling over its materialized
     CTE, where it is equally cheap and provably equivalent."""
+    from .skew import ensure_parallelism
+
     rows = k // bands
     sig = with_minhash_signature(
-        df.select(id_col, text_col).filter(F.expr(f"size({tokens_expr(text_col)}) >= 3")),
+        # rebalance an under-split scan BEFORE the tokenize/shingle/
+        # minhash chain — a single-row-group corpus file would otherwise
+        # compute every signature on one task (guide §2.5)
+        ensure_parallelism(df.select(id_col, text_col)).filter(
+            F.expr(f"size({tokens_expr(text_col)}) >= 3")
+        ),
         text_col,
         k,
     )
@@ -284,25 +291,24 @@ def neardup_components(
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("component").alias("n_min"))
         )
-        new_labels = labels.join(neighbor_min, "doc_id", "left").select(
+        # the changed flag is derived IN the same label pass (new label
+        # < old label) — r6: the old separate new-vs-old join doubled
+        # the per-round job count for information this select already
+        # has; the flag rides the checkpoint and is dropped after
+        new_flagged = labels.join(neighbor_min, "doc_id", "left").select(
             "doc_id",
             F.least(F.col("component"), F.coalesce("n_min", F.col("component"))).alias("component"),
+            (F.coalesce("n_min", F.col("component")) < F.col("component")).alias("__changed"),
         )
         # eager checkpoint: fully materializes THIS generation and cuts
         # lineage — a lazy cache probed via limit(1) only partially
         # materializes, so later rounds re-derive the whole label chain
         if reliable:
-            new_labels = new_labels.checkpoint(eager=True)
+            new_flagged = new_flagged.checkpoint(eager=True)
         else:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+            new_flagged = new_flagged.localCheckpoint(eager=True)
+        changed = new_flagged.filter(F.col("__changed")).limit(1).count()
+        labels = new_flagged.drop("__changed")
         if changed == 0:
             edges.unpersist()
             labels_cached.unpersist()

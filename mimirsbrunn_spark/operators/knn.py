@@ -168,6 +168,11 @@ def reverse_geocode(
     )
     if broadcast_queries:
         q = F.broadcast(q)
+    from .skew import ensure_parallelism
+
+    # the target side carries the haversine refine over every candidate
+    # pair — an under-split single-file scan must not serialize it
+    targets = ensure_parallelism(targets)
     t = targets.select(
         F.col(target_id).alias("__tid"),
         F.col("lon").alias("__tlon"),

@@ -300,7 +300,12 @@ def attach_admins_broadcast(
     the staged dim parquet directly (see stage_admin_dim) — the driver
     pickle ceiling on dim size is gone; the path must be worker-visible
     (shared storage on a real cluster, any local path on local[N])."""
+    from .skew import ensure_parallelism
+
     spark = SparkSession.getActiveSession()
+    # under-split scans (single-file points tables) would run the whole
+    # refine on 1-2 tasks — rebalance first (no-op on parallel inputs)
+    points = ensure_parallelism(points)
     if dim_path is not None:
         token = stage_admin_dim(spark, admins, dim_path)
         bc = spark.sparkContext.broadcast((token, None, dim_path))

@@ -344,29 +344,46 @@ def load_or_train_codebook(
 
 
 def _nearest_clusters(
-    df: DataFrame, codebook: DataFrame, n: int, id_col: str, vec_col: str
+    df: DataFrame, codebook: DataFrame, n: int, id_col: str, vec_col: str,
+    keep_score: bool = False,
 ) -> DataFrame:
     """Top-n centroids per vector by cosine — pure Catalyst (broadcast
     cross join with the C-row codebook + sequential-fold dot products, the
     engine-portable pattern every other cosine gate uses). Ties broken by
     cluster asc on raw (un-rounded) doubles: both engines compute the
-    identical fold, so the comparison is bit-identical."""
-    a = df.alias("a")
-    c = F.broadcast(codebook).alias("c")
-    cos = F.expr(_cosine_fold(f"a.{vec_col}", "c.centroid"))
+    identical fold, so the comparison is bit-identical.
+
+    r6: the vector/centroid norms are each computed ONCE as columns
+    before the cross join instead of twice per (vector, centroid) pair
+    inside ``_cosine_fold`` — the identical IEEE fold evaluated 1x per
+    row instead of 4x per pair (guide §1.2 per-task work; values are
+    bit-identical because the same fold over the same array yields the
+    same double). ``keep_score=True`` returns the raw ``ccos`` and the
+    vector norm ``__vnorm`` so callers (semdedup) never re-derive them."""
+    a = df.withColumn("__vnorm", F.expr(_norm_fold(vec_col))).alias("a")
+    c = F.broadcast(
+        codebook.withColumn("__cnorm", F.expr(_norm_fold("centroid")))
+    ).alias("c")
+    cos = F.expr(
+        "CASE WHEN a.__vnorm * c.__cnorm = 0D THEN 0D ELSE "
+        f"{_dot_fold(f'a.{vec_col}', 'c.centroid')} / (a.__vnorm * c.__cnorm) END"
+    )
     w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cluster").asc())
-    return (
+    out = (
         a.crossJoin(c)
         .select(
             F.col(f"a.{id_col}"),
             F.col(f"a.{vec_col}"),
             F.col("c.cluster").alias("cluster"),
             cos.alias("ccos"),
+            F.col("a.__vnorm"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n)
-        .drop("rn", "ccos")
     )
+    if keep_score:
+        return out.drop("rn")
+    return out.drop("rn", "ccos", "__vnorm")
 
 
 def ivf_topk_codebook(
@@ -477,6 +494,7 @@ def semdedup(
     eps: float = 0.05,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pair_tasks: int = 4,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", 2023): semantic near-dup
@@ -488,11 +506,15 @@ def semdedup(
        broadcast argmax-cosine join ``ivf_topk_codebook`` serves from —
        one inverted list per vector, raw-double ties broken cluster-asc);
     2. within each cluster, pairs with round(cosine, 6) >= 1 - eps are
-       semantic duplicates (the paper's epsilon ball). The self-join
-       shuffles on the cluster key only — no cross-cluster pairs exist,
-       which is the paper's explicit scalability argument, and at 100 TB
-       the knob is n_centroids: more clusters → smaller Σ|cluster|²
-       (the quantizer trains once, distributed Lloyd);
+       semantic duplicates (the paper's epsilon ball). Pair scoring is
+       cluster-keyed only — no cross-cluster pairs exist, which is the
+       paper's explicit scalability argument, and at 100 TB the knob is
+       n_centroids: more clusters → smaller Σ|cluster|² (the quantizer
+       trains once, distributed Lloyd). r6: the per-pair cosine runs as
+       a blocked numpy kernel reproducing the Catalyst fold's summation
+       order bit-for-bit (see ``_cluster_pair_cosines``) instead of an
+       interpreted fold inside a self-join — identical values, ~10×
+       less per-pair cost, n_clusters × pair_tasks-way parallel;
     3. duplicate-pair graph → connected components (the shared
        ``neardup_components`` min-label propagation, shallow graphs);
     4. keep exactly one member per component: the paper keeps the vector
@@ -511,54 +533,46 @@ def semdedup(
     embedding-space generalization a training-data pipeline needs.
     """
     from .dedup import neardup_components
+    from .skew import ensure_parallelism
 
     threshold = round(1.0 - eps, 6)
-    assigned = _nearest_clusters(corpus, codebook, 1, id_col, vec_col)
-    cb = F.broadcast(codebook).alias("cb")
-    # one row per vector, reused four times (both pair sides, the keep
-    # rank, the final assignment) — cache it, and precompute the vector
-    # norm ONCE here so the Σ|cluster|² pair stage below is a single
-    # dot fold per pair instead of re-deriving both norms pairwise
-    # (bit-identical: same fold, same division, just not recomputed —
-    # measured 3× on the pair stage, the operator's dominant cost)
+    # single-file embedding tables plan 1-2 scan tasks; the assignment
+    # folds and the pair stage below must run machine-wide (guide §2.5)
+    corpus = ensure_parallelism(corpus)
+    # one row per vector with its cluster, centroid-cosine and norm —
+    # all three come straight out of the assignment pass (keep_score)
+    # instead of a second codebook join recomputing the winning fold.
+    # Cached: reused by the pair stage, the keep rank and the final
+    # assignment; unpersisted below once the narrow projection is
+    # checkpointed (ADVICE r05 #3 — the old cache was never released).
     withc = (
-        assigned.alias("a")
-        .join(cb, "cluster")
+        _nearest_clusters(corpus, codebook, 1, id_col, vec_col, keep_score=True)
         .select(
-            F.col(f"a.{id_col}"),
-            F.col(f"a.{vec_col}"),
+            F.col(id_col),
+            F.col(vec_col),
             F.col("cluster"),
-            F.round(F.expr(_cosine_fold(f"a.{vec_col}", "cb.centroid")), 6).alias("ccos"),
-            F.expr(_norm_fold(f"a.{vec_col}")).alias("vnorm"),
+            F.round(F.col("ccos"), 6).alias("ccos"),
+            F.col("__vnorm").alias("vnorm"),
         )
         .cache()
     )
-    a, b = withc.alias("a"), withc.alias("b")
-    pcos = F.round(
-        F.expr(
-            "CASE WHEN a.vnorm * b.vnorm = 0D THEN 0D ELSE "
-            f"{_dot_fold(f'a.{vec_col}', f'b.{vec_col}')} / (a.vnorm * b.vnorm) END"
-        ),
-        6,
-    )
-    pairs = (
-        a.join(b, "cluster")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("vec_a"),
-            F.col(f"b.{id_col}").alias("vec_b"),
-            pcos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    pairs = _cluster_pair_cosines(
+        withc, threshold, id_col, vec_col, pair_tasks=pair_tasks
     )
     comps = neardup_components(pairs, "vec_a", "vec_b").withColumnRenamed("doc_id", id_col)
+    # components have converged (neardup_components returns materialized
+    # labels): checkpoint the narrow (id, cluster, ccos) projection the
+    # remaining plan needs and release the wide embedding cache — a
+    # long-lived session no longer accumulates cached blocks per call.
+    narrow = withc.select(id_col, "cluster", "ccos").localCheckpoint(eager=True)
+    withc.unpersist()
     w = Window.partitionBy("component").orderBy(F.col("ccos").asc(), F.col(id_col).asc())
     ranked = (
-        comps.join(withc.select(id_col, "ccos"), id_col)
+        comps.join(narrow.select(id_col, "ccos"), id_col)
         .withColumn("rn", F.row_number().over(w))
     )
     return (
-        withc.select(id_col, "cluster")
+        narrow.select(id_col, "cluster")
         .join(ranked.select(id_col, "component", "rn"), id_col, "left")
         .select(
             F.col(id_col),
@@ -567,6 +581,113 @@ def semdedup(
             (F.col("rn").isNull() | (F.col("rn") == 1)).alias("keep"),
         )
     )
+
+
+def _cluster_pair_cosines(
+    withc: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    pair_tasks: int = 4,
+) -> DataFrame:
+    """The Σ|cluster|² eps-ball pair stage as a blocked numpy kernel.
+
+    The r5 plan scored every in-cluster pair with an interpreted
+    64-element Catalyst fold inside a cluster-keyed self-join — at 28M
+    pairs that is ~2×10^9 interpreted lambda steps on at most
+    n_clusters tasks (23 s of the 30 s operator at bench sf1). This
+    kernel computes the identical values vectorized (guide §4.2):
+
+    - the dot product accumulates ONE DIMENSION AT A TIME across the
+      whole pair block (``C += V[:, d] ⊗ V[:, d]``), i.e. the exact
+      left-to-right summation order of ``aggregate(zip_with(a, b, *),
+      0D, +)`` — every intermediate is the same IEEE-754 double the
+      Catalyst fold produces, so cosines are BIT-IDENTICAL (same
+      argument as the geometry ray-cast kernels);
+    - the zero-norm guard mirrors ``CASE WHEN vnorm_a*vnorm_b = 0``;
+    - the kernel pre-filters at ``threshold - 1e-6`` (conservative:
+      round-half-up at 6 decimals can lift a value by at most 5e-7) and
+      Spark applies the exact ``round(cosine, 6) >= threshold`` on the
+      returned raw doubles, so the decision is made by the same rounding
+      rule as before.
+
+    Parallelism: each cluster's rows are replicated ``pair_tasks`` times
+    and each (cluster, task) group computes a deterministic round-robin
+    slice of the block pairs — n_clusters × pair_tasks tasks instead of
+    one task per cluster, with only the (tiny) per-cluster vectors
+    duplicated. Vectors must be fixed-width (every caller's are).
+    Output: (vec_a, vec_b, cosine) with vec_a < vec_b, cosine rounded."""
+    id_dt = withc.schema[id_col].dataType.simpleString()
+    rep = withc.select("cluster", id_col, vec_col, "vnorm").withColumn(
+        "__task", F.explode(F.array(*[F.lit(i) for i in range(pair_tasks)]))
+    )
+    lo = threshold - 1e-6
+    block = 1024
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        task = int(key[1])
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype=pdf[id_col].dtype),
+                "vec_b": pd.Series(dtype=pdf[id_col].dtype),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        m = len(pdf)
+        if m < 2:
+            return empty
+        ids_raw = pdf[id_col].to_numpy()
+        order = np.argsort(ids_raw, kind="stable")
+        ids = ids_raw[order]
+        V = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64, copy=False)
+        nv = pdf["vnorm"].to_numpy()[order].astype(np.float64, copy=False)
+        dim = V.shape[1]
+        n_blocks = (m + block - 1) // block
+        out_a, out_b, out_c = [], [], []
+        pair_idx = 0
+        for bi in range(n_blocks):
+            for bj in range(bi, n_blocks):
+                if pair_idx % pair_tasks != task:
+                    pair_idx += 1
+                    continue
+                pair_idx += 1
+                I = slice(bi * block, min((bi + 1) * block, m))
+                J = slice(bj * block, min((bj + 1) * block, m))
+                VI, VJ = V[I], V[J]
+                C = np.zeros((VI.shape[0], VJ.shape[0]))
+                for d in range(dim):  # sequential-dim = the fold's order
+                    C += VI[:, d : d + 1] * VJ[:, d]
+                P = nv[I][:, None] * nv[J][None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(P == 0.0, 0.0, C / P)
+                if bi == bj:
+                    iu = np.triu_indices(VI.shape[0], k=1)
+                    keep = cos[iu] >= lo
+                    ii, jj = iu[0][keep], iu[1][keep]
+                    cc = cos[iu][keep]
+                else:
+                    ii, jj = np.nonzero(cos >= lo)
+                    cc = cos[ii, jj]
+                if len(ii):
+                    out_a.append(ids[I][ii])
+                    out_b.append(ids[J][jj])
+                    out_c.append(cc)
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    raw = rep.groupBy("cluster", "__task").applyInPandas(
+        kernel, schema=f"vec_a {id_dt}, vec_b {id_dt}, cosine double"
+    )
+    return raw.select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -80,6 +80,51 @@ def salted_cell_col(
     return F.when(base.isin(hot_cells), fine).otherwise(base).alias("salted_cell")
 
 
+def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin rebalance of an under-parallel narrow lineage — the
+    "one huge unsplittable file" defense (optimization guide §2.5: fix
+    input skew "immediately after the read"; §2.6 idle capacity).
+
+    A parquet file can only split across its row groups: a scan of a
+    single-file, single-row-group table feeds every downstream map stage
+    from ONE task no matter how many cores the cluster has, so an
+    expensive per-row operator (the mapInPandas PIP refine, MinHash
+    signatures, the geocode score expression, cosine folds) runs at 1/N
+    of the machine. When the incoming *narrow* lineage plans fewer
+    partitions than the session's default parallelism, repartition()
+    round-robin up to that parallelism. Scale-adaptive by construction:
+
+    - a lineage that already contains a shuffle exchange is left alone —
+      its parallelism is spark.sql.shuffle.partitions (cluster-sized);
+    - a multi-file / many-row-group table (any realistic 100-TB input)
+      plans >= cluster parallelism and is left alone;
+    - only the degenerate under-split scan pays one cheap narrow-row
+      shuffle to unlock the whole machine.
+
+    Call it at the consuming operator right before heavy per-row work,
+    never at the source (a repartition between scan and filter would
+    block predicate pushdown, guide §6). The partition probe reads the
+    planned partitioning only — no job runs for narrow plans (broadcast
+    stages under the plan may be materialized, bounded by broadcast
+    size).
+    """
+    sc = df.sparkSession.sparkContext
+    n_target = target or sc.defaultParallelism
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # a shuffle exchange anywhere in the lineage already re-spreads
+        # rows across shuffle.partitions; only broadcast-free narrow
+        # plans inherit the scan's (possibly degenerate) split count
+        import re
+
+        if re.search(r"\bExchange (hash|range|RoundRobin|Single)", plan):
+            return df
+        n_now = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover — planning quirks never fail the op
+        return df
+    return df.repartition(n_target) if n_now < n_target else df
+
+
 def salted_mod_col(key_col: Column | str, n_salts: int) -> Column:
     """Deterministic hash-mod salt in [0, n_salts): content-derived (no
     rand()), so retries/AQE replans recompute the identical salt. Used by
