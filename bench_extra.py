@@ -160,7 +160,31 @@ def q4parts(spark, sf_dir):
     return out
 
 
+def q7parts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from bench import ensure_corpus
+    from mimirsbrunn_spark.operators.pip import attach_admins
+    from mimirsbrunn_spark.operators.spans import extract_geo_points
+    from mimirsbrunn_spark.tiles import with_grid_cells
+
+    bench_sf = float(os.environ.get("SPARK_GRAFT_BENCH_SF", sf_dir.rstrip("/").rsplit("sf", 1)[-1]))
+    docs_path, admins_path, _ = ensure_corpus(spark, bench_sf, REPO / ".bench_cache")
+    docs = spark.read.parquet(docs_path)
+    admins = spark.read.parquet(admins_path)
+    out: dict = {}
+    pts = with_grid_cells(extract_geo_points(docs), "lon", "lat").select(
+        F.concat_ws("#", "doc_id", "span_offset").alias("point_uid"), "lon", "lat"
+    )
+    out["n_points"] = pts.count()
+    timed(spark, out, "pts_noop", lambda: noop(pts))
+    att = attach_admins(pts, admins, strategy="partitioned")
+    timed(spark, out, "attach_full", lambda: att.select(F.size("admin_ids")).groupBy().sum().collect())
+    return out
+
+
 STAGES = {
+    "q7parts": q7parts,
     "q10parts": q10parts,
     "q6parts": q6parts,
     "q3parts": q3parts,

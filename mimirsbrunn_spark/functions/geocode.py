@@ -237,14 +237,22 @@ def field_score(
 def string_query_score(
     df: DataFrame, q_tokens: list[str], query_type: str, lang: str | None, has_coord: bool,
     boosts: dict | None = None, global_boost: float | None = None,
+    toks_map: dict | None = None,
 ) -> Column:
     """T3 — build_string_query (dsl.rs:73-135): a bool-should of
     multi_match groups; each group scores best-of-fields × its boost.
     Optional columns (alt_name, loc_name, names/labels maps, zip_codes,
-    house_number) participate when present."""
+    house_number) participate when present. ``toks_map`` supplies
+    prebuilt per-field token-array Columns (the r6 CSE path) — without
+    it every score group re-tokenizes its field (HOF chains are outside
+    Catalyst's subexpression elimination)."""
     cols = set(df.columns)
     B = boosts or STRING_BOOSTS
     G = STRING_GLOBAL if global_boost is None else global_boost * 12.0
+    tm = toks_map or {}
+
+    def fs(field: str, fuzzy: bool = False) -> Column:
+        return field_score(q_tokens, field, fuzzy=fuzzy, toks=tm.get(field))
 
     def best(fields: list[Column]) -> Column:
         out = fields[0]
@@ -263,14 +271,14 @@ def string_query_score(
 
     groups = []
     if "name" in cols:
-        groups.append(best([field_score(q_tokens, "name")] + lang_variant("names")) * B["name"])
+        groups.append(best([fs("name")] + lang_variant("names")) * B["name"])
     if "alt_name" in cols:
-        groups.append(field_score(q_tokens, "alt_name") * B["alt_name"])
+        groups.append(fs("alt_name") * B["alt_name"])
     if "loc_name" in cols:
-        groups.append(field_score(q_tokens, "loc_name") * B["loc_name"])
-    groups.append(best([field_score(q_tokens, "label")] + lang_variant("labels")) * B["label"])
+        groups.append(fs("loc_name") * B["loc_name"])
+    groups.append(best([fs("label")] + lang_variant("labels")) * B["label"])
     if "zip_codes_str" in cols:
-        groups.append(field_score(q_tokens, "zip_codes_str") * B["zip_codes"])
+        groups.append(fs("zip_codes_str") * B["zip_codes"])
     elif "zip_codes" in cols:
         # lowercase like full_label_tokens does for the SAME array — raw
         # values here would let an alphanumeric postcode ('1234AB') pass
@@ -284,12 +292,12 @@ def string_query_score(
             zscore = zscore + F.array_contains(zt, t).cast("double")
         groups.append(zscore * B["zip_codes"])
     if "house_number" in cols:
-        groups.append(field_score(q_tokens, "house_number") * B["house_number"])
+        groups.append(fs("house_number") * B["house_number"])
     if query_type != "search":
-        groups.append(field_score(q_tokens, "label") * B["label_prefix"])
+        groups.append(fs("label") * B["label_prefix"])
     if query_type == "fuzzy":
         b = B["label_ngram_with_coord"] if has_coord else B["label_ngram"]
-        groups.append(field_score(q_tokens, "label", fuzzy=True) * b)
+        groups.append(fs("label", fuzzy=True) * b)
     total = groups[0]
     for g in groups[1:]:
         total = total + g
@@ -325,14 +333,16 @@ def _msm_search(n: int) -> int:
     return max(1, n - int(n * 0.25))
 
 
-def full_label_tokens(df: DataFrame) -> Column:
+def full_label_tokens(df: DataFrame, label_toks: Column | None = None) -> Column:
     """The ``full_label`` field: label + every i18n label + zip_codes,
     via copy_to in the reference mapping (mimir-base.json:147-151,
     215-219; mimir-dynamic-mappings.json i18n_labels). This — and only
     this — is what the T4 matching conditions see; name/alt_name/loc_name
-    influence scores, never matching."""
+    influence scores, never matching. ``label_toks`` supplies a prebuilt
+    label token column (the r6 CSE path) — same expression, evaluated
+    once."""
     cols = set(df.columns)
-    parts = [_tokens_of("label")]
+    parts = [label_toks if label_toks is not None else _tokens_of("label")]
     if "labels" in cols:
         parts.append(
             F.flatten(
@@ -551,14 +561,16 @@ def forward_geocode(
 
     places = ensure_parallelism(places)
 
-    cond, string_score, score = _score_terms(
+    out_cols = list(places.columns) + ["match_score", "score"]
+    places_aug, cond, string_score, score = _score_terms(
         places, q_tokens, query_type, coord, lang, settings
     )
 
     return (
-        places.filter(cond)
+        places_aug.filter(cond)
         .withColumn("match_score", string_score)
         .withColumn("score", score)
+        .select(*out_cols)  # drop the __toks_* CSE helper columns
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(k)
     )
@@ -574,14 +586,40 @@ def _score_terms(
     explain: bool = False,
 ):
     """The shared score assembly of forward_geocode and its /explain
-    twin. Returns (cond, match_score, score) — or, with ``explain=True``,
-    (cond, terms) where terms maps each additive component to its column
-    (the T10 surface: every DSL clause is a plain column)."""
+    twin. Returns (places_aug, cond, match_score, score) — or, with
+    ``explain=True``, (places_aug, cond, terms) where terms maps each
+    additive component to its column (the T10 surface: every DSL clause
+    is a plain column).
+
+    r6 manual CSE: every scored field's token array (T1 analyzer +
+    synonyms — a translate/regexp/split/transform/flatten chain) is
+    projected ONCE as a hidden ``__toks_*`` column on the returned
+    ``places_aug`` and every score term references the column. Higher-
+    order-function subtrees are excluded from Catalyst's subexpression
+    elimination, so without this the label alone was re-analyzed ~6×
+    per row (guide §1.2 per-task work). Same expressions, same values —
+    callers must evaluate the returned Columns against ``places_aug``
+    and drop the helper columns from their output."""
     s = settings or {}
-    cond = matching_condition(q_tokens, query_type, full_label_tokens(places))
+    cols = set(places.columns)
+    tok_fields = [
+        f for f in ("name", "alt_name", "loc_name", "label", "house_number", "zip_codes_str")
+        if f in cols
+    ]
+    places_aug = places
+    toks_map: dict = {}
+    for f in tok_fields:
+        hc = f"__toks_{f}"
+        places_aug = places_aug.withColumn(hc, _tokens_of(f))
+        toks_map[f] = F.col(hc)
+    places_aug = places_aug.withColumn(
+        "__toks_full", full_label_tokens(places, label_toks=toks_map.get("label"))
+    )
+    cond = matching_condition(q_tokens, query_type, F.col("__toks_full"))
     string_score = string_query_score(
         places, q_tokens, query_type, lang, coord is not None,
         boosts=s.get("string_boosts"), global_boost=s.get("string_global"),
+        toks_map=toks_map,
     )
     tb = s.get("type_boosts", TYPE_BOOSTS)
     gb = s.get("global_boost", GLOBAL_BOOST)
@@ -627,14 +665,14 @@ def _score_terms(
         ) * F.lit(prox_w)
         score = score + proximity_t
     if explain:
-        return cond, {
+        return places_aug, cond, {
             "match_score": string_score,
             "type_boost": type_boost_t,
             "importance": importance_t,
             "proximity": proximity_t,
             "score": score,
         }
-    return cond, string_score, score
+    return places_aug, cond, string_score, score
 
 
 def autocomplete(
@@ -737,7 +775,7 @@ def forward_geocode_explain(
         )
         in_shape = F.col("__shape_id").isNotNull()
 
-    cond, terms = _score_terms(
+    doc, cond, terms = _score_terms(
         doc, q_tokens, "prefix", coord, lang, settings, explain=True
     )
     return doc.select(

