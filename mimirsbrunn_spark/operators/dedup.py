@@ -25,10 +25,17 @@ Hash design (cross-engine exact):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+#: neardup_components collects graphs at or below this many (symmetric,
+#: distinct) edge rows to a driver union-find — answer-sized work the
+#: driver handles in one job; bigger graphs run the distributed
+#: min-label loop. ~1M rows ≈ tens of MB of driver transfer.
+DRIVER_CC_MAX_EDGES = 1_000_000
 
 # seeded affine coefficients (deterministic, coprime-ish with P)
 MINHASH_A = [1103515245, 1299709, 104729, 7919, 50331653, 999331, 23456789, 777767777,
@@ -96,6 +103,103 @@ def band_hash_expr(band: int, rows: int, sig_col: str = "minhash") -> str:
     return f"({terms}) % {P}"
 
 
+def lsh_bucket_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 16, bands: int = 4,
+) -> DataFrame:
+    """(id, band, bh) LSH bucket rows via a vectorized integer kernel.
+
+    Tokenization (the only string/locale-sensitive step) stays the
+    Catalyst ``token_ids_expr`` — identical semantics to the signature
+    gates — and everything after it is exact int64 arithmetic:
+    3-shingles, the k affine minhashes, the per-band polynomial hash.
+    The r5 expression chain evaluated 16 interpreted aggregate passes
+    over every doc's shingle array (~740 µs/doc at bench sf1, guide
+    §1.2/§4.2); this kernel computes the same integers with
+    ``np.minimum.reduceat`` over the flat shingle stream — bit-identical
+    because int64 add/mul/mod have exactly one answer (no float
+    rounding anywhere), proven by the minhash_lsh_pairs /
+    ngram_jaccard_lsh oracle gates."""
+    from .skew import ensure_parallelism
+
+    rows = k // bands
+    a_coef = np.array(MINHASH_A[:k], dtype=np.int64)
+    b_coef = np.array(MINHASH_B[:k], dtype=np.int64)
+    w_coef = np.array([31 ** (rows - 1 - r) for r in range(rows)], dtype=np.int64)
+    # ONE tokenize pass and NO Catalyst-side eligibility filter: a
+    # filter on the derived array (size(tok_ids) >= 3 — or the old
+    # size(tokens) spelling) gets predicate-pushed below the Project
+    # with the whole tokenize chain inlined into the predicate, so the
+    # text is analyzed twice per row (the r5 minhash-sentinel trap,
+    # guide §4.4). The kernel drops <3-token docs itself — pure index
+    # arithmetic on the already-computed id arrays.
+    toks = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), F.expr(token_ids_expr(text_col)).alias("tok_ids")
+    )
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            names = b.schema.names
+            col = b.column(names.index("tok_ids"))
+            off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            # normalize a sliced batch: raw offsets index the untrimmed
+            # child values array
+            flat = flat[off[0]:off[-1]]
+            off = off - off[0]
+            # drop <3-token docs (no shingles, no MinHash evidence —
+            # the exclusion the old plan expressed as a filter)
+            lens = off[1:] - off[:-1]
+            keepd = lens >= 3
+            kept_idx = np.nonzero(keepd)[0]
+            if len(kept_idx) == 0:
+                continue
+            if len(kept_idx) < n:
+                flat = flat[np.repeat(keepd, lens)]
+                lens = lens[keepd]
+                off = np.concatenate([[0], np.cumsum(lens)])
+                n = len(kept_idx)
+            # 3-shingles over the flat stream; positions whose window
+            # crosses a doc boundary are masked out (every kept doc has
+            # >= 3 tokens, so every doc keeps >= 1 shingle)
+            sh_full = (flat[:-2] * 961 + flat[1:-1] * 31 + flat[2:]) % P
+            ends = off[1:]
+            drops = np.concatenate([ends - 2, ends - 1])
+            drops = drops[drops < len(sh_full)]
+            mask = np.ones(len(sh_full), dtype=bool)
+            mask[drops] = False
+            sh = sh_full[mask]
+            soff = off[:-1] - 2 * np.arange(n, dtype=np.int64)
+            mh = np.empty((k, n), dtype=np.int64)
+            for j in range(k):
+                mh[j] = np.minimum.reduceat((a_coef[j] * sh + b_coef[j]) % P, soff)
+            bhs = np.empty((bands, n), dtype=np.int64)
+            for bb in range(bands):
+                acc = np.zeros(n, dtype=np.int64)
+                for r in range(rows):
+                    acc += mh[bb * rows + r] * w_coef[r]
+                bhs[bb] = acc % P
+            ids_out = b.column(names.index(id_col)).take(
+                pa.array(np.repeat(kept_idx.astype(np.int64), bands))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids_out,
+                    pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                    pa.array(bhs.T.reshape(-1)),
+                ],
+                names=[id_col, "band", "bh"],
+            )
+
+    return toks.mapInArrow(kernel, schema=f"{id_col} {id_dt}, band int, bh long")
+
+
 def lsh_candidate_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 16, bands: int = 4,
@@ -121,29 +225,13 @@ def lsh_candidate_pairs(
     measured as a 300× wall blowup at sf0.1. The token-count predicate
     pushes to the scan as one cheap tokenize pass. The DuckDB oracle
     (gate_dedup.py) keeps the `mh[1] < P` spelling over its materialized
-    CTE, where it is equally cheap and provably equivalent."""
-    from .skew import ensure_parallelism
+    CTE, where it is equally cheap and provably equivalent.
 
-    rows = k // bands
-    sig = with_minhash_signature(
-        # rebalance an under-split scan BEFORE the tokenize/shingle/
-        # minhash chain — a single-row-group corpus file would otherwise
-        # compute every signature on one task (guide §2.5)
-        ensure_parallelism(df.select(id_col, text_col)).filter(
-            F.expr(f"size({tokens_expr(text_col)}) >= 3")
-        ),
-        text_col,
-        k,
-    )
-    buckets = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.expr(band_hash_expr(b, rows)).alias("bh"))
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    r6: the bucket rows come from ``lsh_bucket_rows`` — Catalyst
+    tokenization + the vectorized integer minhash/band kernel — instead
+    of the 16-aggregate expression chain; same integers, ~8× less
+    map-side cost."""
+    buckets = lsh_bucket_rows(df, id_col, text_col, k, bands)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -276,6 +364,53 @@ def neardup_components(
         .distinct()
         .cache()
     )
+    # r6: dimension-sized pair graphs (the common near-dup shape — the
+    # pair stage already reduced the corpus to its duplicate candidates)
+    # pay ~5 scheduler round-trips PER label round in the distributed
+    # loop, which at bench scale was ~2 s for a 10^4-edge graph. Below
+    # the threshold, collect the edge list and run a driver union-find —
+    # same min-label components by definition, one job instead of
+    # rounds × 5. The distributed loop remains the path for graphs that
+    # are data-sized rather than answer-sized.
+    n_sym_edges = edges.count()
+    if n_sym_edges <= DRIVER_CC_MAX_EDGES:
+        from pyspark.sql import types as T
+
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r_ in rows:
+            s, d = r_["src"], r_["dst"]
+            if s not in parent:
+                parent[s] = s
+            if d not in parent:
+                parent[d] = d
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[rs] = rd
+        comp_min: dict = {}
+        for v in parent:
+            r = find(v)
+            m = comp_min.get(r)
+            if m is None or v < m:
+                comp_min[r] = v
+        dt = edges.schema["src"].dataType
+        out_schema = T.StructType(
+            [T.StructField("doc_id", dt), T.StructField("component", dt)]
+        )
+        labels_df = pairs.sparkSession.createDataFrame(
+            [(v, comp_min[find(v)]) for v in parent], schema=out_schema
+        )
+        edges.unpersist()
+        return labels_df
     if reliable is None:
         reliable = pairs.sparkSession.sparkContext.getCheckpointDir() is not None
     labels = (

@@ -546,7 +546,7 @@ def semdedup(
     # assignment; unpersisted below once the narrow projection is
     # checkpointed (ADVICE r05 #3 — the old cache was never released).
     withc = (
-        _nearest_clusters(corpus, codebook, 1, id_col, vec_col, keep_score=True)
+        _assign_clusters_kernel(corpus, codebook, id_col, vec_col)
         .select(
             F.col(id_col),
             F.col(vec_col),
@@ -580,6 +580,75 @@ def semdedup(
             F.coalesce("component", F.col(id_col)).alias("component"),
             (F.col("rn").isNull() | (F.col("rn") == 1)).alias("keep"),
         )
+    )
+
+
+def _assign_clusters_kernel(
+    corpus: DataFrame, codebook: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """semdedup's nearest-centroid assignment as an Arrow kernel —
+    (id, vec, cluster, ccos raw, __vnorm), the exact rows
+    ``_nearest_clusters(..., 1, keep_score=True)`` produces, without
+    the C-way crossJoin + per-vector window (480k interpreted folds +
+    a shuffle at bench sf1). Bit-identical by the same argument as
+    ``_cluster_pair_cosines``: dots and norms accumulate one dimension
+    at a time (the fold's left-to-right order), the zero-norm CASE is
+    mirrored, and np.argmax's first-maximum rule IS the window's
+    (ccos desc, cluster asc) tie-break — including the all-NaN corner,
+    where both pick the lowest cluster index. The codebook is collected
+    once (it is driver-sized by definition — the same literals the
+    DuckDB oracle inlines)."""
+    cb_rows = sorted(
+        ((int(r["cluster"]), list(r["centroid"])) for r in codebook.collect()),
+        key=lambda t: t[0],
+    )
+    clusters = np.array([c for c, _ in cb_rows], dtype=np.int32)
+    cent = np.array([v for _, v in cb_rows], dtype=np.float64)  # (C, D)
+    dim = cent.shape[1]
+    cn_acc = np.zeros(len(cb_rows))
+    for d in range(dim):  # sequential-dim norm fold, as _norm_fold
+        cn_acc += cent[:, d] * cent[:, d]
+    cnorm = np.sqrt(cn_acc)
+    id_dt = corpus.schema[id_col].dataType.simpleString()
+    vec_dt = corpus.schema[vec_col].dataType.simpleString()
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            names = b.schema.names
+            vcol = b.column(names.index(vec_col))
+            off = vcol.offsets.to_numpy(zero_copy_only=False)
+            flat = vcol.values.to_numpy(zero_copy_only=False)
+            V = flat[off[0]:off[-1]].reshape(n, dim)
+            vn_acc = np.zeros(n)
+            dot = np.zeros((n, len(clusters)))
+            for d in range(dim):  # the fold's summation order
+                vn_acc += V[:, d] * V[:, d]
+                dot += V[:, d : d + 1] * cent[:, d]
+            vnorm = np.sqrt(vn_acc)
+            P = vnorm[:, None] * cnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(P == 0.0, 0.0, dot / P)
+            sel = np.argmax(cos, axis=1)
+            rows = np.arange(n)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(names.index(id_col)),
+                    vcol,
+                    pa.array(clusters[sel]),
+                    pa.array(cos[rows, sel]),
+                    pa.array(vnorm),
+                ],
+                names=[id_col, vec_col, "cluster", "ccos", "__vnorm"],
+            )
+
+    return corpus.select(id_col, vec_col).mapInArrow(
+        kernel,
+        schema=f"{id_col} {id_dt}, {vec_col} {vec_dt}, cluster int, ccos double, __vnorm double",
     )
 
 

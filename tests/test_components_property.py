@@ -74,12 +74,17 @@ def test_components_match_union_find(spark, seed):
     assert got == want, f"seed {seed}: {dict(sorted(set(got.items()) ^ set(want.items())))}"
 
 
-def test_components_reliable_checkpoint_path(spark, tmp_path):
+def test_components_reliable_checkpoint_path(spark, tmp_path, monkeypatch):
     """On a real cluster the loop must survive executor loss, which a
     non-replicated localCheckpoint block does not — with a checkpoint
     dir configured the loop routes through DataFrame.checkpoint
     (reliable storage). Pin that the reliable path executes (checkpoint
-    files appear under the dir) and yields the same labels."""
+    files appear under the dir) and yields the same labels. r6: the
+    driver union-find shortcut never checkpoints, so force the
+    distributed loop by zeroing the shortcut threshold."""
+    from mimirsbrunn_spark.operators import dedup as dedup_mod
+
+    monkeypatch.setattr(dedup_mod, "DRIVER_CC_MAX_EDGES", 0)
     rng = random.Random(7)
     edges = _graph(rng)
     want = _union_find(edges)
@@ -103,13 +108,23 @@ def test_components_reliable_checkpoint_path(spark, tmp_path):
         assert sc.getCheckpointDir() is None
 
 
-def test_components_long_chain_raises_not_truncates(spark):
+def test_components_long_chain_raises_not_truncates(spark, monkeypatch):
     """Diameter > max_iter must RAISE — an under-converged label set
-    would silently merge fewer docs than the graph demands."""
+    would silently merge fewer docs than the graph demands. r6: small
+    graphs take the driver union-find shortcut (which cannot
+    under-converge), so the raise pin forces the distributed loop by
+    zeroing the shortcut threshold."""
+    from mimirsbrunn_spark.operators import dedup as dedup_mod
+
     chain = [(i, i + 1) for i in range(8)]
     pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
-    # converges: diameter 8 < default guard
+    # converges: diameter 8 < default guard (driver shortcut path)
     out = {r["doc_id"]: r["component"] for r in neardup_components(pairs).collect()}
     assert set(out.values()) == {0}
+    monkeypatch.setattr(dedup_mod, "DRIVER_CC_MAX_EDGES", 0)
+    # distributed-loop path: same labels when it converges…
+    out2 = {r["doc_id"]: r["component"] for r in neardup_components(pairs).collect()}
+    assert out2 == out
+    # …and a hard error, never truncation, when it cannot
     with pytest.raises(Exception, match="max_iter|converge"):
         neardup_components(pairs, max_iter=2)
