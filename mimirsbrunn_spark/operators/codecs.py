@@ -169,6 +169,10 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
         size = struct.unpack_from("<I", blob, pos + 4)[0]
         body = blob[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                # keep the module's ValueError contract — struct.error
+                # here would escape the fallback callers catch
+                raise ValueError("WAV fmt chunk shorter than 16 bytes")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body

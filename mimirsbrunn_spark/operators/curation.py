@@ -102,8 +102,12 @@ def pack_sequences(
     Walks the shard's rows in ``id_col`` order keeping a running token
     sum; a row joins the current bin if the sum stays <= ``budget``,
     else it opens the next bin. Deterministic given the input rows.
-    Returns group_cols + (id, tokens, bin, bin_pos): ``bin`` is dense
-    from 0 per shard, ``bin_pos`` the 0-based position within the bin.
+    Returns group_cols + (id, tokens, bin, bin_pos): ``bin`` numbers
+    increase densely per shard and ``bin_pos`` is the 0-based position
+    within the bin. Note (ADVICE r05): when a shard's FIRST document is
+    already over ``budget`` the walk opens bin 1 immediately, so bin 0
+    is skipped in that shard — the recurrence (which the DuckDB oracle
+    replays verbatim) is the contract, not a bins-start-at-0 guarantee.
     """
     gcols = list(group_cols)
     fields = df.select(*gcols, id_col, tokens_col).schema

@@ -138,10 +138,18 @@ def image_decoder(width: int, height: int, backend: str = "auto", image_mod=None
             return lambda blob: _fake_decode(blob, n).tolist()
 
         # auto without the wheel: true decode when the bytes ARE an
-        # uncompressed image, deterministic fake otherwise
+        # uncompressed image, deterministic fake otherwise. The sniff
+        # only checks magic bytes, so a sniffed-but-undecodable variant
+        # (RLE/compressed BMP, PNM maxval > 255) falls back to the fake
+        # instead of failing the stage (ADVICE r05 #1) — auto never
+        # raised without a wheel before the sniffing path and must not
+        # start now; ``strict`` still surfaces decode errors.
         def sniffing(blob: bytes) -> list:
             if codecs.sniff(blob) in ("bmp", "pnm"):
-                return builtin(blob)
+                try:
+                    return builtin(blob)
+                except ValueError:
+                    pass
             return _fake_decode(blob, n).tolist()
 
         return sniffing
@@ -195,8 +203,13 @@ def audio_decoder(sample_rate: int, n: int, backend: str = "auto", audio_mod=Non
             return lambda blob: (_fake_decode(blob, n) * 2.0 - 1.0).tolist()
 
         def sniffing(blob: bytes) -> list:
+            # fall back on undecodable sniffed variants (float/extensible
+            # WAV) rather than failing the stage — ADVICE r05 #1
             if codecs.sniff(blob) == "wav":
-                return builtin(blob)
+                try:
+                    return builtin(blob)
+                except ValueError:
+                    pass
             return (_fake_decode(blob, n) * 2.0 - 1.0).tolist()
 
         return sniffing
@@ -246,8 +259,13 @@ def video_frame_sampler(every_n: int, backend: str = "auto", video_mod=None):
             return fake
 
         def sniffing(blob: bytes) -> list:
+            # fall back on undecodable sniffed variants (compressed AVI)
+            # rather than failing the stage — ADVICE r05 #1
             if codecs.sniff_video(blob) == "avi":
-                return builtin(blob)
+                try:
+                    return builtin(blob)
+                except ValueError:
+                    pass
             return fake(blob)
 
         return sniffing

@@ -377,8 +377,10 @@ def admin_cell_cover(admins: DataFrame, spark: SparkSession | None = None) -> Da
         tmp = AdminGeoFinder()
         for pdf in batches:
             out = {"cell": [], "id": [], "minx": [], "miny": [], "maxx": [], "maxy": []}
-            for _, r in pdf.iterrows():
-                wkb = r["boundary_wkb"]
+            # itertuples, not iterrows: iterrows builds a Series per row
+            # — free speed on multi-million-admin dims (VERDICT r05 #3)
+            for r in pdf[["id", "boundary_wkb"]].itertuples(index=False):
+                wkb = r.boundary_wkb
                 if wkb is None:
                     continue
                 mp = wkb_to_mp(bytes(wkb))
@@ -386,7 +388,7 @@ def admin_cell_cover(admins: DataFrame, spark: SparkSession | None = None) -> Da
                 res = tmp._pick_res(bbox)
                 for c in _bbox_cells(bbox, res):
                     out["cell"].append(c)
-                    out["id"].append(r["id"])
+                    out["id"].append(r.id)
                     out["minx"].append(bbox[0])
                     out["miny"].append(bbox[1])
                     out["maxx"].append(bbox[2])
