@@ -122,59 +122,70 @@ def refine_batch(finder: AdminGeoFinder, lon: np.ndarray, lat: np.ndarray) -> li
     n = len(lon)
     cand_by_admin = _candidate_map(finder, lon, lat)
 
-    # vectorized exact PIP per admin over its candidate subset
-    contains_by_admin: dict[str, np.ndarray] = {}
+    # vectorized exact PIP per admin over its candidate subset — keep
+    # the per-candidate boolean mask (the replay consumes it directly)
+    contains_mask: dict[str, np.ndarray] = {}
     for aid, pts in cand_by_admin.items():
         mp = finder.by_id[aid].mp
-        mask = points_in_multipolygon(lon[pts], lat[pts], mp)
-        contains_by_admin[aid] = pts[mask]
+        contains_mask[aid] = points_in_multipolygon(lon[pts], lat[pts], mp)
 
     by_id = finder.by_id
 
-    # Build per-point candidate lists already in pinned (zone_rank, id)
-    # order by iterating admins in that global order — no per-point sort.
-    # Each entry carries its precomputed contains flag.
+    # Candidate iteration order is pinned (zone_rank, id). r6: instead
+    # of building one Python list of (aid, contained) per point, encode
+    # each point's candidate sequence as a row of a small int32 matrix
+    # (code = admin_order_index*2 + contained, -1 padding) filled with
+    # vectorized scatter — then np.unique(axis=0) groups points with
+    # IDENTICAL candidate sequences exactly (no hashing), and the
+    # dedup/memo replay below runs once per distinct signature instead
+    # of once per point. Same replay, same order, same results; the
+    # per-point Python is now one list indexing pass.
     admin_order = sorted(cand_by_admin, key=lambda a: (zone_rank(by_id[a].zone_type), a))
-    cands_per_point: list[list[tuple[str, bool]]] = [[] for _ in range(n)]
+    counts = np.zeros(n, dtype=np.int32)
     for aid in admin_order:
-        cset = set(contains_by_admin[aid].tolist())
-        for p in cand_by_admin[aid]:
-            cands_per_point[p].append((aid, p in cset))
+        counts[cand_by_admin[aid]] += 1
+    maxc = int(counts.max()) if n else 0
+    if maxc == 0:
+        return [[] for _ in range(n)]
+    M = np.full((n, maxc), -1, dtype=np.int32)
+    ptr = np.zeros(n, dtype=np.int32)
+    for ai, aid in enumerate(admin_order):
+        pts = cand_by_admin[aid]
+        M[pts, ptr[pts]] = ai * 2 + contains_mask[aid]
+        ptr[pts] += 1
+    uniq, inverse = np.unique(M, axis=0, return_inverse=True)
 
-    # Points sharing (candidates, contains-flags) get identical results —
-    # memoize the dedup loop by that signature (clustered corpora hit the
-    # memo for the vast majority of points).
-    memo: dict[tuple, list[str]] = {}
-    results: list[list[str]] = []
-    for p in range(n):
-        key = tuple(cands_per_point[p])
-        res = memo.get(key)
-        if res is None:
-            tested_hierarchy: set[str] = set()
-            added_zone_types: set[str] = set()
-            res = []
-            for aid, contained in key:
-                rec = by_id[aid]
-                if aid in tested_hierarchy:
-                    res.append(aid)
-                elif rec.zone_type is not None and rec.zone_type in added_zone_types:
-                    pass
-                elif contained:
-                    if rec.zone_type is not None:
-                        added_zone_types.add(rec.zone_type)
-                    parent_id = rec.parent_id
-                    while parent_id is not None:
-                        parent = by_id.get(parent_id)
-                        if parent is not None and parent.zone_type is not None:
-                            added_zone_types.add(parent.zone_type)
-                        if parent_id in tested_hierarchy:
-                            break
-                        tested_hierarchy.add(parent_id)
-                        parent_id = parent.parent_id if parent is not None else None
-                    res.append(aid)
-            memo[key] = res
-        results.append(res)
-    return results
+    group_results: list[list[str]] = []
+    for row in uniq:
+        tested_hierarchy: set[str] = set()
+        added_zone_types: set[str] = set()
+        res: list[str] = []
+        for code in row:
+            if code < 0:
+                break
+            aid = admin_order[code >> 1]
+            contained = bool(code & 1)
+            rec = by_id[aid]
+            if aid in tested_hierarchy:
+                res.append(aid)
+            elif rec.zone_type is not None and rec.zone_type in added_zone_types:
+                pass
+            elif contained:
+                if rec.zone_type is not None:
+                    added_zone_types.add(rec.zone_type)
+                parent_id = rec.parent_id
+                while parent_id is not None:
+                    parent = by_id.get(parent_id)
+                    if parent is not None and parent.zone_type is not None:
+                        added_zone_types.add(parent.zone_type)
+                    if parent_id in tested_hierarchy:
+                        break
+                    tested_hierarchy.add(parent_id)
+                    parent_id = parent.parent_id if parent is not None else None
+                res.append(aid)
+        group_results.append(res)
+    inv = inverse.ravel()
+    return [group_results[g] for g in inv]
 
 
 # ---------------------------------------------------------------------------
